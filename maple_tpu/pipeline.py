@@ -1,0 +1,332 @@
+"""Main inference driver.
+
+De-novo pipeline (reference driver :11637-12660): sorted stepwise addition,
+online substitution-model updates, post-placement EM + branch-length sweeps,
+root search, SPR rounds, and output files (_tree.tree, _subs.txt, _LK.txt,
+nexus/TSV when SPRTA or MAT estimation is on).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+from .config import DerivedConfig, MapleConfig
+from .core import kernels as K
+from .io.maple_format import (read_maple_alignment, read_reference_fasta,
+                              sample_distance_from_ref)
+from .io.newick import (AnnotationOptions, create_newick, read_newick,
+                        write_nexus)
+from .models.em import expectation_maximization_rates
+from .refdata import Model, RefData
+from .runtime.partials import TreeRuntime
+from .runtime.tree import (PhyloTree, give_internal_node_names,
+                           make_tree_binary, set_all_dirty)
+from .search.blen import optimize_branch_lengths
+from .search.placement import (PlacementStats, find_best_parent_for_new_sample,
+                               place_sample_on_tree)
+
+
+class Run:
+    """One inference run: all state bundled (no module globals)."""
+
+    def __init__(self, cfg: MapleConfig):
+        self.cfg = cfg
+        self.timings = {"finding": 0.0, "placing": 0.0, "topology": 0.0}
+        self.names_in_tree = []
+        self.stats = PlacementStats()
+
+    # ------------------------------------------------------------------
+    def load(self):
+        cfg = self.cfg
+        if cfg.reference:
+            ref = read_reference_fasta(cfg.reference)
+            data = read_maple_alignment(cfg.input, extract_reference=False,
+                                        ref=ref)
+        else:
+            ref, data = read_maple_alignment(cfg.input)
+        self.data = data
+        self.refd = RefData.build(ref, model=cfg.model)
+        self.dc = DerivedConfig.build(cfg, self.refd.lRef)
+        self.model = Model.initial(self.refd, cfg.model)
+        if cfg.rateVariation and not cfg.inputRates:
+            self.model.site_rates = [1.0] * self.refd.lRef
+            self.model.refresh_cumulative_rate()
+        print(f"Length of reference genome: {self.refd.lRef}; "
+              f"{len(data)} samples")
+
+    def sorted_distances(self, samples_in_tree=frozenset()):
+        """Placement order: fewest diffs / least missing data first
+        (reference distancesFromRefPunishNs :6451-6499)."""
+        out = []
+        for name in self.data:
+            if name in samples_in_tree:
+                continue
+            key, n_diffs, comparisons = sample_distance_from_ref(
+                self.data[name], self.refd.lRef)
+            out.append((key, name))
+        out.sort(reverse=True, key=lambda t: t[0])
+        return out
+
+    # ------------------------------------------------------------------
+    def build_initial_tree(self):
+        """Serial stepwise addition (reference :11686-11760)."""
+        cfg = self.cfg
+        dc = self.dc
+        distances = self.sorted_distances()
+        first_key, first_sample = distances.pop()
+        self.names_in_tree.append(first_sample)
+        tree = PhyloTree(use_hnz=bool(cfg.HnZ))
+        tree.add_node()
+        tree.name[-1] = 0
+        self.tree = tree
+        self.rt = TreeRuntime(tree, self.refd, self.model, dc, cfg)
+        t1 = 0
+        tree.probVect[0] = self.rt.terminal_vector(self.data[first_sample])
+        self.data[first_sample] = None
+        num_samples = 1
+        while distances:
+            _, sample = distances.pop()
+            self.names_in_tree.append(sample)
+            new_partials = self.rt.terminal_vector(self.data[sample])
+            self.data[sample] = None
+            if (num_samples < cfg.minNumSamplesForRateVar
+                    or not self.model.use_rate_variation) \
+                    and num_samples % cfg.updateSubstMatrixEveryThisSamples \
+                    == 0:
+                if cfg.model != "JC":
+                    self.model.update_from_pseudo_counts()
+            if num_samples % 50000 == 0:
+                print(f"Sample num {num_samples}", flush=True)
+            if (self.model.use_rate_variation
+                    and num_samples > cfg.minNumSamplesForRateVar
+                    and num_samples > 2 * getattr(self, "_last_em", 1)):
+                self._last_em = num_samples
+                self.rt.recalculate_all(t1)
+                self.run_em_step()
+                self.rt.recalculate_all(t1)
+                optimize_branch_lengths(self.rt, t1)
+                self.rt.recalculate_all(t1)
+            start = time.time()
+            best_node, best_score, best_blens, best_vect = \
+                find_best_parent_for_new_sample(
+                    self.rt, t1, new_partials, num_samples, self.stats)
+            self.timings["finding"] += time.time() - start
+            if best_blens is not None:
+                start = time.time()
+                new_root = place_sample_on_tree(
+                    self.rt, best_node, best_vect, num_samples, best_score,
+                    best_blens[0], best_blens[1], best_blens[2],
+                    self.model.pseudo_counts, self.stats)
+                if new_root is not None:
+                    t1 = new_root
+                self.timings["placing"] += time.time() - start
+            num_samples += 1
+            if num_samples % cfg.saveInitialTreeEvery == 0:
+                self.write_tree(f"_initialTree_{num_samples}samples.tree", t1)
+        self.root = t1
+        print("Sample placement completed", flush=True)
+        print(f"Placed samples that became minor sequences: "
+              f"{self.stats.num_minors_found}")
+
+    # ------------------------------------------------------------------
+    def run_em_step(self, track_mutations=False):
+        """One EM pass; installs the new matrix/site-rates/error-rates into
+        the model."""
+        mat, site_rates, err_rate, err_rates = \
+            expectation_maximization_rates(self.rt, self.root
+                                           if hasattr(self, "root") else 0,
+                                           track_mutations=track_mutations)
+        model = self.model
+        model.mut_matrix = mat
+        if site_rates is not None:
+            model.site_rates = site_rates
+        model.refresh_cumulative_rate()
+        if model.using_error_rate and (self.cfg.estimateErrorRate
+                                       or self.cfg.estimateSiteSpecificErrorRate):
+            model.set_error_rates(err_rate if err_rate is not None
+                                  else model.error_rate, err_rates)
+        return mat
+
+    def post_placement(self):
+        """EM + branch-length optimization after the initial tree
+        (reference :11777-11918)."""
+        cfg = self.cfg
+        rt = self.rt
+        t1 = self.root
+        rt.recalculate_all(t1, count_nodes=True)
+        if cfg.useFixedThresholdLogLKoptimizationTopology is False \
+                and self.stats.num_child_lks > 0:
+            ave = self.stats.sum_child_lks / self.stats.num_child_lks
+            self.dc.thresholdLogLKoptimizationTopology = max(
+                self.dc.thresholdLogLKoptimizationTopology, -0.2 * ave)
+        rt.recalculate_all(t1)
+        if cfg.model != "JC" or cfg.rateVariation or cfg.estimateErrorRate \
+                or cfg.estimateSiteSpecificErrorRate:
+            lk = rt.calculate_tree_likelihood(t1)
+            print(f"Tree LK before EM: {lk}")
+            self.run_em_step()
+            rt.recalculate_all(t1)
+            lk = rt.calculate_tree_likelihood(t1)
+            print(f"Tree LK after EM: {lk}")
+            if not cfg.doNotOptimiseBLengths:
+                set_all_dirty(self.tree, t1)
+                optimize_branch_lengths(rt, t1)
+                rt.recalculate_all(t1)
+                lk = rt.calculate_tree_likelihood(t1)
+                print(f"Tree LK after branch length optimization: {lk}")
+        if not cfg.doNotOptimiseBLengths:
+            set_all_dirty(self.tree, t1)
+            improvement = optimize_branch_lengths(rt, t1)
+            sub_round = 0
+            while sub_round < 20:
+                if not improvement:
+                    break
+                sub_round += 1
+                improvement = optimize_branch_lengths(rt, t1)
+            lk = rt.calculate_tree_likelihood(t1)
+            print(f"Final branch length optimization, LK: {lk}")
+
+    # ------------------------------------------------------------------
+    def write_tree(self, suffix: str, root: Optional[int] = None,
+                   annotations: Optional[AnnotationOptions] = None):
+        root = self.root if root is None else root
+        s = create_newick(
+            self.tree, root, binary=not self.cfg.nonBinaryTree,
+            names_in_tree=self.names_in_tree, annotations=annotations,
+            support_for_identical=self.cfg.supportForIdenticalSequences)
+        with open(self.cfg.output + suffix, "w") as f:
+            f.write(s)
+        return s
+
+    def write_subs(self, suffix="_subs.txt"):
+        cfg = self.cfg
+        with open(cfg.output + suffix, "w") as f:
+            for i in range(4):
+                for j in range(4):
+                    f.write(str(self.model.mut_matrix[i][j]) + "\t")
+                f.write("\n")
+            if cfg.rateVariation:
+                f.write("\n\nSite rates:\n")
+                for i in range(self.refd.lRef):
+                    f.write(f"{i + 1}\t{self.model.site_rates[i]}\n")
+            if cfg.estimateSiteSpecificErrorRate:
+                f.write("\n\nSite error rates:\n")
+                for i in range(self.refd.lRef):
+                    f.write(f"{i + 1}\t{self.model.error_rates[i]}\n")
+            elif cfg.estimateErrorRate:
+                f.write(f"\n\nError rate: {self.model.error_rate}\n")
+
+    def write_lk(self, suffix="_LK.txt"):
+        total = self.rt.calculate_tree_likelihood(self.root)
+        with open(self.cfg.output + suffix, "w") as f:
+            f.write(str(total) + "\n")
+        return total
+
+    # ------------------------------------------------------------------
+    def run(self):
+        """Full de-novo pipeline."""
+        cfg = self.cfg
+        if os.path.isfile(cfg.output + "_tree.tree") and not cfg.overwrite:
+            raise FileExistsError(
+                f"{cfg.output}_tree.tree exists; use overwrite")
+        self.load()
+        self.build_initial_tree()
+        self.post_placement()
+
+        if not cfg.doNotReroot:
+            from .search.rootsearch import find_best_root
+            print("Looking for possible better root", flush=True)
+            new_t1 = find_best_root(self.rt, self.root)
+            if new_t1 != self.root:
+                self.root = new_t1
+                self._after_reroot()
+
+        give_internal_node_names(self.tree, self.root,
+                                 names_in_tree=self.names_in_tree,
+                                 replace_names=False)
+
+        # SPR rounds
+        rounds = []
+        if cfg.fastTopologyInitialSearch:
+            rounds.append((cfg.strictTopologyStopRulesInitial,
+                           cfg.allowedFailsTopologyInitial,
+                           self.dc.thresholdLogLKtopologyInitial,
+                           cfg.thresholdTopologyPlacementInitial))
+        for _ in range(cfg.numTopologyImprovements):
+            rounds.append((cfg.strictTopologyStopRules,
+                           cfg.allowedFailsTopology,
+                           self.dc.thresholdLogLKtopology,
+                           cfg.thresholdTopologyPlacement))
+        if rounds:
+            from .search.spr import run_spr_rounds
+            run_spr_rounds(self, rounds)
+        else:
+            self.write_outputs()
+        print("Number of final references in the MAT: "
+              + str(self.rt.num_refs), flush=True)
+        print("Time spent finding placement nodes: "
+              + str(self.timings["finding"]))
+        print("Time spent placing samples on the tree: "
+              + str(self.timings["placing"]))
+        print("Time spent in topology updates: "
+              + str(self.timings["topology"]))
+
+    def _after_reroot(self):
+        cfg = self.cfg
+        rt = self.rt
+        t1 = self.root
+        print("Better root found")
+        if cfg.model != "JC" or cfg.rateVariation or cfg.estimateErrorRate \
+                or cfg.estimateSiteSpecificErrorRate:
+            self.run_em_step()
+            rt.recalculate_all(t1)
+        if not cfg.doNotOptimiseBLengths:
+            optimize_branch_lengths(rt, t1)
+            rt.recalculate_all(t1)
+        from .search.rootsearch import find_best_root
+        print("Looking a second time for possible better root", flush=True)
+        new_t1 = find_best_root(rt, t1)
+        if new_t1 != t1:
+            self.root = new_t1
+            rt.recalculate_all(self.root)
+
+    def write_outputs(self, suffix_add=""):
+        """Final outputs for one round (reference :12481-12555 and the
+        nRounds==0 path :12556-12630)."""
+        cfg = self.cfg
+        self.write_subs(suffix_add + "_subs.txt")
+        total = self.write_lk(suffix_add + "_LK.txt")
+        print(f"totalLK: {total}", flush=True)
+        annotations = None
+        if cfg.SPRTA or cfg.estimateMAT:
+            if cfg.estimateMAT:
+                expectation_maximization_rates(self.rt, self.root,
+                                               track_mutations=True)
+            annotations = AnnotationOptions(
+                aBayesPlus=cfg.SPRTA, estimateMAT=cfg.estimateMAT,
+                networkOutput=cfg.networkOutput,
+                supportFor0Branches=cfg.supportFor0Branches,
+                usingErrorRate=self.model.using_error_rate,
+                keepInputIQtreeSupports=cfg.keepInputIQtreeSupports,
+                minMutProb=cfg.minMutProb,
+                effectivelyNon0BLen=self.dc.effectivelyNon0BLen,
+                root_state_fn=lambda tree, node: self.rt.root_vector(
+                    tree.probVect[node], False,
+                    (len(tree.children[node]) == 0
+                     and len(tree.minorSequences[node]) == 0), node))
+            s = create_newick(
+                self.tree, self.root, binary=not cfg.nonBinaryTree,
+                names_in_tree=self.names_in_tree, annotations=annotations,
+                support_for_identical=cfg.supportForIdenticalSequences)
+            write_nexus(cfg.output + suffix_add + "_nexusTree.tree", s,
+                        self.names_in_tree)
+            from .io.tsv import write_tsv_file
+            write_tsv_file(self, cfg.output + suffix_add + "_metaData.tsv")
+        self.write_tree(suffix_add + "_tree.tree")
+
+
+def run_inference(cfg: MapleConfig) -> Run:
+    run = Run(cfg)
+    run.run()
+    return run

@@ -1,0 +1,1100 @@
+"""Incremental tree-state runtime.
+
+Keeps the four cached genome lists per node consistent under edits via
+dirty-flag message passing (reference updatePartials :5479-5817), full
+recomputation with first-time setup, minor-sequence collapsing and MAT
+initialization (reference reCalculateAllGenomeLists :6013-6347), local
+MAT references (setUpMAT :4148-4391, makeNodeReference :8296-8353,
+mergeMutationLists :2187-2233), and full-tree likelihood
+(calculateTreeLikelihood :9721-9779).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+from ..config import DerivedConfig, MapleConfig
+from ..core import genomelist as gl
+from ..core import kernels as K
+from ..core.genomelist import TYPE_N, TYPE_O, TYPE_R
+from ..refdata import Model, RefData
+from .tree import PhyloTree
+
+
+class TreeRuntime:
+    """Binds a tree to its model/reference context and provides all
+    incremental-update operations.  ``self.kctx`` is refreshed whenever the
+    model version changes (rate/error-table updates)."""
+
+    def __init__(self, tree: PhyloTree, refd: RefData, model: Model,
+                 dc: DerivedConfig, cfg: MapleConfig):
+        self.tree = tree
+        self.refd = refd
+        self.model = model
+        self.dc = dc
+        self.cfg = cfg
+        self.kctx = K.KernelCtx(refd, model, dc)
+        self.use_local_reference = not cfg.noLocalRef
+        self.num_refs = 0          # MAT local references created
+        self.num_minors_removed = 0
+        self.num_nodes_stats = [0, 0, 0, 0, 0, 0]  # nodes, nucs, Rs, Ns, Os, MATmuts
+
+    # ------------------------------------------------------------------
+    def ctx(self) -> K.KernelCtx:
+        if self.kctx.model_version != self.model.version:
+            self.kctx = K.KernelCtx(self.refd, self.model, self.dc)
+        return self.kctx
+
+    def shorten(self, vec):
+        gl.shorten(vec, self.dc.thresholdProb)
+
+    def pass_down(self, vec, node):
+        """Translate a genome list down through node's MAT branch."""
+        muts = self.tree.mutations[node]
+        if muts:
+            return gl.pass_through_branch(self.refd.lRef, vec, muts)
+        return vec
+
+    def pass_up(self, vec, node):
+        muts = self.tree.mutations[node]
+        if muts:
+            return gl.pass_through_branch(self.refd.lRef, vec, muts,
+                                          dir_is_up=True)
+        return vec
+
+    # ------------------------------------------------------------------
+    def terminal_vector(self, diffs, node: Optional[int] = None):
+        """Tip genome list from MAPLE diffs, translated into the node's MAT
+        frame and shortened (reference probVectTerminalNode :3882-3962)."""
+        model = self.model
+        n_minor = 0 if node is None else len(self.tree.minorSequences[node])
+        vec = gl.terminal_node_genome_list(
+            self.refd, diffs,
+            only_n_ambiguities=self.cfg.onlyNambiguities,
+            using_error_rate=model.using_error_rate,
+            error_rate=model.error_rate,
+            error_rates=model.error_rates,
+            num_minor_seqs=n_minor,
+        )
+        if node is not None:
+            # walk root -> node applying each MAT branch's mutations downward
+            chain = []
+            n = node
+            while n is not None:
+                chain.append(n)
+                n = self.tree.up[n]
+            for n in reversed(chain):
+                vec = self.pass_down(vec, n)
+            self.shorten(vec)
+        return vec
+
+    def update_terminal_vector_errors(self, prob_vect, num_minor_seqs):
+        """Refresh O entries of a tip list after error-rate changes
+        (reference updateProbVectTerminalNode :3968-4006)."""
+        model = self.model
+        if prob_vect is None:
+            return
+        pos = 0
+        for m in prob_vect:
+            if m[0] == TYPE_O:
+                probs = m[-1]
+                n_set = sum(1 for p in probs if p > 0.2)
+                eps = (model.error_rates[pos] if model.error_rate_site_specific
+                       else model.error_rate)
+                if n_set == 2:
+                    for i in range(4):
+                        if probs[i] < 0.2:
+                            probs[i] = 0.0 if num_minor_seqs else eps * 0.33333
+                        else:
+                            probs[i] = 0.5 if num_minor_seqs \
+                                else 0.5 - eps * 0.33333
+                elif n_set == 3:
+                    for i in range(4):
+                        if probs[i] < 0.2:
+                            probs[i] = 0.0 if num_minor_seqs else eps * 0.33333
+                        else:
+                            probs[i] = (1.0 / 3) if num_minor_seqs \
+                                else (1.0 / 3) - eps / 9
+                pos += 1
+            elif m[0] < 4:
+                pos += 1
+            else:
+                pos = m[1]
+
+    # ------------------------------------------------------------------
+    def root_vector(self, prob_vect, blen, is_from_tip, node):
+        """Upper list at the root from a lower list at ``node``: translate up
+        through the MAT to the root frame, apply root frequencies, translate
+        back down (reference rootVector :4916-4996)."""
+        tree = self.tree
+        chain = []
+        n = node
+        vec = prob_vect
+        while n is not None:
+            chain.append(n)
+            vec = self.pass_up(vec, n)
+            n = tree.up[n]
+        vec = K.root_vector_frame(self.ctx(), vec, blen, is_from_tip)
+        for n in reversed(chain):
+            vec = self.pass_down(vec, n)
+        self.shorten(vec)
+        return vec
+
+    def find_prob_root(self, prob_vect, node: Optional[int] = None):
+        """Root-state log-probability; the list is first re-expressed in the
+        global reference frame (reference findProbRoot :4865-4912)."""
+        vec = prob_vect
+        n = node
+        while n is not None:
+            vec = self.pass_up(vec, n)
+            n = self.tree.up[n]
+        return K.find_prob_root_frame(self.ctx(), vec)
+
+    # ------------------------------------------------------------------
+    def update_blen(self, c_node: int, add_to_list: bool = False,
+                    node_list=None):
+        """Re-optimize the branch above c_node to repair an impossible merge
+        and re-dirty the neighborhood (reference updateBLen :5385-5414)."""
+        tree = self.tree
+        node = tree.up[c_node]
+        c_num = tree.child_index(c_node)
+        vect_up = tree.probVectUpRight[node] if c_num == 0 \
+            else tree.probVectUpLeft[node]
+        vect_up = self.pass_down(vect_up, c_node)
+        best = K.estimate_branch_length(
+            self.ctx(), vect_up, tree.probVect[c_node],
+            from_tip_c=tree.is_tip(c_node))
+        if tree.use_hnz:
+            self.update_ndesc0_changing_dist(c_node, best)
+        tree.dist[c_node] = best
+        tree.dirty[node] = True
+        tree.dirty[c_node] = True
+        if add_to_list:
+            node_list.append((c_node, 2, True, False))
+            node_list.append((node, c_num, True, False))
+
+    def update_ndesc0_changing_dist(self, node: int, new_dist):
+        """HnZ bookkeeping when a branch length crosses the effectively-zero
+        threshold (reference updateNDesc0whenChangingDist :5361-5380)."""
+        tree = self.tree
+        eff0 = self.dc.effectivelyNon0BLen
+        if tree.dist[node] > eff0 and new_dist <= eff0:
+            addendum = tree.nDesc0[node] - 1
+        elif tree.dist[node] <= eff0 and new_dist > eff0:
+            addendum = 1 - tree.nDesc0[node]
+        else:
+            return
+        parent = tree.up[node]
+        tree.nDesc0[parent] += addendum
+        while tree.up[parent] is not None and tree.dist[parent] <= eff0:
+            parent = tree.up[parent]
+            tree.nDesc0[parent] += addendum
+
+    # ------------------------------------------------------------------
+    def update_partials(self, node_list: List[tuple]):
+        """Dirty-propagation work-list engine.  Each item is
+        (node, direction, lk_dirty, time_dirty) with direction 0/1 = from
+        that child, 2 = from parent (reference updatePartials :5479-5817)."""
+        tree = self.tree
+        ctx = self.ctx()
+        dist = tree.dist
+        children = tree.children
+        up = tree.up
+        probVect = tree.probVect
+        probVectUpRight = tree.probVectUpRight
+        probVectUpLeft = tree.probVectUpLeft
+        probVectTotUp = tree.probVectTotUp
+        while node_list:
+            updated_blen = False
+            made_change = False
+            node, direction, lk_dirty, _time_dirty = node_list.pop()
+            tree.dirty[node] = True
+            vect_up_up = None
+            child_num_up = None
+            if up[node] is not None:
+                child_num_up = tree.child_index(node)
+                vect_up_up = probVectUpRight[up[node]] if child_num_up == 0 \
+                    else probVectUpLeft[up[node]]
+                if tree.mutations[node] and lk_dirty:
+                    vect_up_up = self.pass_down(vect_up_up, node)
+            is_tip = tree.is_tip(node)
+            if direction == 2:
+                # change coming from the parent
+                if dist[node]:
+                    if lk_dirty:
+                        new_tot = K.merge_vectors(
+                            ctx, vect_up_up, dist[node] / 2, False,
+                            probVect[node], dist[node] / 2, is_tip,
+                            is_up_down=True)
+                        if new_tot is None:
+                            self.update_blen(node)
+                            node_list.append((up[node], child_num_up, True,
+                                              False))
+                            new_tot = K.merge_vectors(
+                                ctx, vect_up_up, dist[node] / 2, False,
+                                probVect[node], dist[node] / 2, is_tip,
+                                is_up_down=True)
+                            made_change = True
+                        probVectTotUp[node] = new_tot
+                        self.shorten(probVectTotUp[node])
+                else:
+                    probVectTotUp[node] = None
+
+                if children[node]:
+                    c0, c1 = children[node]
+                    dist0, dist1 = dist[c0], dist[c1]
+                    new_up_right = new_up_left = None
+                    if lk_dirty:
+                        child0_vect = self.pass_up(probVect[c0], c0)
+                        child1_vect = self.pass_up(probVect[c1], c1)
+                        is_tip0 = tree.is_tip(c0)
+                        is_tip1 = tree.is_tip(c1)
+                        new_up_right = K.merge_vectors(
+                            ctx, vect_up_up, dist[node], False, child1_vect,
+                            dist1, is_tip1, is_up_down=True)
+                        if new_up_right is None:
+                            if (not dist[node]) and (not dist1):
+                                self.update_blen(node)
+                                if not dist[node]:
+                                    self.update_blen(c1, add_to_list=True,
+                                                     node_list=node_list)
+                                    updated_blen = True
+                                else:
+                                    probVectTotUp[node] = K.merge_vectors(
+                                        ctx, vect_up_up, dist[node] / 2,
+                                        False, probVect[node], dist[node] / 2,
+                                        is_tip, is_up_down=True)
+                                    new_up_right = K.merge_vectors(
+                                        ctx, vect_up_up, dist[node], False,
+                                        child1_vect, dist1, is_tip1,
+                                        is_up_down=True)
+                                    node_list.append((up[node], child_num_up,
+                                                      True, False))
+                                    made_change = True
+                            else:
+                                raise RuntimeError(
+                                    "impossible merge with non-zero distances "
+                                    "in update_partials (from parent)")
+                        if not updated_blen:
+                            new_up_left = K.merge_vectors(
+                                ctx, vect_up_up, dist[node], False,
+                                child0_vect, dist0, is_tip0, is_up_down=True)
+                            if new_up_left is None:
+                                if (not dist[node]) and (not dist0):
+                                    self.update_blen(node)
+                                    if not dist[node]:
+                                        self.update_blen(c0, add_to_list=True,
+                                                         node_list=node_list)
+                                        updated_blen = True
+                                    else:
+                                        probVectTotUp[node] = K.merge_vectors(
+                                            ctx, vect_up_up, dist[node] / 2,
+                                            False, probVect[node],
+                                            dist[node] / 2, is_tip,
+                                            is_up_down=True)
+                                        new_up_right = K.merge_vectors(
+                                            ctx, vect_up_up, dist[node],
+                                            False, child1_vect, dist1,
+                                            is_tip1, is_up_down=True)
+                                        new_up_left = K.merge_vectors(
+                                            ctx, vect_up_up, dist[node],
+                                            False, child0_vect, dist0,
+                                            is_tip0, is_up_down=True)
+                                        node_list.append(
+                                            (up[node], child_num_up, True,
+                                             False))
+                                        made_change = True
+                                else:
+                                    raise RuntimeError(
+                                        "impossible merge with non-zero "
+                                        "distances in update_partials "
+                                        "(from parent, child0)")
+                    if not updated_blen:
+                        up_right_changed = up_left_changed = False
+                        if lk_dirty:
+                            if made_change or K.are_vectors_different(
+                                    ctx, probVectUpRight[node], new_up_right):
+                                probVectUpRight[node] = new_up_right
+                                self.shorten(probVectUpRight[node])
+                                up_right_changed = True
+                            if made_change or K.are_vectors_different(
+                                    ctx, probVectUpLeft[node], new_up_left):
+                                probVectUpLeft[node] = new_up_left
+                                self.shorten(probVectUpLeft[node])
+                                up_left_changed = True
+                        if up_right_changed:
+                            node_list.append((c0, 2, True, False))
+                        if up_left_changed:
+                            node_list.append((c1, 2, True, False))
+            else:
+                # change coming from child number `direction`
+                child_num = direction
+                other_num = 1 - child_num
+                child = children[node][child_num]
+                other = children[node][other_num]
+                child_dist = dist[child]
+                other_dist = dist[other]
+                new_up_vect = None
+                old_prob_vect = None
+                other_vect_up = None
+                if lk_dirty:
+                    other_child_vect = self.pass_up(probVect[other], other)
+                    prob_vect_down = self.pass_up(probVect[child], child)
+                    c_is_tip = tree.is_tip(child)
+                    other_is_tip = tree.is_tip(other)
+                    other_vect_up = probVectUpRight[node] if child_num \
+                        else probVectUpLeft[node]
+                    new_vect = K.merge_vectors(
+                        ctx, other_child_vect, other_dist, other_is_tip,
+                        prob_vect_down, child_dist, c_is_tip)
+                    if new_vect is None:
+                        if (not child_dist) and (not other_dist):
+                            self.update_blen(child)
+                            if not dist[child]:
+                                self.update_blen(other, add_to_list=True,
+                                                 node_list=node_list)
+                                updated_blen = True
+                            else:
+                                child_dist = dist[child]
+                                probVect[node] = K.merge_vectors(
+                                    ctx, other_child_vect, other_dist,
+                                    other_is_tip, prob_vect_down, child_dist,
+                                    c_is_tip)
+                                node_list.append((child, 2, True, False))
+                                made_change = True
+                        else:
+                            raise RuntimeError(
+                                "impossible merge with non-zero distances in "
+                                "update_partials (from child)")
+                    else:
+                        old_prob_vect = probVect[node]
+                        probVect[node] = new_vect
+                        self.shorten(probVect[node])
+
+                    if (not updated_blen) and dist[node] \
+                            and up[node] is not None \
+                            and vect_up_up is not None:
+                        new_tot = K.merge_vectors(
+                            ctx, vect_up_up, dist[node] / 2, False,
+                            probVect[node], dist[node] / 2, False,
+                            is_up_down=True)
+                        if new_tot is None:
+                            self.update_blen(node)
+                            probVect[node] = K.merge_vectors(
+                                ctx, other_child_vect, other_dist,
+                                other_is_tip, prob_vect_down, child_dist,
+                                c_is_tip)
+                            node_list.append((child, 2, True, False))
+                            probVectTotUp[node] = K.merge_vectors(
+                                ctx, vect_up_up, dist[node] / 2, False,
+                                probVect[node], dist[node] / 2, False,
+                                is_up_down=True)
+                            made_change = True
+                        else:
+                            probVectTotUp[node] = new_tot
+                            self.shorten(probVectTotUp[node])
+                    elif not dist[node]:
+                        probVectTotUp[node] = None
+
+                    if (not updated_blen) and other_vect_up is not None:
+                        if up[node] is not None:
+                            new_up_vect = K.merge_vectors(
+                                ctx, vect_up_up, dist[node], False,
+                                prob_vect_down, child_dist, c_is_tip,
+                                is_up_down=True)
+                        else:
+                            # prob_vect_down is already in node's frame
+                            new_up_vect = self.root_vector(
+                                prob_vect_down, child_dist, c_is_tip, node)
+                        if new_up_vect is None:
+                            if (not dist[node]) and (not child_dist):
+                                self.update_blen(node)
+                                if not dist[node]:
+                                    self.update_blen(child, add_to_list=True,
+                                                     node_list=node_list)
+                                    updated_blen = True
+                                else:
+                                    probVectTotUp[node] = K.merge_vectors(
+                                        ctx, vect_up_up, dist[node] / 2,
+                                        False, probVect[node], dist[node] / 2,
+                                        False, is_up_down=True)
+                                    node_list.append((child, 2, True, False))
+                                    made_change = True
+                                    new_up_vect = K.merge_vectors(
+                                        ctx, vect_up_up, dist[node], False,
+                                        prob_vect_down, child_dist, c_is_tip,
+                                        is_up_down=True)
+                            else:
+                                raise RuntimeError(
+                                    "impossible merge with non-zero distances"
+                                    " in update_partials (newUpVect)")
+                if not updated_blen:
+                    up_changed = down_changed = False
+                    if lk_dirty:
+                        if other_vect_up is not None:
+                            if made_change or K.are_vectors_different(
+                                    ctx, other_vect_up, new_up_vect):
+                                up_changed = True
+                                if child_num:
+                                    probVectUpRight[node] = new_up_vect
+                                    self.shorten(probVectUpRight[node])
+                                else:
+                                    probVectUpLeft[node] = new_up_vect
+                                    self.shorten(probVectUpLeft[node])
+                        if made_change or K.are_vectors_different(
+                                ctx, probVect[node], old_prob_vect):
+                            down_changed = True
+                    if up[node] is not None and down_changed:
+                        node_list.append((up[node], tree.child_index(node),
+                                          True, False))
+                    if up_changed:
+                        node_list.append((other, 2, True, False))
+
+    # ------------------------------------------------------------------
+    # MAT machinery
+    def merge_mutation_lists(self, mutations1, mutations2, downward=False):
+        """Compose two MAT mutation lists (reference :2187-2233)."""
+        ind1 = ind2 = 0
+        out = []
+        n1, n2 = len(mutations1), len(mutations2)
+        while True:
+            if ind1 < n1:
+                pos1 = mutations1[ind1][0]
+                if ind2 < n2:
+                    pos2 = mutations2[ind2][0]
+                    if pos1 < pos2:
+                        if downward:
+                            out.append((pos1, mutations1[ind1][2],
+                                        mutations1[ind1][1]))
+                        else:
+                            out.append(mutations1[ind1])
+                        ind1 += 1
+                    elif pos2 < pos1:
+                        out.append(mutations2[ind2])
+                        ind2 += 1
+                    else:
+                        if downward:
+                            source = mutations1[ind1][2]
+                            end = mutations1[ind1][1]
+                        else:
+                            source = mutations1[ind1][1]
+                            end = mutations1[ind1][2]
+                        if end != mutations2[ind2][1]:
+                            print("WARNING: inconsistent MAT mutations "
+                                  f"{mutations1} {mutations2}")
+                        if source != mutations2[ind2][2]:
+                            out.append((pos2, source, mutations2[ind2][2]))
+                        ind1 += 1
+                        ind2 += 1
+                else:
+                    if downward:
+                        out.append((pos1, mutations1[ind1][2],
+                                    mutations1[ind1][1]))
+                    else:
+                        out.append(mutations1[ind1])
+                    ind1 += 1
+            elif ind2 < n2:
+                out.append(mutations2[ind2])
+                ind2 += 1
+            else:
+                break
+        return out
+
+    def make_node_reference(self, node: int, old_value: int = 0):
+        """Promote a node to a MAT local reference: record its non-R sites as
+        the branch mutation list and re-express the subtree's cached lists
+        relative to it (reference makeNodeReference :8296-8353)."""
+        tree = self.tree
+        self.num_refs += 1
+        if old_value:
+            p = tree.up[node]
+            while p is not None:
+                tree.nDesc[p] -= old_value
+                if tree.mutations[p]:
+                    break
+                p = tree.up[p]
+        pos = 0
+        muts = tree.mutations[node]
+        for entry in tree.probVect[node]:
+            if entry[0] < 4:
+                pos += 1
+                muts.append((pos, entry[1], entry[0]))
+            elif entry[0] == TYPE_O:
+                pos += 1
+            else:
+                pos = entry[1]
+        lRef = self.refd.lRef
+        tree.probVect[node] = gl.pass_through_branch(
+            lRef, tree.probVect[node], muts)
+        self.shorten(tree.probVect[node])
+        if tree.dist[node] and tree.up[node] is not None:
+            tree.probVectTotUp[node] = gl.pass_through_branch(
+                lRef, tree.probVectTotUp[node], muts)
+            self.shorten(tree.probVectTotUp[node])
+        tree.probVectUpRight[node] = gl.pass_through_branch(
+            lRef, tree.probVectUpRight[node], muts)
+        self.shorten(tree.probVectUpRight[node])
+        tree.probVectUpLeft[node] = gl.pass_through_branch(
+            lRef, tree.probVectUpLeft[node], muts)
+        self.shorten(tree.probVectUpLeft[node])
+        stack = [tree.children[node][0], tree.children[node][1]]
+        while stack:
+            n = stack.pop()
+            if tree.mutations[n]:
+                tree.mutations[n] = self.merge_mutation_lists(
+                    muts, tree.mutations[n], downward=True)
+            else:
+                tree.probVect[n] = gl.pass_through_branch(
+                    lRef, tree.probVect[n], muts)
+                self.shorten(tree.probVect[n])
+                if tree.dist[n]:
+                    tree.probVectTotUp[n] = gl.pass_through_branch(
+                        lRef, tree.probVectTotUp[n], muts)
+                    self.shorten(tree.probVectTotUp[n])
+                if tree.children[n]:
+                    tree.probVectUpRight[n] = gl.pass_through_branch(
+                        lRef, tree.probVectUpRight[n], muts)
+                    self.shorten(tree.probVectUpRight[n])
+                    tree.probVectUpLeft[n] = gl.pass_through_branch(
+                        lRef, tree.probVectUpLeft[n], muts)
+                    self.shorten(tree.probVectUpLeft[n])
+                    stack.append(tree.children[n][0])
+                    stack.append(tree.children[n][1])
+
+    # ------------------------------------------------------------------
+    def calculate_tree_likelihood(self, root: int, separate: bool = False):
+        """Full-tree log-likelihood: post-order merges with LK plus root
+        contribution (reference calculateTreeLikelihood :9721-9779)."""
+        tree = self.tree
+        ctx = self.ctx()
+        node = root
+        last_node = None
+        direction = 0
+        total = 0.0
+        total_hnz = 0.0
+        children = tree.children
+        while node is not None:
+            if direction == 0:
+                if children[node]:
+                    node = children[node][0]
+                else:
+                    last_node = node
+                    node = tree.up[node]
+                    direction = 1
+            else:
+                if last_node == children[node][0]:
+                    node = children[node][1]
+                    direction = 0
+                else:
+                    c0, c1 = children[node]
+                    v0 = self.pass_up(tree.probVect[c0], c0)
+                    v1 = self.pass_up(tree.probVect[c1], c1)
+                    _, lk = K.merge_vectors(
+                        ctx, v0, tree.dist[c0], tree.is_tip(c0),
+                        v1, tree.dist[c1], tree.is_tip(c1),
+                        return_lk=True,
+                        n_minor1=len(tree.minorSequences[c0]),
+                        n_minor2=len(tree.minorSequences[c1]))
+                    total += lk
+                    if tree.use_hnz and (tree.dist[node]
+                                         > self.dc.effectivelyNon0BLen
+                                         or tree.up[node] is None):
+                        from ..models.hnz import get_hnz
+                        total_hnz += get_hnz(self.cfg.HnZ,
+                                             tree.nDesc0[node])
+                    last_node = node
+                    node = tree.up[node]
+                    direction = 1
+        total += self.find_prob_root(tree.probVect[root], node=root)
+        if separate:
+            return total, total_hnz
+        return total + total_hnz
+
+    # ------------------------------------------------------------------
+    def recalculate_all(self, root: int, count_nodes: bool = False,
+                        count_pseudo_counts: bool = False,
+                        pseudo_mut_counts=None, data=None, names=None,
+                        first_setup: bool = False):
+        """Two-pass full recompute of all cached genome lists; with
+        ``first_setup`` also builds tips from raw data, collapses minor
+        sequences, and initializes the MAT (reference
+        reCalculateAllGenomeLists :6013-6347)."""
+        tree = self.tree
+        ctx = self.ctx()
+        dc = self.dc
+        children = tree.children
+        up = tree.up
+        dist = tree.dist
+        probVect = tree.probVect
+        if first_setup:
+            tree.isRef = [False] * len(up)
+        # ---- pass 1: lower vectors (post-order) ----
+        node = root
+        last_node = None
+        direction = 0
+        data_names_converted = False
+        while node is not None:
+            if direction == 0:
+                if children[node]:
+                    node = children[node][0]
+                    continue
+                if first_setup:
+                    if data is None:
+                        raise ValueError("first_setup requires sample data")
+                    key = names[tree.name[node]]
+                    if key not in data and not data_names_converted:
+                        for name_in in list(data.keys()):
+                            new_name = name_in.replace("?", "_").replace(
+                                "&", "_")
+                            if new_name != name_in:
+                                data[new_name] = data[name_in]
+                        data_names_converted = True
+                    if key not in data:
+                        raise ValueError(
+                            f"sample {key!r} has no sequence data")
+                    probVect[node] = self.terminal_vector(data[key],
+                                                          node=node)
+                    # try collapsing minor sequences from an input tree
+                    node = self._collapse_minor_on_setup(node)
+                if (not self.cfg.onlyNambiguities) \
+                        and self.model.using_error_rate:
+                    self.update_terminal_vector_errors(
+                        probVect[node], len(tree.minorSequences[node]))
+                if count_nodes:
+                    self._count_node(node)
+                last_node = node
+                node = up[node]
+                direction = 1
+            else:
+                if last_node == children[node][0]:
+                    node = children[node][1]
+                    direction = 0
+                else:
+                    if first_setup:
+                        c0, c1 = children[node]
+                        if children[c0] and not tree.isRef[c0]:
+                            tree.nDesc[node] += tree.nDesc[c0]
+                        if children[c1] and not tree.isRef[c1]:
+                            tree.nDesc[node] += tree.nDesc[c1]
+                        # NOTE: the reference tests dist[children[0]] twice
+                        # here (:6160-6163); reproduced for parity.
+                        if dist[c0]:
+                            tree.nDesc[node] += 1
+                        if dist[c0]:
+                            tree.nDesc[node] += 1
+                        if tree.nDesc[node] >= \
+                                self.cfg.maxNumDescendantsForMATClade \
+                                and dist[node]:
+                            tree.nDesc[node] = 0
+                            tree.isRef[node] = True
+                    c0, c1 = children[node]
+                    is_tip0 = tree.is_tip(c0)
+                    is_tip1 = tree.is_tip(c1)
+                    v0 = self.pass_up(probVect[c0], c0)
+                    v1 = self.pass_up(probVect[c1], c1)
+                    new_lower = K.merge_vectors(
+                        ctx, v0, dist[c0], is_tip0, v1, dist[c1], is_tip1)
+                    if new_lower is None:
+                        if (not dist[c0]) and (not dist[c1]):
+                            if first_setup:
+                                dist[c0] = dc.oneMutBLen / 2
+                                dist[c1] = dc.oneMutBLen / 2
+                            else:
+                                self.update_blen(c0)
+                                if not dist[c0]:
+                                    self.update_blen(c1)
+                            probVect[node] = K.merge_vectors(
+                                ctx, v0, dist[c0], is_tip0, v1, dist[c1],
+                                is_tip1)
+                            if probVect[node] is None:
+                                dist[c0] = dc.oneMutBLen / 2
+                                dist[c1] = dc.oneMutBLen / 2
+                                probVect[node] = K.merge_vectors(
+                                    ctx, v0, dist[c0], is_tip0, v1,
+                                    dist[c1], is_tip1)
+                                if probVect[node] is None:
+                                    raise RuntimeError(
+                                        "unresolvable merge in "
+                                        "recalculate_all")
+                        else:
+                            raise RuntimeError(
+                                "inconsistent lower list with non-zero "
+                                "distances in recalculate_all")
+                    else:
+                        probVect[node] = new_lower
+                        self.shorten(probVect[node])
+                    if count_nodes:
+                        self._count_node(node)
+                    last_node = node
+                    node = up[node]
+                    direction = 1
+
+        if first_setup and self.use_local_reference:
+            self.setup_mat(root)
+
+        # ---- pass 2: upper/total vectors (pre-order) ----
+        if not children[root]:
+            return
+        rc0, rc1 = children[root]
+        tree.probVectUpRight[root] = self.root_vector(
+            self.pass_up(probVect[rc1], rc1), dist[rc1],
+            tree.is_tip(rc1), root)
+        tree.probVectUpLeft[root] = self.root_vector(
+            self.pass_up(probVect[rc0], rc0), dist[rc0],
+            tree.is_tip(rc0), root)
+        tot_node_list = []
+        node = children[root][0]
+        last_node = None
+        direction = 0
+        while node is not None:
+            if direction == 0:
+                node_child_num = tree.child_index(node)
+                vect_up = tree.probVectUpRight[up[node]] if \
+                    node_child_num == 0 else tree.probVectUpLeft[up[node]]
+                vect_up = self.pass_down(vect_up, node)
+                if dist[node]:
+                    is_tip = tree.is_tip(node)
+                    if count_pseudo_counts:
+                        K.update_pseudo_counts(self.refd.lRef, vect_up,
+                                               probVect[node],
+                                               pseudo_mut_counts)
+                    new_vect = K.merge_vectors(
+                        ctx, vect_up, dist[node] / 2, False, probVect[node],
+                        dist[node] / 2, is_tip, is_up_down=True)
+                    self.shorten(new_vect)
+                    tree.probVectTotUp[node] = new_vect
+                else:
+                    tree.probVectTotUp[node] = None
+                if children[node]:
+                    c0, c1 = children[node]
+                    is_tip0 = tree.is_tip(c0)
+                    is_tip1 = tree.is_tip(c1)
+                    v0 = self.pass_up(probVect[c0], c0)
+                    v1 = self.pass_up(probVect[c1], c1)
+                    new_up_right = K.merge_vectors(
+                        ctx, vect_up, dist[node], False, v1, dist[c1],
+                        is_tip1, is_up_down=True)
+                    if new_up_right is None:
+                        if (not dist[c1]) and (not dist[node]):
+                            self.update_blen(node)
+                            if not dist[node]:
+                                if first_setup:
+                                    tree.probVectUpLeft[node] = \
+                                        K.merge_vectors(
+                                            ctx, vect_up, dist[node], False,
+                                            v0, dist[c0], is_tip0,
+                                            is_up_down=True)
+                                self.update_blen(c1)
+                                tot_node_list.append((node, 1, True, False))
+                            else:
+                                tree.probVectTotUp[node] = K.merge_vectors(
+                                    ctx, vect_up, dist[node] / 2, False,
+                                    probVect[node], dist[node] / 2, False,
+                                    is_up_down=True)
+                                tot_node_list.append(
+                                    (up[node], node_child_num, True, False))
+                            tree.probVectUpRight[node] = K.merge_vectors(
+                                ctx, vect_up, dist[node], False, v1,
+                                dist[c1], is_tip1, is_up_down=True)
+                        else:
+                            raise RuntimeError(
+                                "inconsistent upRight list in "
+                                "recalculate_all")
+                    else:
+                        self.shorten(new_up_right)
+                        tree.probVectUpRight[node] = new_up_right
+                    new_up_left = K.merge_vectors(
+                        ctx, vect_up, dist[node], False, v0, dist[c0],
+                        is_tip0, is_up_down=True)
+                    if new_up_left is None:
+                        if (not dist[c0]) and (not dist[node]):
+                            self.update_blen(c0)
+                            if not dist[c0]:
+                                self.update_blen(node)
+                                tot_node_list.append(
+                                    (up[node], node_child_num, True, False))
+                                tree.probVectTotUp[node] = K.merge_vectors(
+                                    ctx, vect_up, dist[node] / 2, False,
+                                    probVect[node], dist[node] / 2,
+                                    tree.is_tip(node), is_up_down=True)
+                                tree.probVectUpRight[node] = K.merge_vectors(
+                                    ctx, vect_up, dist[node], False, v1,
+                                    dist[c1], is_tip1, is_up_down=True)
+                            else:
+                                tot_node_list.append((node, 0, True, False))
+                            tree.probVectUpLeft[node] = K.merge_vectors(
+                                ctx, vect_up, dist[node], False, v0,
+                                dist[c0], is_tip0, is_up_down=True)
+                        else:
+                            raise RuntimeError(
+                                "inconsistent upLeft list in recalculate_all")
+                    else:
+                        self.shorten(new_up_left)
+                        tree.probVectUpLeft[node] = new_up_left
+                    node = children[node][0]
+                else:
+                    last_node = node
+                    node = up[node]
+                    direction = 1
+            else:
+                if last_node == children[node][0]:
+                    node = children[node][1]
+                    direction = 0
+                else:
+                    last_node = node
+                    node = up[node]
+                    direction = 1
+        self.update_partials(tot_node_list)
+
+    def _count_node(self, node):
+        stats = self.num_nodes_stats
+        stats[0] += 1
+        for entry in self.tree.probVect[node]:
+            if entry[0] < 4:
+                stats[1] += 1
+            elif entry[0] == TYPE_R:
+                stats[2] += 1
+            elif entry[0] == TYPE_N:
+                stats[3] += 1
+            else:
+                stats[4] += 1
+        stats[5] += len(self.tree.mutations[node])
+
+    def _collapse_minor_on_setup(self, node: int) -> int:
+        """On first setup, collapse a tip into its sibling when one is
+        (weakly) less informative (reference :6077-6127).  Returns the node
+        id to continue traversal from."""
+        tree = self.tree
+        cfg = self.cfg
+        only_identical = (bool(cfg.errorRateSiteSpecificFile)
+                          or bool(cfg.errorRateFixed)
+                          or cfg.estimateErrorRate
+                          or cfg.estimateSiteSpecificErrorRate
+                          or cfg.supportFor0Branches or bool(cfg.HnZ))
+        while True:
+            if tree.up[node] is None:
+                return node
+            if tree.children[tree.up[node]][1] != node or tree.dist[node]:
+                return node
+            sibling = tree.children[tree.up[node]][0]
+            if tree.dist[sibling] or tree.children[sibling]:
+                return node
+            comparison = K.is_minor_sequence(
+                self.refd.lRef, tree.probVect[node], tree.probVect[sibling],
+                only_find_identical=only_identical)
+            if comparison == 1:
+                major, minor_n = node, sibling
+            elif comparison == 2:
+                major, minor_n = sibling, node
+            else:
+                return node
+            self.num_minors_removed += 1
+            tree.minorSequences[major].append(tree.name[minor_n])
+            tree.minorSequences[major].extend(tree.minorSequences[minor_n])
+            tree.probVect[minor_n] = None
+            parent = tree.up[major]
+            tree.up[major] = tree.up[parent]
+            tree.dist[major] = tree.dist[parent]
+            if tree.up[major] is not None:
+                pc = tree.children[tree.up[major]]
+                if pc[0] == parent:
+                    pc[0] = major
+                else:
+                    pc[1] = major
+            tree.children[parent] = None
+            node = major
+
+    # ------------------------------------------------------------------
+    def setup_mat(self, root: int):
+        """Initialize MAT local references on an input tree: nodes flagged
+        ``isRef`` get a mutation list of their non-reference sites and all
+        lists below are re-expressed relative to them (reference setUpMAT
+        :4148-4391)."""
+        tree = self.tree
+        lRef = self.refd.lRef
+        ref_indices = self.refd.ref_indices
+        node = root
+        last_node = None
+        direction = 0
+        mutations_added = []  # (pos, nuc) pairs: current frame vs global ref
+        stack_added = []      # saved mutations_added per ref ancestor
+        while node is not None:
+            if direction == 0:
+                new_prob_vect = []
+                is_ref = tree.isRef[node]
+                if is_ref:
+                    new_mutations_added = []
+                    self.num_refs += 1
+                prob_vect = tree.probVect[node]
+                ind_prob = 0
+                last_pos = 0
+                entry = prob_vect[0]
+                pos_entry = entry[1] if entry[0] in (TYPE_R, TYPE_N) else 1
+                muts1 = mutations_added
+                ind_mut = 0
+                if muts1:
+                    mut = muts1[0]
+                    pos_mut = mut[0]
+                else:
+                    mut = None
+                    pos_mut = lRef + 1
+                node_muts = tree.mutations[node]
+                while True:
+                    if pos_entry < pos_mut:
+                        if entry[0] < 4 and is_ref:
+                            new_mutations_added.append((pos_entry, entry[0]))
+                            node_muts.append((pos_entry, entry[1], entry[0]))
+                            new_prob_vect.append((TYPE_R, pos_entry)
+                                                 + entry[2:])
+                        else:
+                            new_prob_vect.append(entry)
+                        if pos_entry == lRef:
+                            break
+                        last_pos = pos_entry
+                        ind_prob += 1
+                        entry = prob_vect[ind_prob]
+                        pos_entry = entry[1] if entry[0] in (TYPE_R, TYPE_N) \
+                            else pos_entry + 1
+                    elif pos_entry > pos_mut:
+                        if entry[0] == TYPE_R and is_ref:
+                            node_muts.append((pos_mut, mut[1],
+                                              ref_indices[pos_mut - 1]))
+                        elif entry[0] == TYPE_R:
+                            if (pos_mut - 1) > last_pos:
+                                new_prob_vect.append((TYPE_R, pos_mut - 1)
+                                                     + entry[2:])
+                            new_prob_vect.append(
+                                (ref_indices[pos_mut - 1], mut[1])
+                                + entry[2:])
+                            last_pos = pos_mut
+                        elif is_ref:
+                            new_mutations_added.append(mut)
+                        ind_mut += 1
+                        if ind_mut < len(muts1):
+                            mut = muts1[ind_mut]
+                            pos_mut = mut[0]
+                        else:
+                            mut = None
+                            pos_mut = lRef + 1
+                    else:  # pos_entry == pos_mut
+                        if entry[0] == TYPE_O:
+                            new_prob_vect.append((TYPE_O, mut[1])
+                                                 + entry[2:])
+                            if is_ref:
+                                new_mutations_added.append(mut)
+                        elif entry[0] == TYPE_N:
+                            new_prob_vect.append(entry)
+                            if is_ref:
+                                new_mutations_added.append(mut)
+                        elif entry[0] == mut[1]:
+                            new_prob_vect.append((TYPE_R, pos_entry)
+                                                 + entry[2:])
+                            if is_ref:
+                                new_mutations_added.append(mut)
+                        else:
+                            if entry[0] == TYPE_R and is_ref:
+                                new_prob_vect.append(entry)
+                                node_muts.append((pos_mut, mut[1],
+                                                  ref_indices[pos_mut - 1]))
+                            elif entry[0] == TYPE_R:
+                                if (pos_mut - 1) > last_pos:
+                                    new_prob_vect.append(
+                                        (TYPE_R, pos_mut - 1) + entry[2:])
+                                new_prob_vect.append(
+                                    (ref_indices[pos_mut - 1], mut[1])
+                                    + entry[2:])
+                            else:
+                                if is_ref:
+                                    new_prob_vect.append((TYPE_R, pos_mut)
+                                                         + entry[2:])
+                                    new_mutations_added.append(
+                                        (pos_mut, entry[0]))
+                                    node_muts.append((pos_mut, mut[1],
+                                                      entry[0]))
+                                else:
+                                    new_prob_vect.append((entry[0], mut[1])
+                                                         + entry[2:])
+                        ind_mut += 1
+                        last_pos = pos_mut
+                        if ind_mut < len(muts1):
+                            mut = muts1[ind_mut]
+                            pos_mut = mut[0]
+                        else:
+                            mut = None
+                            pos_mut = lRef + 1
+                        if pos_entry == lRef:
+                            break
+                        ind_prob += 1
+                        entry = prob_vect[ind_prob]
+                        pos_entry = entry[1] if entry[0] in (TYPE_R, TYPE_N) \
+                            else pos_entry + 1
+                self.shorten(new_prob_vect)
+                tree.probVect[node] = new_prob_vect
+                if tree.children[node]:
+                    if is_ref:
+                        mutations_added = new_mutations_added
+                    node = tree.children[node][0]
+                else:
+                    last_node = node
+                    node = tree.up[node]
+                    direction = 1
+            else:
+                if last_node == tree.children[node][0]:
+                    node = tree.children[node][1]
+                    direction = 0
+                else:
+                    if tree.isRef[node]:
+                        # remove this node's mutations from mutations_added
+                        new_added = []
+                        im = 0
+                        ia = 0
+                        node_muts = tree.mutations[node]
+                        mut = node_muts[0] if node_muts else None
+                        pos_mut = mut[0] if mut else lRef + 1
+                        added = mutations_added[0] if mutations_added else None
+                        pos_added = added[0] if added else lRef + 1
+                        while pos_added <= lRef or pos_mut <= lRef:
+                            if pos_mut < pos_added:
+                                new_added.append((pos_mut, mut[1]))
+                                im += 1
+                                if im < len(node_muts):
+                                    mut = node_muts[im]
+                                    pos_mut = mut[0]
+                                else:
+                                    mut = None
+                                    pos_mut = lRef + 1
+                            elif pos_mut > pos_added:
+                                new_added.append(added)
+                                ia += 1
+                                if ia < len(mutations_added):
+                                    added = mutations_added[ia]
+                                    pos_added = added[0]
+                                else:
+                                    added = None
+                                    pos_added = lRef + 1
+                            else:
+                                if mut[1] != ref_indices[pos_mut - 1]:
+                                    new_added.append((pos_mut, mut[1]))
+                                im += 1
+                                if im < len(node_muts):
+                                    mut = node_muts[im]
+                                    pos_mut = mut[0]
+                                else:
+                                    mut = None
+                                    pos_mut = lRef + 1
+                                ia += 1
+                                if ia < len(mutations_added):
+                                    added = mutations_added[ia]
+                                    pos_added = added[0]
+                                else:
+                                    added = None
+                                    pos_added = lRef + 1
+                        mutations_added = new_added
+                    last_node = node
+                    node = tree.up[node]
+                    direction = 1
+
+
+def num_non4(prob_vect) -> int:
+    """Number of concrete non-reference nucleotides in a genome list
+    (reference numNon4 :8357-8363)."""
+    return sum(1 for e in prob_vect if e[0] < 4)

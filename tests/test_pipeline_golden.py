@@ -1,0 +1,35 @@
+"""End-to-end golden parity: the de-novo pipeline must reproduce the
+reference's output files byte-for-byte on the example alignment."""
+import os
+
+import pytest
+
+from maple_tpu.config import MapleConfig
+from maple_tpu.pipeline import run_inference
+
+EXAMPLE = "/root/reference/example_files/MAPLE_alignment_example.txt"
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _compare(out_prefix, golden_prefix, parts=("_tree.tree", "_subs.txt",
+                                               "_LK.txt")):
+    for part in parts:
+        with open(out_prefix + part) as f:
+            mine = f.read()
+        with open(golden_prefix + part) as f:
+            golden = f.read()
+        assert mine == golden, f"{part} differs from golden"
+
+
+@pytest.mark.parametrize("model", ["GTR", "UNREST"])
+def test_denovo_placement_only_golden(tmp_path, model):
+    golden = os.path.join(GOLDEN_DIR,
+                          f"example_{model.lower()}_placeonly")
+    if not os.path.isfile(golden + "_tree.tree"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model=model,
+                      doNotReroot=True, numTopologyImprovements=0,
+                      noFastTopologyInitialSearch=True, overwrite=True)
+    run_inference(cfg)
+    _compare(out, golden)
