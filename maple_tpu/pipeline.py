@@ -237,7 +237,8 @@ class Run:
         if not cfg.doNotReroot:
             from .search.rootsearch import find_best_root
             print("Looking for possible better root", flush=True)
-            new_t1 = find_best_root(self.rt, self.root)
+            new_t1 = find_best_root(self.rt, self.root,
+                                    abayes_on=cfg.SPRTA)
             if new_t1 != self.root:
                 self.root = new_t1
                 self._after_reroot()
@@ -286,7 +287,7 @@ class Run:
             rt.recalculate_all(t1)
         from .search.rootsearch import find_best_root
         print("Looking a second time for possible better root", flush=True)
-        new_t1 = find_best_root(rt, t1)
+        new_t1 = find_best_root(rt, t1, abayes_on=cfg.SPRTA)
         if new_t1 != t1:
             self.root = new_t1
             rt.recalculate_all(self.root)

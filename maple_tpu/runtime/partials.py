@@ -499,6 +499,51 @@ class TreeRuntime:
                 break
         return out
 
+    def traverse_tree_to_update_mutation_list(self, appended_node: int,
+                                              node: int):
+        """Rebuild appended_node's MAT mutation list after an SPR move by
+        composing branch lists up to the MRCA of (appended_node, node) and
+        back down (reference traverseTreeToUpdateMutationList :4396-4439)."""
+        tree = self.tree
+        up = tree.up
+        mutations = tree.mutations
+        depth_app = 0
+        p = up[appended_node]
+        while p is not None:
+            p = up[p]
+            depth_app += 1
+        depth = 0
+        p = up[node]
+        while p is not None:
+            p = up[p]
+            depth += 1
+        node_list = [node]
+        p_node = node
+        p_app = appended_node
+        while depth_app > depth:
+            p_app = up[p_app]
+            depth_app -= 1
+        while depth_app < depth:
+            p_node = up[p_node]
+            node_list.append(p_node)
+            depth -= 1
+        while p_app != p_node:
+            p_node = up[p_node]
+            node_list.append(p_node)
+            p_app = up[p_app]
+        node_list.pop()
+        p_app = up[appended_node]
+        while p_app != p_node:  # p_node is now the MRCA
+            if mutations[p_app]:
+                mutations[appended_node] = self.merge_mutation_lists(
+                    mutations[p_app], mutations[appended_node])
+            p_app = up[p_app]
+        while node_list:
+            n = node_list.pop()
+            if mutations[n]:
+                mutations[appended_node] = self.merge_mutation_lists(
+                    mutations[n], mutations[appended_node], downward=True)
+
     def make_node_reference(self, node: int, old_value: int = 0):
         """Promote a node to a MAT local reference: record its non-R sites as
         the branch mutation list and re-express the subtree's cached lists

@@ -33,3 +33,35 @@ def test_denovo_placement_only_golden(tmp_path, model):
                       noFastTopologyInitialSearch=True, overwrite=True)
     run_inference(cfg)
     _compare(out, golden)
+
+
+def test_denovo_full_default_golden(tmp_path):
+    """Full default config: root search + fast initial SPR round + deep SPR
+    round; every output file including intermediate round trees must match."""
+    golden = os.path.join(GOLDEN_DIR, "example_gtr")
+    if not os.path.isfile(golden + "_tree.tree"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR", overwrite=True)
+    run_inference(cfg)
+    _compare(out, golden, parts=(
+        "_tree.tree", "_subs.txt", "_LK.txt",
+        "_round1_preliminary_tree.tree",
+        "_round1_subround1_preliminary_tree.tree", "_round1_LK.txt",
+        "_round1_subs.txt", "_round1_tree.tree",
+        "_round2_preliminary_tree.tree",
+        "_round2_subround1_preliminary_tree.tree"))
+
+
+def test_denovo_sprta_mat_golden(tmp_path):
+    """SPRTA supports + MAT estimation: nexus annotations and metadata TSV
+    must match byte-for-byte."""
+    golden = os.path.join(GOLDEN_DIR, "example_sprta")
+    if not os.path.isfile(golden + "_nexusTree.tree"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR", SPRTA=True,
+                      estimateMAT=True, overwrite=True)
+    run_inference(cfg)
+    _compare(out, golden, parts=("_tree.tree", "_subs.txt", "_LK.txt",
+                                 "_nexusTree.tree", "_metaData.tsv"))
