@@ -1,0 +1,239 @@
+"""Batched placement-score kernel (TPU compute path).
+
+Computes the appendProbNode likelihood cost of attaching one (or many) query
+genome lists below many candidate upper vectors in a single XLA call — the
+reference scores candidates one at a time in a Python DFS
+(MAPLEv0.7.5.4.py:8050); here the candidate axis is the batch axis, which is
+what maps this workload onto the TPU's vector units.
+
+Algorithm: interval algebra instead of two-pointer merges.  Both operands'
+entry end-positions are merged into the union breakpoint set (jnp.sort), each
+union segment gathers its covering entry from either side (rank-by-counting
+instead of searchsorted — dense comparisons vectorize better on the VPU), and
+the {R,N,O,nuc}x{R,N,O,nuc} case matrix is applied as vectorized selects.
+Only single-position segments contribute factors (R/R runs and N regions
+carry no relative information), so per-segment math is pure 4-vector algebra.
+
+Numerics note: the host kernels accumulate a running product with carry
+rescue; this kernel sums log-factors directly.  Equally exact mathematics,
+different rounding order — the host path remains the byte-parity reference.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .pack import PackedBatch, TYPE_N, TYPE_O, TYPE_PAD, TYPE_R
+
+
+class DeviceModel(NamedTuple):
+    """Device-resident model state for the batched kernels."""
+
+    mut_matrix: jax.Array      # [4,4] normalized rates
+    root_freqs: jax.Array      # [4]
+    site_rates: jax.Array      # [lRef] (ones when rate variation is off)
+    error_rates: jax.Array     # [lRef] (zeros when error model is off)
+    global_tot_rate: jax.Array  # scalar (-lRef)
+    tot_error: jax.Array       # scalar
+    use_rate_variation: bool   # static
+    using_error_rate: bool     # static
+
+
+def device_model_from(model, dc, dtype=jnp.float32) -> DeviceModel:
+    lRef = model.refd.lRef
+    site_rates = np.ones(lRef) if model.site_rates is None \
+        else np.asarray(model.site_rates)
+    error_rates = np.zeros(lRef)
+    if model.using_error_rate:
+        if model.error_rates is not None:
+            error_rates = np.asarray(model.error_rates)
+        else:
+            error_rates = np.full(lRef, model.error_rate)
+    return DeviceModel(
+        mut_matrix=jnp.asarray(model.mut_matrix, dtype=dtype),
+        root_freqs=jnp.asarray(model.refd.root_freqs, dtype=dtype),
+        site_rates=jnp.asarray(site_rates, dtype=dtype),
+        error_rates=jnp.asarray(error_rates, dtype=dtype),
+        global_tot_rate=jnp.asarray(dc.globalTotRate, dtype=dtype),
+        tot_error=jnp.asarray(model.tot_error or 0.0, dtype=dtype),
+        use_rate_variation=model.use_rate_variation,
+        using_error_rate=model.using_error_rate,
+    )
+
+
+def to_device(p: PackedBatch, dtype=jnp.float32):
+    return {
+        "types": jnp.asarray(p.types),
+        "ends": jnp.asarray(p.ends),
+        "vals": jnp.asarray(p.vals),
+        "bl1": jnp.asarray(p.bl1, dtype=dtype),
+        "bl2": jnp.asarray(p.bl2, dtype=dtype),
+        "has_bl1": jnp.asarray(p.has_bl1),
+        "has_bl2": jnp.asarray(p.has_bl2),
+        "flags": jnp.asarray(p.flags),
+        "probs": jnp.asarray(p.probs, dtype=dtype),
+    }
+
+
+def _evolve_o_down(v, t, mm):
+    """v + t*(M @ v) with uniform-collapse on negative components
+    (reference getPartialVec O branch :4088-4111)."""
+    out = v + t[..., None] * jnp.einsum("...ij,...j->...i", mm, v)
+    bad = jnp.any(out < 0, axis=-1, keepdims=True)
+    return jnp.where(bad, 0.25, out)
+
+
+def _evolve_nuc_down(i, t, mm, eps, flag):
+    """One-hot (or error-emission) vector evolved down a branch of length t
+    (reference getPartialVec nuc branches :4112-4141)."""
+    h = jax.nn.one_hot(i, 4, dtype=mm.dtype)
+    e3 = 0.33333 * eps[..., None]
+    base = jnp.where(flag[..., None],
+                     h * (1.0 - eps[..., None] - e3) + e3,
+                     h)
+    out = base + t[..., None] * jnp.einsum("...ij,...j->...i", mm, base)
+    # with flag off and t contribution, reference skips the M@h product for
+    # the one-hot case but the result is identical: M[:,i]*t + h
+    bad = jnp.any(out < 0, axis=-1, keepdims=True)
+    return jnp.where(bad, 0.25, out)
+
+
+def _take(arr, idx):
+    return jnp.take_along_axis(arr, idx, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("uer",))
+def _append_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
+                        error_rates, global_tot_rate, tot_error, uer):
+    """P fields: [N, B1]; C fields: [B2] (single query) — scores [N]."""
+    N, B1 = P["types"].shape
+    B2 = C["types"].shape[-1]
+    dtype = mm.dtype
+    endsP = P["ends"]
+    endsC = jnp.broadcast_to(C["ends"], (N, B2))
+    E = jnp.sort(jnp.concatenate([endsP, endsC], axis=-1), axis=-1)  # [N,S]
+    prev = jnp.concatenate([jnp.zeros((N, 1), dtype=E.dtype),
+                            E[:, :-1]], axis=-1)
+    seg_valid = E > prev
+
+    # covering entry index: first entry whose end >= segment end
+    idxP = jnp.sum((endsP[:, None, :] < E[:, :, None]), axis=-1)  # [N,S]
+    idxC = jnp.sum((C["ends"][None, None, :] < E[:, :, None]), axis=-1)
+    idxP = jnp.minimum(idxP, B1 - 1)
+    idxC = jnp.minimum(idxC, B2 - 1)
+
+    cP = _take(P["types"], idxP)
+    cC = jnp.take(C["types"], idxC)
+    valP = _take(P["vals"], idxP)
+    valC = jnp.take(C["vals"], idxC)
+    blP1 = _take(P["bl1"], idxP)
+    blP2 = _take(P["bl2"], idxP)
+    hasP1 = _take(P["has_bl1"], idxP)
+    hasP2 = _take(P["has_bl2"], idxP)
+    flagP = _take(P["flags"], idxP)
+    blC1 = jnp.take(C["bl1"], idxC)
+    hasC1 = jnp.take(C["has_bl1"], idxC)
+    flagC = jnp.take(C["flags"], idxC)
+    probsP = jnp.take_along_axis(P["probs"], idxP[..., None], axis=1)
+    probsC = jnp.take(C["probs"], idxC, axis=0)
+
+    is_nucP = cP < 4
+    is_nucC = cC < 4
+    contributes = seg_valid \
+        & (cP != TYPE_N) & (cC != TYPE_N) \
+        & (cP != TYPE_PAD) & (cC != TYPE_PAD) \
+        & ~((cP == TYPE_R) & (cC == TYPE_R)) \
+        & ~(is_nucP & (cP == cC))
+
+    # per-position model state (contributing segments span one position)
+    pos = jnp.maximum(E - 1, 0)
+    rate = jnp.take(site_rates, pos)
+    mm_seg = rate[..., None, None] * mm  # [N,S,4,4]
+    eps = jnp.take(error_rates, pos) if uer \
+        else jnp.zeros_like(rate)
+
+    # total fixed branch length between the two observations
+    contrib = blen \
+        + jnp.where(cP == TYPE_O,
+                    jnp.where(hasP1, blP1, 0.0),
+                    jnp.where(hasP2, blP2, jnp.where(hasP1, blP1, 0.0))) \
+        + jnp.where(hasC1, blC1, 0.0)
+    contrib = contrib.astype(dtype)
+
+    refn = jnp.where(cP == TYPE_R, valC, valP).astype(jnp.int32)
+    i1 = jnp.where(is_nucP, cP, refn).astype(jnp.int32)   # P-side nucleotide
+    i2 = jnp.where(is_nucC, cC, refn).astype(jnp.int32)   # C-side nucleotide
+    flagC_eff = uer & (tip_c | flagC)
+    flagP_eff = flagP if uer else jnp.zeros_like(flagP)
+
+    def ev_o_down(v, t):
+        return jnp.where((t > 0)[..., None],
+                         _evolve_o_down(v, t, mm_seg), v)
+
+    def ev_nuc_down(i, t, flag):
+        return _evolve_nuc_down(i, t, mm_seg, eps, flag)
+
+    rf = root_freqs
+    gather4 = lambda v, i: jnp.take_along_axis(v, i[..., None],
+                                               axis=-1)[..., 0]
+    h1 = jax.nn.one_hot(i1, 4, dtype=dtype)
+    h2 = jax.nn.one_hot(i2, 4, dtype=dtype)
+    m_i1_i2 = jnp.einsum("...ij,...i,...j->...", mm_seg, h1, h2)
+
+    evC_O = ev_o_down(probsC, contrib)                      # [N,S,4]
+    evC_nuc = ev_nuc_down(i2, contrib, flagC_eff)           # [N,S,4]
+    evP_root = ev_nuc_down(i1, blP1.astype(dtype), flagP_eff)
+
+    # --- case factors ---
+    # A/F) C is O, P is R or nuc
+    pcs_i1 = gather4(probsC, i1)
+    simple_CO = jnp.where(contrib > 0, gather4(evC_O, i1), pcs_i1)
+    root_CO = jnp.einsum("...i,...i,i->...", evC_O, evP_root, rf) \
+        / jnp.take(rf, i1)
+    f_CO = jnp.where(pcs_i1 > 0.02, pcs_i1,
+                     jnp.where(hasP2, root_CO, simple_CO))
+    # B/E) both concrete nucleotides (incl. R on one side)
+    base_nn = jnp.minimum(0.25, m_i1_i2 * contrib)
+    flag_bonus = (flagP_eff.astype(dtype) * (cP != TYPE_R)
+                  + flagC_eff.astype(dtype)) * 0.33333 * eps
+    plain_nn = base_nn + flag_bonus
+    # for the R-parent case the reference adds only the child-side flag
+    plain_rn = base_nn + flagC_eff.astype(dtype) * 0.33333 * eps
+    root_nn = jnp.einsum("...i,...i,i->...", evC_nuc, evP_root, rf) \
+        / jnp.take(rf, i1)
+    f_nn = jnp.where(hasP2, root_nn,
+                     jnp.where(cP == TYPE_R, plain_rn, plain_nn))
+    # C) both O
+    f_OO = jnp.einsum("...i,...i->...", probsP, evC_O)
+    # D) P is O, C is nuc/R
+    pps_i2 = gather4(probsP, i2)
+    f_On = jnp.where(pps_i2 > 0.02, pps_i2,
+                     jnp.einsum("...i,...i->...", probsP, evC_nuc))
+
+    is_OP = cP == TYPE_O
+    is_OC = cC == TYPE_O
+    f = jnp.where(is_OP & is_OC, f_OO,
+                  jnp.where(is_OP, f_On,
+                            jnp.where(is_OC, f_CO, f_nn)))
+    f = jnp.where(contributes, f, 1.0)
+    log_f = jnp.where(f > 0, jnp.log(jnp.maximum(f, 1e-300)), -jnp.inf)
+    score = blen * global_tot_rate + jnp.sum(log_f, axis=-1)
+    if uer:
+        score = score + jnp.where(tip_c, tot_error, 0.0)
+    return score
+
+
+def batched_append_scores(P: dict, C: dict, blen, tip_c: bool,
+                          dm: DeviceModel):
+    """Scores [N] for appending query C below each of N candidate upper
+    vectors P at distance blen."""
+    dtype = dm.mut_matrix.dtype
+    return _append_scores_impl(
+        P, C, jnp.asarray(blen, dtype=dtype), bool(tip_c), dm.mut_matrix,
+        dm.root_freqs, dm.site_rates, dm.error_rates, dm.global_tot_rate,
+        dm.tot_error, dm.using_error_rate)
