@@ -121,6 +121,9 @@ class MapleConfig:
     device_batch_min: int = 16       # min candidate batch before offloading to device
     entry_budget: int = 256          # padded entries per packed genome list
     use_device_kernels: bool = True  # allow JAX batched scoring
+    device_placement: bool = False   # device-batched initial placement
+    device_warmup: int = 256         # samples placed serially before batching
+    device_batch_size: int = 64      # samples per device-scored batch
 
     # fast-initial-search parameters (reference :220-224): fixed, not flags
     strictTopologyStopRulesInitial: bool = True

