@@ -80,25 +80,26 @@ def to_device(p: PackedBatch, dtype=jnp.float32):
     }
 
 
-def _evolve_o_down(v, t, mm):
+def _evolve_o_down(v, t_eff, mm):
     """v + t*(M @ v) with uniform-collapse on negative components
-    (reference getPartialVec O branch :4088-4111)."""
-    out = v + t[..., None] * jnp.einsum("...ij,...j->...i", mm, v)
+    (reference getPartialVec O branch :4088-4111).  The site rate is folded
+    into ``t_eff`` so M stays the constant 4x4 matrix — avoids
+    materializing [batch, segments, 4, 4] tensors (HBM-bandwidth killers).
+    """
+    out = v + t_eff[..., None] * jnp.einsum("ij,...j->...i", mm, v)
     bad = jnp.any(out < 0, axis=-1, keepdims=True)
     return jnp.where(bad, 0.25, out)
 
 
-def _evolve_nuc_down(i, t, mm, eps, flag):
+def _evolve_nuc_down(h, t_eff, mm, eps, flag):
     """One-hot (or error-emission) vector evolved down a branch of length t
-    (reference getPartialVec nuc branches :4112-4141)."""
-    h = jax.nn.one_hot(i, 4, dtype=mm.dtype)
+    (reference getPartialVec nuc branches :4112-4141); h is the one-hot of
+    the nucleotide, site rate folded into t_eff."""
     e3 = 0.33333 * eps[..., None]
     base = jnp.where(flag[..., None],
                      h * (1.0 - eps[..., None] - e3) + e3,
                      h)
-    out = base + t[..., None] * jnp.einsum("...ij,...j->...i", mm, base)
-    # with flag off and t contribution, reference skips the M@h product for
-    # the one-hot case but the result is identical: M[:,i]*t + h
+    out = base + t_eff[..., None] * jnp.einsum("ij,...j->...i", mm, base)
     bad = jnp.any(out < 0, axis=-1, keepdims=True)
     return jnp.where(bad, 0.25, out)
 
@@ -107,9 +108,8 @@ def _take(arr, idx):
     return jnp.take_along_axis(arr, idx, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("uer",))
-def _append_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
-                        error_rates, global_tot_rate, tot_error, uer):
+def _append_scores_block(P, C, blen, tip_c, mm, root_freqs, site_rates,
+                         error_rates, global_tot_rate, tot_error, uer):
     """P fields: [N, B1]; C fields: [N, B2] (pairwise) — scores [N]."""
     N, B1 = P["types"].shape
     B2 = C["types"].shape[-1]
@@ -121,36 +121,45 @@ def _append_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
                             E[:, :-1]], axis=-1)
     seg_valid = E > prev
 
-    # covering entry index: first entry whose end >= segment end
-    idxP = jnp.sum((endsP[:, None, :] < E[:, :, None]), axis=-1)  # [N,S]
-    idxC = jnp.sum((endsC[:, None, :] < E[:, :, None]), axis=-1)
-    idxP = jnp.minimum(idxP, B1 - 1)
-    idxC = jnp.minimum(idxC, B2 - 1)
+    # Covering-entry "gather" as a one-hot contraction: entry b covers
+    # segment s iff prev_end[b] < E[s] <= end[b].  All per-entry fields are
+    # packed into one [.., B, F] matrix and gathered with a single einsum —
+    # matrix-unit work instead of serialized per-element gathers (the
+    # TPU-native replacement for the reference's two-pointer walk).
+    def field_matrix(X):
+        return jnp.stack([
+            X["types"].astype(dtype), X["vals"].astype(dtype),
+            X["bl1"].astype(dtype), X["bl2"].astype(dtype),
+            X["has_bl1"].astype(dtype), X["has_bl2"].astype(dtype),
+            X["flags"].astype(dtype),
+            X["probs"][..., 0], X["probs"][..., 1],
+            X["probs"][..., 2], X["probs"][..., 3],
+        ], axis=-1)  # [.., B, 11]
 
-    def takeC(field, idx):
-        arr = C[field]
-        if arr.ndim == 1 or (field == "probs" and arr.ndim == 2):
-            if field == "probs":
-                return jnp.take(arr, idx, axis=0)
-            return jnp.take(arr, idx)
-        if field == "probs":
-            return jnp.take_along_axis(arr, idx[..., None], axis=1)
-        return jnp.take_along_axis(arr, idx, axis=-1)
+    def segment_gather(ends, fields, E_):
+        prev_ends = jnp.concatenate(
+            [jnp.zeros_like(ends[..., :1]), ends[..., :-1]], axis=-1)
+        onehot = ((prev_ends[..., None, :] < E_[..., :, None])
+                  & (ends[..., None, :] >= E_[..., :, None]))
+        return jnp.einsum("...sb,...bf->...sf", onehot.astype(dtype),
+                          fields)
 
-    cP = _take(P["types"], idxP)
-    cC = takeC("types", idxC)
-    valP = _take(P["vals"], idxP)
-    valC = takeC("vals", idxC)
-    blP1 = _take(P["bl1"], idxP)
-    blP2 = _take(P["bl2"], idxP)
-    hasP1 = _take(P["has_bl1"], idxP)
-    hasP2 = _take(P["has_bl2"], idxP)
-    flagP = _take(P["flags"], idxP)
-    blC1 = takeC("bl1", idxC)
-    hasC1 = takeC("has_bl1", idxC)
-    flagC = takeC("flags", idxC)
-    probsP = jnp.take_along_axis(P["probs"], idxP[..., None], axis=1)
-    probsC = takeC("probs", idxC)
+    segP = segment_gather(endsP, field_matrix(P), E)      # [N,S,11]
+    CF = field_matrix(C)
+    if C["types"].ndim == 1:
+        segC = segment_gather(C["ends"][None, :],
+                              CF[None, :, :], E)
+    else:
+        segC = segment_gather(endsC, CF, E)
+
+    def unpack(seg):
+        types = seg[..., 0].astype(jnp.int8)
+        vals = seg[..., 1].astype(jnp.int8)
+        return (types, vals, seg[..., 2], seg[..., 3], seg[..., 4] > 0.5,
+                seg[..., 5] > 0.5, seg[..., 6] > 0.5, seg[..., 7:11])
+
+    cP, valP, blP1, blP2, hasP1, hasP2, flagP, probsP = unpack(segP)
+    cC, valC, blC1, _blC2, hasC1, _hasC2, flagC, probsC = unpack(segC)
 
     is_nucP = cP < 4
     is_nucC = cC < 4
@@ -160,10 +169,11 @@ def _append_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
         & ~((cP == TYPE_R) & (cC == TYPE_R)) \
         & ~(is_nucP & (cP == cC))
 
-    # per-position model state (contributing segments span one position)
+    # per-position model state (contributing segments span one position);
+    # the site rate scales the whole matrix, so it is folded into the
+    # branch lengths instead of materializing per-segment 4x4 matrices
     pos = jnp.maximum(E - 1, 0)
     rate = jnp.take(site_rates, pos)
-    mm_seg = rate[..., None, None] * mm  # [N,S,4,4]
     eps = jnp.take(error_rates, pos) if uer \
         else jnp.zeros_like(rate)
 
@@ -183,21 +193,19 @@ def _append_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
 
     def ev_o_down(v, t):
         return jnp.where((t > 0)[..., None],
-                         _evolve_o_down(v, t, mm_seg), v)
-
-    def ev_nuc_down(i, t, flag):
-        return _evolve_nuc_down(i, t, mm_seg, eps, flag)
+                         _evolve_o_down(v, t * rate, mm), v)
 
     rf = root_freqs
     gather4 = lambda v, i: jnp.take_along_axis(v, i[..., None],
                                                axis=-1)[..., 0]
     h1 = jax.nn.one_hot(i1, 4, dtype=dtype)
     h2 = jax.nn.one_hot(i2, 4, dtype=dtype)
-    m_i1_i2 = jnp.einsum("...ij,...i,...j->...", mm_seg, h1, h2)
+    m_i1_i2 = rate * jnp.einsum("ij,...i,...j->...", mm, h1, h2)
 
     evC_O = ev_o_down(probsC, contrib)                      # [N,S,4]
-    evC_nuc = ev_nuc_down(i2, contrib, flagC_eff)           # [N,S,4]
-    evP_root = ev_nuc_down(i1, blP1.astype(dtype), flagP_eff)
+    evC_nuc = _evolve_nuc_down(h2, contrib * rate, mm, eps, flagC_eff)
+    evP_root = _evolve_nuc_down(h1, blP1.astype(dtype) * rate, mm,
+                                eps, flagP_eff)
 
     # --- case factors ---
     # A/F) C is O, P is R or nuc
@@ -238,6 +246,41 @@ def _append_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
     return score
 
 
+_BLOCK = 256
+
+
+@partial(jax.jit, static_argnames=("uer",))
+def _append_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
+                        error_rates, global_tot_rate, tot_error, uer):
+    """Chunked driver: maps the block kernel over row-blocks of N so the
+    one-hot segment-gather intermediates stay within VMEM-friendly sizes."""
+    N = P["types"].shape[0]
+    if N <= _BLOCK:
+        return _append_scores_block(P, C, blen, tip_c, mm, root_freqs,
+                                    site_rates, error_rates,
+                                    global_tot_rate, tot_error, uer)
+    n_blocks = -(-N // _BLOCK)
+    pad = n_blocks * _BLOCK - N
+    def blockify(v):
+        if pad:
+            v = jnp.concatenate(
+                [v, jnp.repeat(v[:1], pad, axis=0)], axis=0)
+        return v.reshape(n_blocks, _BLOCK, *v.shape[1:])
+    Pb = {k: blockify(v) for k, v in P.items()}
+    paired_C = C["types"].ndim > 1
+    Cb = {k: blockify(v) for k, v in C.items()} if paired_C else C
+    def body(args):
+        Pblk, Cblk = args
+        return _append_scores_block(Pblk, Cblk, blen, tip_c, mm,
+                                    root_freqs, site_rates, error_rates,
+                                    global_tot_rate, tot_error, uer)
+    out = jax.lax.map(body, (Pb, Cb) if paired_C
+                      else (Pb, jax.tree.map(
+                          lambda v: jnp.broadcast_to(
+                              v, (n_blocks, *v.shape)), C)))
+    return out.reshape(-1)[:N]
+
+
 def batched_append_scores(P: dict, C: dict, blen, tip_c: bool,
                           dm: DeviceModel):
     """Scores [N] for appending one query C below each of N candidate upper
@@ -262,12 +305,14 @@ def paired_append_scores(P: dict, C: dict, blen, tips, dm: DeviceModel):
 @partial(jax.jit, static_argnames=("uer",))
 def _grid_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
                       error_rates, global_tot_rate, tot_error, uer):
-    """All-pairs scores: P fields [N,B1] x C fields [K,B2] -> [K,N]."""
+    """All-pairs scores: P fields [N,B1] x C fields [K,B2] -> [K,N].
+    Sequential lax.map over queries (each internally row-chunked) keeps
+    peak memory at one block's intermediates."""
     def one(Ck):
-        return _append_scores_impl(
+        return _append_scores_impl.__wrapped__(
             P, Ck, blen, tip_c, mm, root_freqs, site_rates, error_rates,
             global_tot_rate, tot_error, uer)
-    return jax.vmap(one)(C)
+    return jax.lax.map(one, C)
 
 
 def grid_append_scores(P: dict, C: dict, blen, tip_c: bool,

@@ -52,8 +52,68 @@ class Run:
         if cfg.rateVariation and not cfg.inputRates:
             self.model.site_rates = [1.0] * self.refd.lRef
             self.model.refresh_cumulative_rate()
+        if cfg.inputRates:
+            self.read_input_rates(cfg.inputRates)
+        self.init_error_tables(activate=False)
         print(f"Length of reference genome: {self.refd.lRef}; "
               f"{len(data)} samples")
+
+    def read_input_rates(self, path: str):
+        """Pre-estimated model parameters in _subs.txt format (reference
+        :6394-6427)."""
+        cfg = self.cfg
+        with open(path) as f:
+            mat = []
+            for i in range(4):
+                mat.append([float(x) for x in f.readline().split()])
+            self.model.mut_matrix = mat
+            if cfg.rateVariation:
+                line = f.readline()
+                while line and line != "Site rates:\n":
+                    line = f.readline()
+                site_rates = []
+                for i in range(self.refd.lRef):
+                    site_rates.append(float(f.readline().split()[1]))
+                self.model.site_rates = site_rates
+            if cfg.estimateSiteSpecificErrorRate:
+                line = f.readline()
+                while line and line != "Site error rates:\n":
+                    line = f.readline()
+                err = []
+                for i in range(self.refd.lRef):
+                    err.append(float(f.readline().split()[1]))
+                self.model.set_error_rates(sum(err) / self.refd.lRef, err)
+        self.model.refresh_cumulative_rate()
+        print("Read input rates")
+
+    def error_model_requested(self) -> bool:
+        cfg = self.cfg
+        return bool(cfg.errorRateSiteSpecificFile or cfg.errorRateFixed
+                    or cfg.estimateErrorRate
+                    or cfg.estimateSiteSpecificErrorRate)
+
+    def init_error_tables(self, activate: bool):
+        """Install initial error-rate tables per flags (reference
+        :11102-11137); activation (usingErrorRate) is controlled
+        separately."""
+        cfg = self.cfg
+        model = self.model
+        if cfg.errorRateSiteSpecificFile:
+            with open(cfg.errorRateSiteSpecificFile) as f:
+                rates = [float(x) for x in f.readline().split(", ")]
+            if len(rates) != self.refd.lRef:
+                raise ValueError("site error-rate file length mismatch")
+            model.set_error_rates(sum(rates) / self.refd.lRef, rates,
+                                  activate=activate)
+        elif cfg.errorRateFixed:
+            model.set_error_rates(cfg.errorRateFixed, activate=activate)
+        elif cfg.estimateErrorRate:
+            model.set_error_rates(self.dc.errorRateGlobalInitial,
+                                  activate=activate)
+        elif cfg.estimateSiteSpecificErrorRate:
+            rate = self.dc.errorRateGlobalInitial
+            model.set_error_rates(rate, [rate] * self.refd.lRef,
+                                  activate=activate)
 
     def sorted_distances(self, samples_in_tree=frozenset()):
         """Placement order: fewest diffs / least missing data first
@@ -70,21 +130,33 @@ class Run:
 
     # ------------------------------------------------------------------
     def build_initial_tree(self):
-        """Serial stepwise addition (reference :11686-11760)."""
+        """Serial stepwise addition (reference :11686-11760); extends an
+        input tree when one was loaded."""
         cfg = self.cfg
         dc = self.dc
-        distances = self.sorted_distances()
-        first_key, first_sample = distances.pop()
-        self.names_in_tree.append(first_sample)
-        tree = PhyloTree(use_hnz=bool(cfg.HnZ))
-        tree.add_node()
-        tree.name[-1] = 0
-        self.tree = tree
-        self.rt = TreeRuntime(tree, self.refd, self.model, dc, cfg)
-        t1 = 0
-        tree.probVect[0] = self.rt.terminal_vector(self.data[first_sample])
-        self.data[first_sample] = None
-        num_samples = 1
+        if hasattr(self, "rt"):
+            # online mode: place only samples absent from the input tree
+            distances = self.sorted_distances(
+                samples_in_tree=self.samples_in_tree)
+            tree = self.tree
+            t1 = self.root
+            num_samples = len(self.names_in_tree)
+        else:
+            distances = self.sorted_distances()
+            first_key, first_sample = distances.pop()
+            self.names_in_tree.append(first_sample)
+            tree = PhyloTree(use_hnz=bool(cfg.HnZ))
+            tree.add_node()
+            tree.name[-1] = 0
+            self.tree = tree
+            self.rt = TreeRuntime(tree, self.refd, self.model, dc, cfg)
+            t1 = 0
+            tree.probVect[0] = self.rt.terminal_vector(
+                self.data[first_sample])
+            self.data[first_sample] = None
+            num_samples = 1
+        if cfg.doNotPlaceNewSamples:
+            distances = []
         while distances:
             _, sample = distances.pop()
             self.names_in_tree.append(sample)
@@ -215,42 +287,83 @@ class Run:
 
     def post_placement(self):
         """EM + branch-length optimization after the initial tree
-        (reference :11777-11918)."""
+        (reference :11768-11918)."""
         cfg = self.cfg
         rt = self.rt
         t1 = self.root
-        rt.recalculate_all(t1, count_nodes=True)
-        if cfg.useFixedThresholdLogLKoptimizationTopology is False \
+        if not cfg.useFixedThresholdLogLKoptimizationTopology \
                 and self.stats.num_child_lks > 0:
             ave = self.stats.sum_child_lks / self.stats.num_child_lks
             self.dc.thresholdLogLKoptimizationTopology = max(
                 self.dc.thresholdLogLKoptimizationTopology, -0.2 * ave)
-        rt.recalculate_all(t1)
-        if cfg.model != "JC" or cfg.rateVariation or cfg.estimateErrorRate \
-                or cfg.estimateSiteSpecificErrorRate:
+        rt.recalculate_all(t1, count_nodes=True)
+        if self.error_model_requested():
+            # activate the error model and iterate EM (reference
+            # :11779-11811)
             lk = rt.calculate_tree_likelihood(t1)
-            print(f"Tree LK before EM: {lk}")
+            print(f"Tree LK before error rates EM: {lk}")
+            self.model.using_error_rate = True
+            self.model.version += 1
             self.run_em_step()
             rt.recalculate_all(t1)
             lk = rt.calculate_tree_likelihood(t1)
-            print(f"Tree LK after EM: {lk}")
+            print(f"Tree LK after first errors EM: {lk}")
             if not cfg.doNotOptimiseBLengths:
-                set_all_dirty(self.tree, t1)
                 optimize_branch_lengths(rt, t1)
                 rt.recalculate_all(t1)
                 lk = rt.calculate_tree_likelihood(t1)
                 print(f"Tree LK after branch length optimization: {lk}")
-        if not cfg.doNotOptimiseBLengths:
-            set_all_dirty(self.tree, t1)
-            improvement = optimize_branch_lengths(rt, t1)
-            sub_round = 0
-            while sub_round < 20:
-                if not improvement:
-                    break
-                sub_round += 1
+        self.data.clear()
+        if (not cfg.inputTree) or cfg.largeUpdate or cfg.rateVariation \
+                or self.model.using_error_rate:
+            rt.recalculate_all(t1)
+            if cfg.model != "JC" or cfg.rateVariation \
+                    or cfg.estimateErrorRate \
+                    or cfg.estimateSiteSpecificErrorRate:
+                lk = rt.calculate_tree_likelihood(t1)
+                print(f"Tree LK before EM: {lk}")
+                self.run_em_step()
+                rt.recalculate_all(t1)
+                lk = rt.calculate_tree_likelihood(t1)
+                print(f"Tree LK after EM: {lk}")
+                if not cfg.doNotOptimiseBLengths:
+                    set_all_dirty(self.tree, t1)
+                    optimize_branch_lengths(rt, t1)
+                    rt.recalculate_all(t1)
+                    lk = rt.calculate_tree_likelihood(t1)
+                    print(f"Tree LK after branch length optimization: {lk}")
+                if cfg.estimateErrorRate \
+                        or cfg.estimateSiteSpecificErrorRate:
+                    old_lk = float("-inf")
+                    steps = 0
+                    while lk - old_lk > 1.0 and steps < 20:
+                        if not cfg.doNotOptimiseBLengths:
+                            set_all_dirty(self.tree, t1)
+                            optimize_branch_lengths(rt, t1)
+                            rt.recalculate_all(t1)
+                        self.run_em_step()
+                        rt.recalculate_all(t1)
+                        old_lk = lk
+                        lk = rt.calculate_tree_likelihood(t1)
+                        print(f"New LK step {steps}: {lk}")
+                        steps += 1
+            if not cfg.doNotOptimiseBLengths:
+                lk = rt.calculate_tree_likelihood(t1)
+                print(f"Now proper branch length optimization, LK before: "
+                      f"{lk}")
+                set_all_dirty(self.tree, t1)
                 improvement = optimize_branch_lengths(rt, t1)
-            lk = rt.calculate_tree_likelihood(t1)
-            print(f"Final branch length optimization, LK: {lk}")
+                sub_round = 0
+                while sub_round < 20:
+                    if not improvement:
+                        break
+                    sub_round += 1
+                    improvement = optimize_branch_lengths(rt, t1)
+                lk = rt.calculate_tree_likelihood(t1)
+                print(f"Final branch length optimization, LK: {lk}")
+        if cfg.HnZ:
+            from .runtime.tree import calculate_ndesc0
+            calculate_ndesc0(self.tree, t1, self.dc.effectivelyNon0BLen)
 
     # ------------------------------------------------------------------
     def write_tree(self, suffix: str, root: Optional[int] = None,
@@ -289,14 +402,110 @@ class Run:
         return total
 
     # ------------------------------------------------------------------
-    def run(self):
-        """Full de-novo pipeline."""
+    def setup_input_tree(self):
+        """Online mode: load the input tree, build all genome lists from the
+        alignment, update the model from observed pseudo-counts, and run the
+        initial EM (reference :3648-3655, :6430-6448, :11039-11079)."""
         cfg = self.cfg
+        from .io.newick import read_newick
+        trees, names_in_tree, names_dict = read_newick(
+            cfg.inputTree, dirtiness=cfg.largeUpdate, create_dict=True,
+            only_terminal_node_name=cfg.forgetInputTreeInternalNodeNames,
+            default_blen=cfg.defaultBLen,
+            normalize_input_blen=cfg.normalizeInputBLen,
+            keep_iqtree_supports=cfg.keepInputIQtreeSupports,
+            use_hnz=bool(cfg.HnZ))
+        tree, root = trees[0]
+        print("Read input newick tree")
+        make_tree_binary(tree, root)
+        self.tree = tree
+        self.root = root
+        self.names_in_tree = names_in_tree
+        self.samples_in_tree = set(names_dict)
+        self.rt = TreeRuntime(tree, self.refd, self.model, self.dc, cfg)
+        if cfg.HnZ:
+            from .runtime.tree import calculate_ndesc0
+            calculate_ndesc0(tree, root, self.dc.effectivelyNon0BLen)
+        num_samples = len(names_in_tree)
+        if self.error_model_requested() and (
+                num_samples > cfg.minNumSamplesForErrorModel
+                or not cfg.largeUpdate):
+            self.model.using_error_rate = True
+            self.model.version += 1
+        if not cfg.inputRates:
+            self.rt.recalculate_all(
+                root, count_pseudo_counts=True,
+                pseudo_mut_counts=self.model.pseudo_counts,
+                data=self.data, names=names_in_tree, first_setup=True)
+            if cfg.model != "JC":
+                self.model.update_from_pseudo_counts()
+            self.rt.recalculate_all(root)
+        else:
+            self.rt.recalculate_all(root, data=self.data,
+                                    names=names_in_tree, first_setup=True)
+        print("Genome lists for initial tree calculated.")
+        # initial EM on the input tree (reference :11042-11079)
+        if num_samples > 1 and (
+                cfg.model != "JC"
+                or (num_samples >= cfg.minNumSamplesForRateVar
+                    and self.model.use_rate_variation)
+                or (num_samples >= cfg.minNumSamplesForErrorModel
+                    and self.model.using_error_rate)):
+            self.run_em_step()
+            self.rt.recalculate_all(root)
+            lk = self.rt.calculate_tree_likelihood(root)
+            print(f"LK after first EM: {lk}")
+            if self.model.using_error_rate and (
+                    cfg.estimateErrorRate
+                    or cfg.estimateSiteSpecificErrorRate):
+                old_lk = float("-inf")
+                steps = 0
+                while lk - old_lk > 1.0 and steps < 20:
+                    if not cfg.doNotOptimiseBLengths:
+                        set_all_dirty(self.tree, root)
+                        optimize_branch_lengths(self.rt, root)
+                    self.rt.recalculate_all(root)
+                    self.run_em_step()
+                    self.rt.recalculate_all(root)
+                    old_lk = lk
+                    lk = self.rt.calculate_tree_likelihood(root)
+                    steps += 1
+
+    # ------------------------------------------------------------------
+    def run(self):
+        """Full pipeline: de-novo or online inference."""
+        cfg = self.cfg
+        if cfg.inputRFtrees:
+            from .analysis.rf import run_rf_mode
+            out = run_rf_mode(cfg)
+            print(f"RF distances written to {out}")
+            return
         if os.path.isfile(cfg.output + "_tree.tree") and not cfg.overwrite:
             raise FileExistsError(
                 f"{cfg.output}_tree.tree exists; use overwrite")
         self.load()
-        if getattr(cfg, "device_placement", False):
+        if cfg.inputTree:
+            self.setup_input_tree()
+        if cfg.findSamplePlacements:
+            if not cfg.inputTree:
+                raise ValueError("--findSamplePlacements requires "
+                                 "--inputTree")
+            from .analysis.placements import find_sample_placements_mode
+            find_sample_placements_mode(self)
+            return
+        if cfg.lineageRefs:
+            if not cfg.inputTree:
+                raise ValueError("--lineageRefs requires --inputTree")
+            from .analysis.placements import (
+                assign_lineages_by_reference_placement)
+            from .io.maple_format import read_maple_alignment
+            ref2, lineage_data = read_maple_alignment(cfg.lineageRefs)
+            if ref2 != self.refd.ref:
+                raise ValueError("lineage reference genome differs from "
+                                 "the alignment reference")
+            assign_lineages_by_reference_placement(self, lineage_data)
+            return
+        if getattr(cfg, "device_placement", False) and not cfg.inputTree:
             self.build_initial_tree_device(
                 warmup=cfg.device_warmup, batch_size=cfg.device_batch_size)
         else:
@@ -316,18 +525,20 @@ class Run:
                                  names_in_tree=self.names_in_tree,
                                  replace_names=False)
 
-        # SPR rounds
+        # SPR rounds (reference :12149-12160: full rounds only for de-novo,
+        # largeUpdate, or SPRTA runs)
         rounds = []
         if cfg.fastTopologyInitialSearch:
             rounds.append((cfg.strictTopologyStopRulesInitial,
                            cfg.allowedFailsTopologyInitial,
                            self.dc.thresholdLogLKtopologyInitial,
                            cfg.thresholdTopologyPlacementInitial))
-        for _ in range(cfg.numTopologyImprovements):
-            rounds.append((cfg.strictTopologyStopRules,
-                           cfg.allowedFailsTopology,
-                           self.dc.thresholdLogLKtopology,
-                           cfg.thresholdTopologyPlacement))
+        if not cfg.inputTree or cfg.largeUpdate or cfg.SPRTA:
+            for _ in range(cfg.numTopologyImprovements):
+                rounds.append((cfg.strictTopologyStopRules,
+                               cfg.allowedFailsTopology,
+                               self.dc.thresholdLogLKtopology,
+                               cfg.thresholdTopologyPlacement))
         if rounds:
             from .search.spr import run_spr_rounds
             run_spr_rounds(self, rounds)

@@ -193,11 +193,16 @@ class Model:
         return False
 
     def set_error_rates(self, error_rate: float,
-                        error_rates: Optional[List[float]] = None):
+                        error_rates: Optional[List[float]] = None,
+                        activate: bool = True):
         """Install (site-specific) error rates and derived cumulative tables
-        (reference updateErrorRates :6373-6390)."""
+        (reference updateErrorRates :6373-6390).  With activate=False the
+        tables are prepared but kernels keep ignoring the error model (the
+        reference's usingErrorRate stays False until post-placement for
+        de-novo runs, :11779)."""
         refd = self.refd
-        self.using_error_rate = True
+        if activate:
+            self.using_error_rate = True
         self.error_rate = error_rate
         self.error_rates = error_rates
         self.error_rate_site_specific = error_rates is not None

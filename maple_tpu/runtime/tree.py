@@ -23,6 +23,8 @@ class PhyloTree:
         "support", "alternativePlacements", "rootSupport", "mutationsInf",
         "Ns", "errors", "lineage", "lineages", "IQsupport", "supportTo",
         "use_hnz", "use_time",
+        # analysis layers attach further ad-hoc annotation arrays
+        "__dict__",
     )
 
     def __init__(self, use_hnz: bool = False, use_time: bool = False):
@@ -184,6 +186,47 @@ def calculate_ndesc(tree: PhyloTree, node: int) -> None:
                 stack.extend(tree.children[n])
         else:
             tree.nDesc[n] = 1 + len(tree.minorSequences[n])
+
+
+def calculate_ndesc0(tree: PhyloTree, root: int, eff0: float,
+                     check_existing: bool = False) -> None:
+    """Recompute effective-multifurcation sizes for HnZ (reference
+    calculateNDesc0 :3063-3126)."""
+    children = tree.children
+    nDesc0 = tree.nDesc0
+    dist = tree.dist
+    node = root
+    last_node = None
+    direction = 0
+    while node is not None:
+        if direction == 0:
+            if children[node]:
+                node = children[node][0]
+            else:
+                expected = 1 + len(tree.minorSequences[node])
+                if check_existing and nDesc0[node] != expected:
+                    raise RuntimeError(f"nDesc0 tip mismatch at {node}")
+                nDesc0[node] = expected
+                last_node = node
+                node = tree.up[node]
+                direction = 1
+        else:
+            if last_node == children[node][0]:
+                node = children[node][1]
+                direction = 0
+            else:
+                old = nDesc0[node]
+                nDesc0[node] = 0
+                for c in children[node]:
+                    nDesc0[node] += 1 if dist[c] > eff0 else nDesc0[c]
+                if nDesc0[node] <= 0:
+                    raise RuntimeError("non-positive nDesc0")
+                if check_existing and old != nDesc0[node]:
+                    raise RuntimeError(f"nDesc0 mismatch at {node}: {old} "
+                                       f"vs {nDesc0[node]}")
+                last_node = node
+                node = tree.up[node]
+                direction = 1
 
 
 def count_dirty_nodes(tree: PhyloTree, root: int):

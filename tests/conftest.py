@@ -1,13 +1,14 @@
 import os
 
 # Device tests run on a virtual 8-device CPU mesh; the real-TPU bench path
-# sets its own platform. Must be set before jax import (any test may import
-# maple_tpu.ops which imports jax lazily).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+# selects its own platform.  NOTE: this image's axon jax build ignores the
+# JAX_PLATFORMS env var, so the platform must be forced via jax.config
+# before any backend initialization.
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import importlib.util
 import sys

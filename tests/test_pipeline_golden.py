@@ -65,3 +65,49 @@ def test_denovo_sprta_mat_golden(tmp_path):
     run_inference(cfg)
     _compare(out, golden, parts=("_tree.tree", "_subs.txt", "_LK.txt",
                                  "_nexusTree.tree", "_metaData.tsv"))
+
+
+GOLDEN = GOLDEN_DIR  # alias
+
+
+def test_online_mode_golden(tmp_path):
+    """--inputTree online inference: build genome lists on an input tree,
+    place the new samples, byte-identical outputs."""
+    golden = os.path.join(GOLDEN_DIR, "online80")
+    sub_tree = os.path.join(GOLDEN_DIR, "sub80_tree.tree")
+    if not os.path.isfile(golden + "_tree.tree"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, inputTree=sub_tree, output=out,
+                      model="GTR", overwrite=True)
+    run_inference(cfg)
+    _compare(out, golden)
+
+
+def test_rf_mode_golden(tmp_path):
+    golden = os.path.join(GOLDEN_DIR, "rfmode_RFdistances.txt")
+    if not os.path.isfile(golden):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(
+        input=EXAMPLE,
+        inputTree=os.path.join(GOLDEN_DIR, "example_gtr_tree.tree"),
+        inputRFtrees=os.path.join(GOLDEN_DIR,
+                                  "example_unrest_placeonly_tree.tree"),
+        output=out, overwrite=True)
+    run_inference(cfg)
+    with open(out + "_RFdistances.txt") as f, open(golden) as g:
+        assert f.read() == g.read()
+
+
+def test_find_sample_placements_golden(tmp_path):
+    golden = os.path.join(GOLDEN_DIR, "fsp80")
+    sub_tree = os.path.join(GOLDEN_DIR, "sub80_tree.tree")
+    if not os.path.isfile(golden + "_metaData_samplePlacements.tsv"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, inputTree=sub_tree, output=out,
+                      model="GTR", findSamplePlacements=True, overwrite=True)
+    run_inference(cfg)
+    _compare(out, golden, parts=("_metaData_samplePlacements.tsv",
+                                 "_updatedBlengths.tree"))
