@@ -1,0 +1,319 @@
+"""ctypes binding for the native genome-list kernel library.
+
+Builds ``native/maple_native.cpp`` on demand with g++ (no external build
+system needed) and exposes a :class:`NativeStore` holding reference/model
+state plus C++-owned genome-list vectors addressed by integer handles.
+
+Tuple conversion: entry presence bits (has_bl1/has_bl2/flag) reproduce the
+reference's variable-length tuple layouts exactly, so converting a vector to
+tuples and back is lossless and native results remain byte-identical to the
+Python host kernels.
+"""
+from __future__ import annotations
+
+import ctypes as C
+import os
+import subprocess
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                    "maple_native.cpp")
+_LIB = os.path.join(os.path.dirname(__file__), "libmaple_native.so")
+
+_lib = None
+_load_error: Optional[str] = None
+
+BIT_BL1 = 1
+BIT_BL2 = 2
+BIT_FLAG = 4
+
+TYPE_R, TYPE_N, TYPE_O = 4, 5, 6
+
+
+def _build():
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+           "-o", _LIB, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
+    try:
+        src_m = os.path.getmtime(_SRC)
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < src_m:
+            _build()
+        lib = C.CDLL(_LIB)
+    except Exception as exc:  # pragma: no cover
+        _load_error = repr(exc)
+        return None
+    d = C.c_double
+    p = C.POINTER
+    lib.store_create.restype = C.c_void_p
+    lib.store_create.argtypes = [C.c_int]
+    lib.store_free.argtypes = [C.c_void_p]
+    lib.store_set_ref.argtypes = [C.c_void_p, p(C.c_int8), p(d),
+                                  p(C.c_int32)]
+    lib.store_set_params.argtypes = [C.c_void_p, d, d, d, d, d]
+    lib.store_set_model.argtypes = [C.c_void_p, p(d), p(d), C.c_int, p(d),
+                                    C.c_int, C.c_int, d, p(d), p(d), d,
+                                    p(d)]
+    lib.vec_create.restype = C.c_int64
+    lib.vec_create.argtypes = [C.c_void_p, C.c_int, p(C.c_int8),
+                               p(C.c_int32), p(d), p(d), p(C.c_uint8), p(d)]
+    lib.vec_release.argtypes = [C.c_void_p, C.c_int64]
+    lib.vec_size.restype = C.c_int
+    lib.vec_size.argtypes = [C.c_void_p, C.c_int64]
+    lib.vec_export.argtypes = [C.c_void_p, C.c_int64, p(C.c_int8),
+                               p(C.c_int32), p(d), p(d), p(C.c_uint8), p(d)]
+    lib.k_merge.restype = C.c_int64
+    lib.k_merge.argtypes = [C.c_void_p, C.c_int64, d, C.c_int, C.c_int64, d,
+                            C.c_int, C.c_int, C.c_int]
+    lib.k_merge_lk.restype = C.c_int64
+    lib.k_merge_lk.argtypes = [C.c_void_p, C.c_int64, d, C.c_int, C.c_int64,
+                               d, C.c_int, C.c_int, C.c_int, C.c_int,
+                               C.c_int, p(d)]
+    lib.k_append.restype = d
+    lib.k_append.argtypes = [C.c_void_p, C.c_int64, C.c_int64, C.c_int, d]
+    lib.k_shorten.argtypes = [C.c_void_p, C.c_int64]
+    lib.k_blen.restype = d
+    lib.k_blen.argtypes = [C.c_void_p, C.c_int64, C.c_int64, C.c_int]
+    lib.k_pass.restype = C.c_int64
+    lib.k_pass.argtypes = [C.c_void_p, C.c_int64, p(C.c_int32), C.c_int,
+                           C.c_int, C.c_int]
+    lib.k_root_vector.restype = C.c_int64
+    lib.k_root_vector.argtypes = [C.c_void_p, C.c_int64, d, C.c_int,
+                                  C.c_int]
+    lib.k_find_prob_root.restype = d
+    lib.k_find_prob_root.argtypes = [C.c_void_p, C.c_int64]
+    lib.k_different.restype = C.c_int
+    lib.k_different.argtypes = [C.c_void_p, C.c_int64, C.c_int64]
+    lib.k_minor.restype = C.c_int
+    lib.k_minor.argtypes = [C.c_void_p, C.c_int64, C.c_int64, C.c_int]
+    lib.k_pseudo_counts.argtypes = [C.c_void_p, C.c_int64, C.c_int64, p(d)]
+    lib.k_num_non4.restype = C.c_int
+    lib.k_num_non4.argtypes = [C.c_void_p, C.c_int64]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _as_ptr(arr, ctype):
+    return arr.ctypes.data_as(C.POINTER(ctype))
+
+
+class NativeStore:
+    """One store per (reference, model) context; rebuild model state with
+    set_model when the Python Model changes."""
+
+    def __init__(self, refd, dc):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native library unavailable: {_load_error}")
+        self.lib = lib
+        self.refd = refd
+        self.lRef = refd.lRef
+        self.h = C.c_void_p(lib.store_create(refd.lRef))
+        ref_idx = np.asarray(refd.ref_indices, dtype=np.int8)
+        root_freqs = np.asarray(refd.root_freqs, dtype=np.float64)
+        cum_bases = np.asarray(refd.cumulative_bases,
+                               dtype=np.int32).reshape(-1)
+        lib.store_set_ref(self.h, _as_ptr(ref_idx, C.c_int8),
+                          _as_ptr(root_freqs, C.c_double),
+                          _as_ptr(cum_bases, C.c_int32))
+        self._keep = (ref_idx, root_freqs, cum_bases)
+        lib.store_set_params(self.h, dc.thresholdProb, dc.minimumCarryOver,
+                             dc.minBLenSensitivity, dc.thresholdDiffForUpdate,
+                             dc.thresholdFoldChangeUpdate)
+        self.model_version = -1
+        self.using_error_rate = False
+
+    def __del__(self):
+        try:
+            self.lib.store_free(self.h)
+        except Exception:
+            pass
+
+    def sync_model(self, model):
+        if model.version == self.model_version:
+            return
+        d = C.c_double
+        mut = np.asarray(model.mut_matrix, dtype=np.float64).reshape(-1)
+        cum = np.asarray(model.cumulative_rate, dtype=np.float64)
+        site = None
+        if model.use_rate_variation and model.site_rates is not None:
+            site = np.asarray(model.site_rates, dtype=np.float64)
+        err_rates = cum_err = rfle = None
+        if model.error_rates is not None:
+            err_rates = np.asarray(model.error_rates, dtype=np.float64)
+        if model.cumulative_error_rate is not None:
+            cum_err = np.asarray(model.cumulative_error_rate,
+                                 dtype=np.float64)
+        if model.root_freqs_log_error_cumulative is not None:
+            rfle = np.asarray(model.root_freqs_log_error_cumulative,
+                              dtype=np.float64)
+        nul = C.POINTER(d)()
+        self.lib.store_set_model(
+            self.h, _as_ptr(mut, d), _as_ptr(cum, d),
+            1 if model.use_rate_variation else 0,
+            _as_ptr(site, d) if site is not None else nul,
+            1 if model.using_error_rate else 0,
+            1 if model.error_rate_site_specific else 0,
+            model.error_rate,
+            _as_ptr(err_rates, d) if err_rates is not None else nul,
+            _as_ptr(cum_err, d) if cum_err is not None else nul,
+            model.tot_error or 0.0,
+            _as_ptr(rfle, d) if rfle is not None else nul)
+        self.model_version = model.version
+        self.using_error_rate = model.using_error_rate
+
+    # ------------------------------------------------------------------
+    def from_tuples(self, vec) -> int:
+        """Upload a tuple-form genome list; returns the handle."""
+        n = len(vec)
+        types = np.empty(n, np.int8)
+        vals = np.empty(n, np.int32)
+        bl1 = np.zeros(n, np.float64)
+        bl2 = np.zeros(n, np.float64)
+        bits = np.zeros(n, np.uint8)
+        probs = np.zeros((n, 4), np.float64)
+        uer = self.using_error_rate
+        for k, e in enumerate(vec):
+            c = e[0]
+            types[k] = c
+            vals[k] = e[1]
+            if c == TYPE_O:
+                probs[k] = e[-1]
+                if len(e) > 3:
+                    bits[k] = BIT_BL1
+                    bl1[k] = e[2]
+            elif c != TYPE_N:
+                n_extra = len(e) - 2 - (1 if (uer and len(e) > 2) else 0)
+                b = 0
+                if n_extra >= 1:
+                    b |= BIT_BL1
+                    bl1[k] = e[2]
+                if n_extra >= 2:
+                    b |= BIT_BL2
+                    bl2[k] = e[3]
+                if uer and len(e) > 2 and e[-1]:
+                    b |= BIT_FLAG
+                bits[k] = b
+        return self.lib.vec_create(
+            self.h, n, _as_ptr(types, C.c_int8), _as_ptr(vals, C.c_int32),
+            _as_ptr(bl1, C.c_double), _as_ptr(bl2, C.c_double),
+            _as_ptr(bits, C.c_uint8), _as_ptr(probs, C.c_double))
+
+    def to_tuples(self, vid: int):
+        """Download a native vector as reference-layout tuples."""
+        n = self.lib.vec_size(self.h, vid)
+        types = np.empty(n, np.int8)
+        vals = np.empty(n, np.int32)
+        bl1 = np.empty(n, np.float64)
+        bl2 = np.empty(n, np.float64)
+        bits = np.empty(n, np.uint8)
+        probs = np.empty((n, 4), np.float64)
+        self.lib.vec_export(
+            self.h, vid, _as_ptr(types, C.c_int8), _as_ptr(vals, C.c_int32),
+            _as_ptr(bl1, C.c_double), _as_ptr(bl2, C.c_double),
+            _as_ptr(bits, C.c_uint8), _as_ptr(probs, C.c_double))
+        out = []
+        uer = self.using_error_rate
+        for k in range(n):
+            c = int(types[k])
+            v = int(vals[k])
+            b = int(bits[k])
+            if c == TYPE_N:
+                out.append((c, v))
+            elif c == TYPE_O:
+                pr = list(probs[k])
+                if b & BIT_BL1:
+                    out.append((c, v, float(bl1[k]), pr))
+                else:
+                    out.append((c, v, pr))
+            else:
+                entry = [c, v]
+                if b & BIT_BL1:
+                    entry.append(float(bl1[k]))
+                if b & BIT_BL2:
+                    entry.append(float(bl2[k]))
+                if uer and (b & BIT_BL1):
+                    entry.append(bool(b & BIT_FLAG))
+                out.append(tuple(entry))
+        return out
+
+    def release(self, vid: int):
+        self.lib.vec_release(self.h, vid)
+
+    # ------------------------------------------------------------------
+    def merge(self, v1, bl1, tip1, v2, bl2, tip2, is_up_down=False,
+              shorten=False) -> Optional[int]:
+        r = self.lib.k_merge(self.h, v1, bl1, 1 if tip1 else 0, v2, bl2,
+                             1 if tip2 else 0, 1 if is_up_down else 0,
+                             1 if shorten else 0)
+        return None if r < 0 else r
+
+    def merge_lk(self, v1, bl1, tip1, v2, bl2, tip2, is_up_down=False,
+                 n_minor1=0, n_minor2=0, shorten=False):
+        lk = C.c_double()
+        r = self.lib.k_merge_lk(self.h, v1, bl1, 1 if tip1 else 0, v2, bl2,
+                                1 if tip2 else 0, 1 if is_up_down else 0,
+                                n_minor1, n_minor2, 1 if shorten else 0,
+                                C.byref(lk))
+        if r < 0:
+            raise RuntimeError(f"merge_lk failed: code {r}")
+        return r, lk.value
+
+    def append(self, vP, vC, tip_c, blen) -> float:
+        return self.lib.k_append(self.h, vP, vC, 1 if tip_c else 0, blen)
+
+    def shorten(self, vid):
+        self.lib.k_shorten(self.h, vid)
+
+    def blen(self, vP, vC, from_tip_c):
+        """estimate_branch_length; returns False for "length 0 optimal"
+        (native -1.0 sentinel)."""
+        r = self.lib.k_blen(self.h, vP, vC, 1 if from_tip_c else 0)
+        return False if r < 0 else r
+
+    def pass_through(self, vid, mutations, dir_is_up=False, shorten=False):
+        muts = np.asarray(mutations, dtype=np.int32).reshape(-1)
+        return self.lib.k_pass(self.h, vid,
+                               _as_ptr(muts, C.c_int32),
+                               len(mutations), 1 if dir_is_up else 0,
+                               1 if shorten else 0)
+
+    def root_vector(self, vid, blen, from_tip, shorten=False):
+        return self.lib.k_root_vector(self.h, vid, blen or 0.0,
+                                      1 if from_tip else 0,
+                                      1 if shorten else 0)
+
+    def find_prob_root(self, vid):
+        return self.lib.k_find_prob_root(self.h, vid)
+
+    def different(self, v1, v2):
+        return bool(self.lib.k_different(self.h, v1,
+                                         -1 if v2 is None else v2))
+
+    def minor(self, v1, v2, only_identical=False):
+        return self.lib.k_minor(self.h, v1, v2,
+                                1 if only_identical else 0)
+
+    def pseudo_counts(self, v1, v2, counts_list):
+        arr = np.asarray(counts_list, dtype=np.float64).reshape(-1)
+        self.lib.k_pseudo_counts(self.h, v1, v2,
+                                 _as_ptr(arr, C.c_double))
+        out = arr.reshape(4, 4)
+        for i in range(4):
+            for j in range(4):
+                counts_list[i][j] = out[i, j]
+
+    def num_non4(self, vid):
+        return self.lib.k_num_non4(self.h, vid)

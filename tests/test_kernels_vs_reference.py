@@ -19,6 +19,11 @@ from maple_tpu.refdata import Model, RefData
 
 # ---------------------------------------------------------------- helpers
 
+# the Model used by the most recent build_ctx call (native-kernel tests
+# need the exact float state, not a reconstruction)
+last_built_model = [None]
+
+
 def build_ctx(refmod, model_name="GTR", use_rate_variation=False,
               error_mode="none", seed=0):
     """Build (my KernelCtx, configured reference module) with identical
@@ -37,6 +42,7 @@ def build_ctx(refmod, model_name="GTR", use_rate_variation=False,
     cfg = MapleConfig(model=model_name)
     dc = DerivedConfig.build(cfg, refd.lRef)
     ctx = K.KernelCtx(refd, model, dc)
+    last_built_model[0] = model
 
     # configure the reference module's globals to the same state
     refmod.mutMatrixGlobal = model.mut_matrix
