@@ -92,8 +92,9 @@ def seek_placements(run, sample_data: Dict, find_placement_only: bool):
             best_total_lh = []
         if find_placement_only:
             if sorted_placements:
-                sample_partials = rt.terminal_vector(diffs)
-                muts = extract_mutations(rt.refd.lRef, best_total_lh,
+                sample_partials = rt.kern.export(rt.terminal_vector(diffs))
+                muts = extract_mutations(rt.refd.lRef,
+                                         rt.kern.export(best_total_lh),
                                          sample_partials,
                                          run.cfg.threshMutation)
                 tree.lineagePlacements[name] = (sorted_placements, muts)

@@ -28,6 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
         "use_device_kernels": "useDeviceKernels",
         "device_batch_min": "deviceBatchMin",
         "entry_budget": "entryBudget",
+        "kernel_backend": "kernelBackend",
     }
     for f in dataclasses.fields(MapleConfig):
         flag = "--" + snake_extras.get(f.name, f.name)
@@ -62,6 +63,7 @@ def main(argv=None):
         "use_device_kernels": "useDeviceKernels",
         "device_batch_min": "deviceBatchMin",
         "entry_budget": "entryBudget",
+        "kernel_backend": "kernelBackend",
     }.items()}
     field_names = {f.name for f in dataclasses.fields(MapleConfig)}
     for key, value in vars(args).items():

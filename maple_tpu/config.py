@@ -124,6 +124,7 @@ class MapleConfig:
     device_placement: bool = False   # device-batched initial placement
     device_warmup: int = 256         # samples placed serially before batching
     device_batch_size: int = 64      # samples per device-scored batch
+    kernel_backend: str = "native"   # "native" (C++ kernels) or "python"
 
     # fast-initial-search parameters (reference :220-224): fixed, not flags
     strictTopologyStopRulesInitial: bool = True

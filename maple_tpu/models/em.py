@@ -125,7 +125,8 @@ def expectation_maximization_rates(rt: TreeRuntime, root: int,
                 vP = tree.vect_up_for(node)
                 if tree.mutations[node]:
                     vP = rt.pass_down(vP, node)
-                vC = tree.probVect[node]
+                vP = rt.kern.export(vP)
+                vC = rt.kern.export(tree.probVect[node])
                 i1x = i2x = 0
                 pos = 0
                 iml = 0
@@ -314,7 +315,7 @@ def expectation_maximization_rates(rt: TreeRuntime, root: int,
                 # zero-length branch: still record Ns for annotation
                 if track_mutations:
                     pos = 0
-                    for e2 in tree.probVect[node]:
+                    for e2 in rt.kern.export(tree.probVect[node]):
                         if e2[0] == TYPE_N:
                             if e2[1] > pos + 1:
                                 Ns[node].append((pos + 1, e2[1]))

@@ -136,8 +136,13 @@ class NativeStore:
         self.using_error_rate = False
 
     def __del__(self):
+        # Cycle GC may finalize the store before outstanding NV handles;
+        # null the handle so late NV.release() calls become no-ops instead
+        # of touching freed memory.
         try:
-            self.lib.store_free(self.h)
+            h, self.h = self.h, None
+            if h:
+                self.lib.store_free(h)
         except Exception:
             pass
 
@@ -233,7 +238,9 @@ class NativeStore:
             if c == TYPE_N:
                 out.append((c, v))
             elif c == TYPE_O:
-                pr = list(probs[k])
+                # .tolist() gives exact Python floats: np.float64 elements
+                # would defeat builtin sum()'s Neumaier compensation in EM.
+                pr = probs[k].tolist()
                 if b & BIT_BL1:
                     out.append((c, v, float(bl1[k]), pr))
                 else:
@@ -250,7 +257,8 @@ class NativeStore:
         return out
 
     def release(self, vid: int):
-        self.lib.vec_release(self.h, vid)
+        if self.h is not None:
+            self.lib.vec_release(self.h, vid)
 
     # ------------------------------------------------------------------
     def merge(self, v1, bl1, tip1, v2, bl2, tip2, is_up_down=False,
@@ -310,10 +318,10 @@ class NativeStore:
         arr = np.asarray(counts_list, dtype=np.float64).reshape(-1)
         self.lib.k_pseudo_counts(self.h, v1, v2,
                                  _as_ptr(arr, C.c_double))
-        out = arr.reshape(4, 4)
+        out = arr.reshape(4, 4).tolist()
         for i in range(4):
             for j in range(4):
-                counts_list[i][j] = out[i, j]
+                counts_list[i][j] = out[i][j]
 
     def num_non4(self, vid):
         return self.lib.k_num_non4(self.h, vid)

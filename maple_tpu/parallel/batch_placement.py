@@ -126,7 +126,7 @@ class BatchedPlacer:
         rt = self.rt
         tree = rt.tree
         dc = rt.dc
-        ctx = rt.ctx()
+        kern = rt.kern
         one_mut = dc.oneMutBLen
         t0 = time.time()
         n_anchors = self.pool.refresh()
@@ -190,12 +190,12 @@ class BatchedPlacer:
         rt = self.rt
         tree = rt.tree
         dc = rt.dc
-        ctx = rt.ctx()
+        kern = rt.kern
         one_mut = dc.oneMutBLen
         t0 = time.time()
         # base: appending at the root
         root_vect = rt.root_vector(tree.probVect[root], False, False, root)
-        root_score = K.append_prob_node(ctx, root_vect, diffs, True, one_mut)
+        root_score = kern.append_prob_node(root_vect, diffs, True, one_mut)
         best_lk = root_score
         # host-score the nodes added earlier in this batch (absent from the
         # device pool) so chained placements stay sharp
@@ -205,7 +205,7 @@ class BatchedPlacer:
             if tree.up[n] is None or tree.children[n] is None:
                 continue
             if tree.dist[n] > eff0 and tree.probVectTotUp[n] is not None:
-                sc = K.append_prob_node(ctx, tree.probVectTotUp[n], diffs,
+                sc = kern.append_prob_node(tree.probVectTotUp[n], diffs,
                                         True, one_mut)
                 recent_scored.append((sc, n))
                 best_lk = max(best_lk, sc)
@@ -242,7 +242,7 @@ class BatchedPlacer:
             if v is None:
                 continue
             q_at = diffs
-            comparison = K.is_minor_sequence(rt.refd.lRef, v, q_at)
+            comparison = kern.is_minor_sequence(v, q_at)
             if comparison == 1:
                 tree.minorSequences[leaf].append(sample_id)
                 self.stats.num_minors_found += 1
@@ -262,26 +262,26 @@ class BatchedPlacer:
             if tree.mutations[node]:
                 up_vect = rt.pass_down(up_vect, node)
             is_tip = tree.is_tip(node)
-            best_appending = K.estimate_branch_length(
-                ctx, tree.probVectTotUp[node], diffs, from_tip_c=True)
-            mid_lower = K.merge_vectors(
-                ctx, tree.probVect[node], tree.dist[node] / 2, is_tip,
+            best_appending = kern.estimate_branch_length(
+                tree.probVectTotUp[node], diffs, from_tip_c=True)
+            mid_lower = kern.merge_vectors(
+                tree.probVect[node], tree.dist[node] / 2, is_tip,
                 diffs, best_appending, True)
-            best_top = K.estimate_branch_length(ctx, up_vect, mid_lower)
-            mid_top = K.merge_vectors(
-                ctx, up_vect, best_top, False, diffs, best_appending, True,
+            best_top = kern.estimate_branch_length(up_vect, mid_lower)
+            mid_top = kern.merge_vectors(
+                up_vect, best_top, False, diffs, best_appending, True,
                 is_up_down=True)
-            best_bottom = K.estimate_branch_length(
-                ctx, mid_top, tree.probVect[node], from_tip_c=is_tip)
-            new_mid = K.merge_vectors(
-                ctx, up_vect, best_top, False, tree.probVect[node],
+            best_bottom = kern.estimate_branch_length(
+                mid_top, tree.probVect[node], from_tip_c=is_tip)
+            new_mid = kern.merge_vectors(
+                up_vect, best_top, False, tree.probVect[node],
                 best_bottom, is_tip, is_up_down=True)
-            appending_cost = K.append_prob_node(ctx, new_mid, diffs, True,
+            appending_cost = kern.append_prob_node(new_mid, diffs, True,
                                                 best_appending)
-            initial_cost = K.append_prob_node(
-                ctx, up_vect, tree.probVect[node], is_tip, tree.dist[node])
-            new_partial_cost = K.append_prob_node(
-                ctx, up_vect, tree.probVect[node], is_tip,
+            initial_cost = kern.append_prob_node(
+                up_vect, tree.probVect[node], is_tip, tree.dist[node])
+            new_partial_cost = kern.append_prob_node(
+                up_vect, tree.probVect[node], is_tip,
                 best_bottom + best_top)
             optimized = appending_cost + new_partial_cost - initial_cost
             if optimized >= best_score:

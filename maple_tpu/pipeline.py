@@ -592,10 +592,11 @@ class Run:
                 keepInputIQtreeSupports=cfg.keepInputIQtreeSupports,
                 minMutProb=cfg.minMutProb,
                 effectivelyNon0BLen=self.dc.effectivelyNon0BLen,
-                root_state_fn=lambda tree, node: self.rt.root_vector(
-                    tree.probVect[node], False,
-                    (len(tree.children[node]) == 0
-                     and len(tree.minorSequences[node]) == 0), node))
+                root_state_fn=lambda tree, node: self.rt.kern.export(
+                    self.rt.root_vector(
+                        tree.probVect[node], False,
+                        (len(tree.children[node]) == 0
+                         and len(tree.minorSequences[node]) == 0), node)))
             s = create_newick(
                 self.tree, self.root, binary=not cfg.nonBinaryTree,
                 names_in_tree=self.names_in_tree, annotations=annotations,

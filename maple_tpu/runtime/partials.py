@@ -26,13 +26,17 @@ class TreeRuntime:
     model version changes (rate/error-table updates)."""
 
     def __init__(self, tree: PhyloTree, refd: RefData, model: Model,
-                 dc: DerivedConfig, cfg: MapleConfig):
+                 dc: DerivedConfig, cfg: MapleConfig,
+                 backend: str = None):
         self.tree = tree
         self.refd = refd
         self.model = model
         self.dc = dc
         self.cfg = cfg
         self.kctx = K.KernelCtx(refd, model, dc)
+        from ..core.backend import make_backend
+        self.kern = make_backend(
+            self, backend or getattr(cfg, "kernel_backend", "python"))
         self.use_local_reference = not cfg.noLocalRef
         self.num_refs = 0          # MAT local references created
         self.num_minors_removed = 0
@@ -45,36 +49,42 @@ class TreeRuntime:
         return self.kctx
 
     def shorten(self, vec):
-        gl.shorten(vec, self.dc.thresholdProb)
+        self.kern.shorten(vec)
+
+    def convert_backend(self, backend: str):
+        """Switch kernel backend, converting every tree vector in place."""
+        from ..core.backend import make_backend
+        old = self.kern
+        new = make_backend(self, backend)
+        if old.name == new.name:
+            return
+        tree = self.tree
+        for arr in (tree.probVect, tree.probVectUpRight,
+                    tree.probVectUpLeft, tree.probVectTotUp):
+            for i, v in enumerate(arr):
+                if v is not None:
+                    arr[i] = new.import_tuples(old.export(v))
+        self.kern = new
 
     def pass_down(self, vec, node):
         """Translate a genome list down through node's MAT branch."""
         muts = self.tree.mutations[node]
         if muts:
-            return gl.pass_through_branch(self.refd.lRef, vec, muts)
+            return self.kern.pass_through_branch(vec, muts)
         return vec
 
     def pass_up(self, vec, node):
         muts = self.tree.mutations[node]
         if muts:
-            return gl.pass_through_branch(self.refd.lRef, vec, muts,
-                                          dir_is_up=True)
+            return self.kern.pass_through_branch(vec, muts, dir_is_up=True)
         return vec
 
     # ------------------------------------------------------------------
     def terminal_vector(self, diffs, node: Optional[int] = None):
         """Tip genome list from MAPLE diffs, translated into the node's MAT
         frame and shortened (reference probVectTerminalNode :3882-3962)."""
-        model = self.model
         n_minor = 0 if node is None else len(self.tree.minorSequences[node])
-        vec = gl.terminal_node_genome_list(
-            self.refd, diffs,
-            only_n_ambiguities=self.cfg.onlyNambiguities,
-            using_error_rate=model.using_error_rate,
-            error_rate=model.error_rate,
-            error_rates=model.error_rates,
-            num_minor_seqs=n_minor,
-        )
+        vec = self.kern.terminal_vector(diffs, num_minor_seqs=n_minor)
         if node is not None:
             # walk root -> node applying each MAT branch's mutations downward
             chain = []
@@ -87,9 +97,20 @@ class TreeRuntime:
             self.shorten(vec)
         return vec
 
+    def refresh_terminal_errors(self, node: int):
+        """Refresh O entries of a tip's genome list after error-rate changes
+        and store it back (reference updateProbVectTerminalNode
+        :3968-4006)."""
+        v = self.tree.probVect[node]
+        if v is None:
+            return
+        tuples = self.kern.export(v)
+        self.update_terminal_vector_errors(
+            tuples, len(self.tree.minorSequences[node]))
+        self.tree.probVect[node] = self.kern.import_tuples(tuples)
+
     def update_terminal_vector_errors(self, prob_vect, num_minor_seqs):
-        """Refresh O entries of a tip list after error-rate changes
-        (reference updateProbVectTerminalNode :3968-4006)."""
+        """Refresh O entries of a tip list (tuple form) in place."""
         model = self.model
         if prob_vect is None:
             return
@@ -133,7 +154,7 @@ class TreeRuntime:
             chain.append(n)
             vec = self.pass_up(vec, n)
             n = tree.up[n]
-        vec = K.root_vector_frame(self.ctx(), vec, blen, is_from_tip)
+        vec = self.kern.root_vector_frame(vec, blen, is_from_tip)
         for n in reversed(chain):
             vec = self.pass_down(vec, n)
         self.shorten(vec)
@@ -147,7 +168,7 @@ class TreeRuntime:
         while n is not None:
             vec = self.pass_up(vec, n)
             n = self.tree.up[n]
-        return K.find_prob_root_frame(self.ctx(), vec)
+        return self.kern.find_prob_root_frame(vec)
 
     # ------------------------------------------------------------------
     def update_blen(self, c_node: int, add_to_list: bool = False,
@@ -160,8 +181,8 @@ class TreeRuntime:
         vect_up = tree.probVectUpRight[node] if c_num == 0 \
             else tree.probVectUpLeft[node]
         vect_up = self.pass_down(vect_up, c_node)
-        best = K.estimate_branch_length(
-            self.ctx(), vect_up, tree.probVect[c_node],
+        best = self.kern.estimate_branch_length(
+            vect_up, tree.probVect[c_node],
             from_tip_c=tree.is_tip(c_node))
         if tree.use_hnz:
             self.update_ndesc0_changing_dist(c_node, best)
@@ -195,7 +216,7 @@ class TreeRuntime:
         (node, direction, lk_dirty, time_dirty) with direction 0/1 = from
         that child, 2 = from parent (reference updatePartials :5479-5817)."""
         tree = self.tree
-        ctx = self.ctx()
+        kern = self.kern
         dist = tree.dist
         children = tree.children
         up = tree.up
@@ -221,16 +242,14 @@ class TreeRuntime:
                 # change coming from the parent
                 if dist[node]:
                     if lk_dirty:
-                        new_tot = K.merge_vectors(
-                            ctx, vect_up_up, dist[node] / 2, False,
+                        new_tot = kern.merge_vectors( vect_up_up, dist[node] / 2, False,
                             probVect[node], dist[node] / 2, is_tip,
                             is_up_down=True)
                         if new_tot is None:
                             self.update_blen(node)
                             node_list.append((up[node], child_num_up, True,
                                               False))
-                            new_tot = K.merge_vectors(
-                                ctx, vect_up_up, dist[node] / 2, False,
+                            new_tot = kern.merge_vectors( vect_up_up, dist[node] / 2, False,
                                 probVect[node], dist[node] / 2, is_tip,
                                 is_up_down=True)
                             made_change = True
@@ -248,8 +267,7 @@ class TreeRuntime:
                         child1_vect = self.pass_up(probVect[c1], c1)
                         is_tip0 = tree.is_tip(c0)
                         is_tip1 = tree.is_tip(c1)
-                        new_up_right = K.merge_vectors(
-                            ctx, vect_up_up, dist[node], False, child1_vect,
+                        new_up_right = kern.merge_vectors( vect_up_up, dist[node], False, child1_vect,
                             dist1, is_tip1, is_up_down=True)
                         if new_up_right is None:
                             if (not dist[node]) and (not dist1):
@@ -259,12 +277,10 @@ class TreeRuntime:
                                                      node_list=node_list)
                                     updated_blen = True
                                 else:
-                                    probVectTotUp[node] = K.merge_vectors(
-                                        ctx, vect_up_up, dist[node] / 2,
+                                    probVectTotUp[node] = kern.merge_vectors( vect_up_up, dist[node] / 2,
                                         False, probVect[node], dist[node] / 2,
                                         is_tip, is_up_down=True)
-                                    new_up_right = K.merge_vectors(
-                                        ctx, vect_up_up, dist[node], False,
+                                    new_up_right = kern.merge_vectors( vect_up_up, dist[node], False,
                                         child1_vect, dist1, is_tip1,
                                         is_up_down=True)
                                     node_list.append((up[node], child_num_up,
@@ -275,8 +291,7 @@ class TreeRuntime:
                                     "impossible merge with non-zero distances "
                                     "in update_partials (from parent)")
                         if not updated_blen:
-                            new_up_left = K.merge_vectors(
-                                ctx, vect_up_up, dist[node], False,
+                            new_up_left = kern.merge_vectors( vect_up_up, dist[node], False,
                                 child0_vect, dist0, is_tip0, is_up_down=True)
                             if new_up_left is None:
                                 if (not dist[node]) and (not dist0):
@@ -286,17 +301,14 @@ class TreeRuntime:
                                                          node_list=node_list)
                                         updated_blen = True
                                     else:
-                                        probVectTotUp[node] = K.merge_vectors(
-                                            ctx, vect_up_up, dist[node] / 2,
+                                        probVectTotUp[node] = kern.merge_vectors( vect_up_up, dist[node] / 2,
                                             False, probVect[node],
                                             dist[node] / 2, is_tip,
                                             is_up_down=True)
-                                        new_up_right = K.merge_vectors(
-                                            ctx, vect_up_up, dist[node],
+                                        new_up_right = kern.merge_vectors( vect_up_up, dist[node],
                                             False, child1_vect, dist1,
                                             is_tip1, is_up_down=True)
-                                        new_up_left = K.merge_vectors(
-                                            ctx, vect_up_up, dist[node],
+                                        new_up_left = kern.merge_vectors( vect_up_up, dist[node],
                                             False, child0_vect, dist0,
                                             is_tip0, is_up_down=True)
                                         node_list.append(
@@ -311,13 +323,11 @@ class TreeRuntime:
                     if not updated_blen:
                         up_right_changed = up_left_changed = False
                         if lk_dirty:
-                            if made_change or K.are_vectors_different(
-                                    ctx, probVectUpRight[node], new_up_right):
+                            if made_change or kern.are_vectors_different( probVectUpRight[node], new_up_right):
                                 probVectUpRight[node] = new_up_right
                                 self.shorten(probVectUpRight[node])
                                 up_right_changed = True
-                            if made_change or K.are_vectors_different(
-                                    ctx, probVectUpLeft[node], new_up_left):
+                            if made_change or kern.are_vectors_different( probVectUpLeft[node], new_up_left):
                                 probVectUpLeft[node] = new_up_left
                                 self.shorten(probVectUpLeft[node])
                                 up_left_changed = True
@@ -343,8 +353,7 @@ class TreeRuntime:
                     other_is_tip = tree.is_tip(other)
                     other_vect_up = probVectUpRight[node] if child_num \
                         else probVectUpLeft[node]
-                    new_vect = K.merge_vectors(
-                        ctx, other_child_vect, other_dist, other_is_tip,
+                    new_vect = kern.merge_vectors( other_child_vect, other_dist, other_is_tip,
                         prob_vect_down, child_dist, c_is_tip)
                     if new_vect is None:
                         if (not child_dist) and (not other_dist):
@@ -355,8 +364,7 @@ class TreeRuntime:
                                 updated_blen = True
                             else:
                                 child_dist = dist[child]
-                                probVect[node] = K.merge_vectors(
-                                    ctx, other_child_vect, other_dist,
+                                probVect[node] = kern.merge_vectors( other_child_vect, other_dist,
                                     other_is_tip, prob_vect_down, child_dist,
                                     c_is_tip)
                                 node_list.append((child, 2, True, False))
@@ -373,19 +381,16 @@ class TreeRuntime:
                     if (not updated_blen) and dist[node] \
                             and up[node] is not None \
                             and vect_up_up is not None:
-                        new_tot = K.merge_vectors(
-                            ctx, vect_up_up, dist[node] / 2, False,
+                        new_tot = kern.merge_vectors( vect_up_up, dist[node] / 2, False,
                             probVect[node], dist[node] / 2, False,
                             is_up_down=True)
                         if new_tot is None:
                             self.update_blen(node)
-                            probVect[node] = K.merge_vectors(
-                                ctx, other_child_vect, other_dist,
+                            probVect[node] = kern.merge_vectors( other_child_vect, other_dist,
                                 other_is_tip, prob_vect_down, child_dist,
                                 c_is_tip)
                             node_list.append((child, 2, True, False))
-                            probVectTotUp[node] = K.merge_vectors(
-                                ctx, vect_up_up, dist[node] / 2, False,
+                            probVectTotUp[node] = kern.merge_vectors( vect_up_up, dist[node] / 2, False,
                                 probVect[node], dist[node] / 2, False,
                                 is_up_down=True)
                             made_change = True
@@ -397,8 +402,7 @@ class TreeRuntime:
 
                     if (not updated_blen) and other_vect_up is not None:
                         if up[node] is not None:
-                            new_up_vect = K.merge_vectors(
-                                ctx, vect_up_up, dist[node], False,
+                            new_up_vect = kern.merge_vectors( vect_up_up, dist[node], False,
                                 prob_vect_down, child_dist, c_is_tip,
                                 is_up_down=True)
                         else:
@@ -413,14 +417,12 @@ class TreeRuntime:
                                                      node_list=node_list)
                                     updated_blen = True
                                 else:
-                                    probVectTotUp[node] = K.merge_vectors(
-                                        ctx, vect_up_up, dist[node] / 2,
+                                    probVectTotUp[node] = kern.merge_vectors( vect_up_up, dist[node] / 2,
                                         False, probVect[node], dist[node] / 2,
                                         False, is_up_down=True)
                                     node_list.append((child, 2, True, False))
                                     made_change = True
-                                    new_up_vect = K.merge_vectors(
-                                        ctx, vect_up_up, dist[node], False,
+                                    new_up_vect = kern.merge_vectors( vect_up_up, dist[node], False,
                                         prob_vect_down, child_dist, c_is_tip,
                                         is_up_down=True)
                             else:
@@ -431,8 +433,7 @@ class TreeRuntime:
                     up_changed = down_changed = False
                     if lk_dirty:
                         if other_vect_up is not None:
-                            if made_change or K.are_vectors_different(
-                                    ctx, other_vect_up, new_up_vect):
+                            if made_change or kern.are_vectors_different( other_vect_up, new_up_vect):
                                 up_changed = True
                                 if child_num:
                                     probVectUpRight[node] = new_up_vect
@@ -440,8 +441,7 @@ class TreeRuntime:
                                 else:
                                     probVectUpLeft[node] = new_up_vect
                                     self.shorten(probVectUpLeft[node])
-                        if made_change or K.are_vectors_different(
-                                ctx, probVect[node], old_prob_vect):
+                        if made_change or kern.are_vectors_different( probVect[node], old_prob_vect):
                             down_changed = True
                     if up[node] is not None and down_changed:
                         node_list.append((up[node], tree.child_index(node),
@@ -557,9 +557,10 @@ class TreeRuntime:
                 if tree.mutations[p]:
                     break
                 p = tree.up[p]
+        kern = self.kern
         pos = 0
         muts = tree.mutations[node]
-        for entry in tree.probVect[node]:
+        for entry in kern.export(tree.probVect[node]):
             if entry[0] < 4:
                 pos += 1
                 muts.append((pos, entry[1], entry[0]))
@@ -567,20 +568,16 @@ class TreeRuntime:
                 pos += 1
             else:
                 pos = entry[1]
-        lRef = self.refd.lRef
-        tree.probVect[node] = gl.pass_through_branch(
-            lRef, tree.probVect[node], muts)
-        self.shorten(tree.probVect[node])
+
+        def repass(arr, n):
+            arr[n] = kern.pass_through_branch(arr[n], muts)
+            self.shorten(arr[n])
+
+        repass(tree.probVect, node)
         if tree.dist[node] and tree.up[node] is not None:
-            tree.probVectTotUp[node] = gl.pass_through_branch(
-                lRef, tree.probVectTotUp[node], muts)
-            self.shorten(tree.probVectTotUp[node])
-        tree.probVectUpRight[node] = gl.pass_through_branch(
-            lRef, tree.probVectUpRight[node], muts)
-        self.shorten(tree.probVectUpRight[node])
-        tree.probVectUpLeft[node] = gl.pass_through_branch(
-            lRef, tree.probVectUpLeft[node], muts)
-        self.shorten(tree.probVectUpLeft[node])
+            repass(tree.probVectTotUp, node)
+        repass(tree.probVectUpRight, node)
+        repass(tree.probVectUpLeft, node)
         stack = [tree.children[node][0], tree.children[node][1]]
         while stack:
             n = stack.pop()
@@ -588,20 +585,12 @@ class TreeRuntime:
                 tree.mutations[n] = self.merge_mutation_lists(
                     muts, tree.mutations[n], downward=True)
             else:
-                tree.probVect[n] = gl.pass_through_branch(
-                    lRef, tree.probVect[n], muts)
-                self.shorten(tree.probVect[n])
+                repass(tree.probVect, n)
                 if tree.dist[n]:
-                    tree.probVectTotUp[n] = gl.pass_through_branch(
-                        lRef, tree.probVectTotUp[n], muts)
-                    self.shorten(tree.probVectTotUp[n])
+                    repass(tree.probVectTotUp, n)
                 if tree.children[n]:
-                    tree.probVectUpRight[n] = gl.pass_through_branch(
-                        lRef, tree.probVectUpRight[n], muts)
-                    self.shorten(tree.probVectUpRight[n])
-                    tree.probVectUpLeft[n] = gl.pass_through_branch(
-                        lRef, tree.probVectUpLeft[n], muts)
-                    self.shorten(tree.probVectUpLeft[n])
+                    repass(tree.probVectUpRight, n)
+                    repass(tree.probVectUpLeft, n)
                     stack.append(tree.children[n][0])
                     stack.append(tree.children[n][1])
 
@@ -610,7 +599,7 @@ class TreeRuntime:
         """Full-tree log-likelihood: post-order merges with LK plus root
         contribution (reference calculateTreeLikelihood :9721-9779)."""
         tree = self.tree
-        ctx = self.ctx()
+        kern = self.kern
         node = root
         last_node = None
         direction = 0
@@ -633,8 +622,7 @@ class TreeRuntime:
                     c0, c1 = children[node]
                     v0 = self.pass_up(tree.probVect[c0], c0)
                     v1 = self.pass_up(tree.probVect[c1], c1)
-                    _, lk = K.merge_vectors(
-                        ctx, v0, tree.dist[c0], tree.is_tip(c0),
+                    _, lk = kern.merge_vectors( v0, tree.dist[c0], tree.is_tip(c0),
                         v1, tree.dist[c1], tree.is_tip(c1),
                         return_lk=True,
                         n_minor1=len(tree.minorSequences[c0]),
@@ -664,7 +652,7 @@ class TreeRuntime:
         sequences, and initializes the MAT (reference
         reCalculateAllGenomeLists :6013-6347)."""
         tree = self.tree
-        ctx = self.ctx()
+        kern = self.kern
         dc = self.dc
         children = tree.children
         up = tree.up
@@ -702,8 +690,7 @@ class TreeRuntime:
                     node = self._collapse_minor_on_setup(node)
                 if (not self.cfg.onlyNambiguities) \
                         and self.model.using_error_rate:
-                    self.update_terminal_vector_errors(
-                        probVect[node], len(tree.minorSequences[node]))
+                    self.refresh_terminal_errors(node)
                 if count_nodes:
                     self._count_node(node)
                 last_node = node
@@ -736,8 +723,7 @@ class TreeRuntime:
                     is_tip1 = tree.is_tip(c1)
                     v0 = self.pass_up(probVect[c0], c0)
                     v1 = self.pass_up(probVect[c1], c1)
-                    new_lower = K.merge_vectors(
-                        ctx, v0, dist[c0], is_tip0, v1, dist[c1], is_tip1)
+                    new_lower = kern.merge_vectors( v0, dist[c0], is_tip0, v1, dist[c1], is_tip1)
                     if new_lower is None:
                         if (not dist[c0]) and (not dist[c1]):
                             if first_setup:
@@ -747,14 +733,12 @@ class TreeRuntime:
                                 self.update_blen(c0)
                                 if not dist[c0]:
                                     self.update_blen(c1)
-                            probVect[node] = K.merge_vectors(
-                                ctx, v0, dist[c0], is_tip0, v1, dist[c1],
+                            probVect[node] = kern.merge_vectors( v0, dist[c0], is_tip0, v1, dist[c1],
                                 is_tip1)
                             if probVect[node] is None:
                                 dist[c0] = dc.oneMutBLen / 2
                                 dist[c1] = dc.oneMutBLen / 2
-                                probVect[node] = K.merge_vectors(
-                                    ctx, v0, dist[c0], is_tip0, v1,
+                                probVect[node] = kern.merge_vectors( v0, dist[c0], is_tip0, v1,
                                     dist[c1], is_tip1)
                                 if probVect[node] is None:
                                     raise RuntimeError(
@@ -799,11 +783,10 @@ class TreeRuntime:
                 if dist[node]:
                     is_tip = tree.is_tip(node)
                     if count_pseudo_counts:
-                        K.update_pseudo_counts(self.refd.lRef, vect_up,
+                        kern.update_pseudo_counts( vect_up,
                                                probVect[node],
                                                pseudo_mut_counts)
-                    new_vect = K.merge_vectors(
-                        ctx, vect_up, dist[node] / 2, False, probVect[node],
+                    new_vect = kern.merge_vectors( vect_up, dist[node] / 2, False, probVect[node],
                         dist[node] / 2, is_tip, is_up_down=True)
                     self.shorten(new_vect)
                     tree.probVectTotUp[node] = new_vect
@@ -815,8 +798,7 @@ class TreeRuntime:
                     is_tip1 = tree.is_tip(c1)
                     v0 = self.pass_up(probVect[c0], c0)
                     v1 = self.pass_up(probVect[c1], c1)
-                    new_up_right = K.merge_vectors(
-                        ctx, vect_up, dist[node], False, v1, dist[c1],
+                    new_up_right = kern.merge_vectors( vect_up, dist[node], False, v1, dist[c1],
                         is_tip1, is_up_down=True)
                     if new_up_right is None:
                         if (not dist[c1]) and (not dist[node]):
@@ -824,21 +806,18 @@ class TreeRuntime:
                             if not dist[node]:
                                 if first_setup:
                                     tree.probVectUpLeft[node] = \
-                                        K.merge_vectors(
-                                            ctx, vect_up, dist[node], False,
+                                        kern.merge_vectors( vect_up, dist[node], False,
                                             v0, dist[c0], is_tip0,
                                             is_up_down=True)
                                 self.update_blen(c1)
                                 tot_node_list.append((node, 1, True, False))
                             else:
-                                tree.probVectTotUp[node] = K.merge_vectors(
-                                    ctx, vect_up, dist[node] / 2, False,
+                                tree.probVectTotUp[node] = kern.merge_vectors( vect_up, dist[node] / 2, False,
                                     probVect[node], dist[node] / 2, False,
                                     is_up_down=True)
                                 tot_node_list.append(
                                     (up[node], node_child_num, True, False))
-                            tree.probVectUpRight[node] = K.merge_vectors(
-                                ctx, vect_up, dist[node], False, v1,
+                            tree.probVectUpRight[node] = kern.merge_vectors( vect_up, dist[node], False, v1,
                                 dist[c1], is_tip1, is_up_down=True)
                         else:
                             raise RuntimeError(
@@ -847,8 +826,7 @@ class TreeRuntime:
                     else:
                         self.shorten(new_up_right)
                         tree.probVectUpRight[node] = new_up_right
-                    new_up_left = K.merge_vectors(
-                        ctx, vect_up, dist[node], False, v0, dist[c0],
+                    new_up_left = kern.merge_vectors( vect_up, dist[node], False, v0, dist[c0],
                         is_tip0, is_up_down=True)
                     if new_up_left is None:
                         if (not dist[c0]) and (not dist[node]):
@@ -857,17 +835,14 @@ class TreeRuntime:
                                 self.update_blen(node)
                                 tot_node_list.append(
                                     (up[node], node_child_num, True, False))
-                                tree.probVectTotUp[node] = K.merge_vectors(
-                                    ctx, vect_up, dist[node] / 2, False,
+                                tree.probVectTotUp[node] = kern.merge_vectors( vect_up, dist[node] / 2, False,
                                     probVect[node], dist[node] / 2,
                                     tree.is_tip(node), is_up_down=True)
-                                tree.probVectUpRight[node] = K.merge_vectors(
-                                    ctx, vect_up, dist[node], False, v1,
+                                tree.probVectUpRight[node] = kern.merge_vectors( vect_up, dist[node], False, v1,
                                     dist[c1], is_tip1, is_up_down=True)
                             else:
                                 tot_node_list.append((node, 0, True, False))
-                            tree.probVectUpLeft[node] = K.merge_vectors(
-                                ctx, vect_up, dist[node], False, v0,
+                            tree.probVectUpLeft[node] = kern.merge_vectors( vect_up, dist[node], False, v0,
                                 dist[c0], is_tip0, is_up_down=True)
                         else:
                             raise RuntimeError(
@@ -893,7 +868,7 @@ class TreeRuntime:
     def _count_node(self, node):
         stats = self.num_nodes_stats
         stats[0] += 1
-        for entry in self.tree.probVect[node]:
+        for entry in self.kern.export(self.tree.probVect[node]):
             if entry[0] < 4:
                 stats[1] += 1
             elif entry[0] == TYPE_R:
@@ -923,8 +898,8 @@ class TreeRuntime:
             sibling = tree.children[tree.up[node]][0]
             if tree.dist[sibling] or tree.children[sibling]:
                 return node
-            comparison = K.is_minor_sequence(
-                self.refd.lRef, tree.probVect[node], tree.probVect[sibling],
+            comparison = self.kern.is_minor_sequence(
+                tree.probVect[node], tree.probVect[sibling],
                 only_find_identical=only_identical)
             if comparison == 1:
                 major, minor_n = node, sibling
@@ -950,10 +925,22 @@ class TreeRuntime:
 
     # ------------------------------------------------------------------
     def setup_mat(self, root: int):
-        """Initialize MAT local references on an input tree: nodes flagged
-        ``isRef`` get a mutation list of their non-reference sites and all
-        lists below are re-expressed relative to them (reference setUpMAT
-        :4148-4391)."""
+        """Initialize MAT local references on an input tree (reference
+        setUpMAT :4148-4391).  The rewrite walks raw tuple entries, so on
+        the native backend lower vectors round-trip through tuples."""
+        if self.kern.name != "python":
+            tree = self.tree
+            for i, v in enumerate(tree.probVect):
+                if v is not None:
+                    tree.probVect[i] = self.kern.export(v)
+            self._setup_mat_tuples(root)
+            for i, v in enumerate(tree.probVect):
+                if v is not None:
+                    tree.probVect[i] = self.kern.import_tuples(v)
+        else:
+            self._setup_mat_tuples(root)
+
+    def _setup_mat_tuples(self, root: int):
         tree = self.tree
         lRef = self.refd.lRef
         ref_indices = self.refd.ref_indices
@@ -1072,7 +1059,7 @@ class TreeRuntime:
                         entry = prob_vect[ind_prob]
                         pos_entry = entry[1] if entry[0] in (TYPE_R, TYPE_N) \
                             else pos_entry + 1
-                self.shorten(new_prob_vect)
+                gl.shorten(new_prob_vect, self.dc.thresholdProb)
                 tree.probVect[node] = new_prob_vect
                 if tree.children[node]:
                     if is_ref:

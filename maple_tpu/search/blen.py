@@ -17,7 +17,7 @@ def optimize_branch_lengths(rt: TreeRuntime, root: int, testing: bool = False,
     tree = rt.tree
     cfg = rt.cfg
     dc = rt.dc
-    ctx = rt.ctx()
+    kern = rt.kern
     up = tree.up
     children = tree.children
     dist = tree.dist
@@ -45,8 +45,7 @@ def optimize_branch_lengths(rt: TreeRuntime, root: int, testing: bool = False,
             bl2 = max(tot_dist - bl1, 0.0)
             bl1 /= lRef
             bl2 /= lRef
-            root_vector, cost = K.merge_vectors(
-                ctx, v1, bl1, tip1, v2, bl2, tip2, return_lk=True)
+            root_vector, cost = kern.merge_vectors(v1, bl1, tip1, v2, bl2, tip2, return_lk=True)
             cost += rt.find_prob_root(root_vector, node=root)
             if use_hnz:
                 if bl1 < eff0:
@@ -86,14 +85,11 @@ def optimize_branch_lengths(rt: TreeRuntime, root: int, testing: bool = False,
             if tree.mutations[node]:
                 up_vect = rt.pass_down(up_vect, node)
             is_tip = tree.is_tip(node)
-            best_length = K.estimate_branch_length(
-                ctx, up_vect, probVect[node], from_tip_c=is_tip)
+            best_length = kern.estimate_branch_length(up_vect, probVect[node], from_tip_c=is_tip)
             if best_length or dist[node]:
                 if testing or use_hnz:
-                    current_cost = K.append_prob_node(
-                        ctx, up_vect, probVect[node], is_tip, dist[node])
-                    new_cost = K.append_prob_node(
-                        ctx, up_vect, probVect[node], is_tip, best_length)
+                    current_cost = kern.append_prob_node(up_vect, probVect[node], is_tip, dist[node])
+                    new_cost = kern.append_prob_node(up_vect, probVect[node], is_tip, best_length)
                     if use_hnz:
                         p0 = up[node]
                         while dist[p0] <= eff0 and up[p0] is not None:
@@ -121,7 +117,7 @@ def optimize_branch_lengths(rt: TreeRuntime, root: int, testing: bool = False,
                     if testing:
                         total_improvement += new_cost - current_cost
                 if use_hnz and dist[node] > eff0 and best_length > eff0:
-                    cost0 = K.append_prob_node(ctx, up_vect, probVect[node],
+                    cost0 = kern.append_prob_node(up_vect, probVect[node],
                                                is_tip, 0.0)
                     if cost0 > -1000000:
                         cost0 += get_hnz(

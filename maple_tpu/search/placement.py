@@ -18,7 +18,7 @@ from typing import Optional
 from ..core import genomelist as gl
 from ..core import kernels as K
 from ..models.hnz import get_hnz
-from ..runtime.partials import TreeRuntime, num_non4
+from ..runtime.partials import TreeRuntime
 
 
 class PlacementStats:
@@ -47,7 +47,7 @@ def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,
     tree = rt.tree
     cfg = rt.cfg
     dc = rt.dc
-    ctx = rt.ctx()
+    kern = rt.kern
     up = tree.up
     children = tree.children
     dist = tree.dist
@@ -77,8 +77,7 @@ def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,
     def try_absorb_minor(node, diffs_at):
         """Absorb as a minor sequence if strictly less informative; returns
         True when absorbed (reference :7934-8010)."""
-        comparison = K.is_minor_sequence(
-            lRef, probVect[node], diffs_at,
+        comparison = kern.is_minor_sequence(probVect[node], diffs_at,
             only_find_identical=only_identical)
         if comparison == 1 and not compute_placement_support_only:
             tree.minorSequences[node].append(sample)
@@ -107,7 +106,7 @@ def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,
             return root, 1.0, None, diffs
 
     root_vect = rt.root_vector(probVect[root], False, False, root)
-    best_lk_diff = K.append_prob_node(ctx, root_vect, diffs, True, one_mut)
+    best_lk_diff = kern.append_prob_node(root_vect, diffs, True, one_mut)
     if use_hnz:
         best_lk_diff += get_hnz(cfg.HnZ, tree.nDesc0[root] + 1) \
             - get_hnz(cfg.HnZ, tree.nDesc0[root])
@@ -134,25 +133,21 @@ def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,
                     up_vect = rt.pass_down(up_vect, t1)
                 is_tip = tree.is_tip(t1)
                 best_appending = one_mut
-                mid_lower = K.merge_vectors(
-                    ctx, probVect[t1], dist[t1] / 2, is_tip, diffs_at,
+                mid_lower = kern.merge_vectors(probVect[t1], dist[t1] / 2, is_tip, diffs_at,
                     best_appending, True)
-                best_top = K.estimate_branch_length(ctx, up_vect, mid_lower)
-                mid_top = K.merge_vectors(
-                    ctx, up_vect, best_top, False, diffs_at, best_appending,
+                best_top = kern.estimate_branch_length(up_vect, mid_lower)
+                mid_top = kern.merge_vectors(up_vect, best_top, False, diffs_at, best_appending,
                     True, is_up_down=True)
-                best_bottom = K.estimate_branch_length(
-                    ctx, mid_top, probVect[t1], from_tip_c=is_tip)
-                new_mid = K.merge_vectors(
-                    ctx, up_vect, best_top, False, probVect[t1], best_bottom,
+                best_bottom = kern.estimate_branch_length(mid_top, probVect[t1], from_tip_c=is_tip)
+                new_mid = kern.merge_vectors(up_vect, best_top, False, probVect[t1], best_bottom,
                     is_tip, is_up_down=True)
-                lk_diff = K.append_prob_node(ctx, new_mid, diffs_at, True,
+                lk_diff = kern.append_prob_node(new_mid, diffs_at, True,
                                              best_appending)
                 if use_hnz:
                     lk_diff += _hnz_mid_branch_term(
                         rt, t1, best_top, best_bottom)
             else:
-                lk_diff = K.append_prob_node(ctx, probVectTotUp[t1],
+                lk_diff = kern.append_prob_node(probVectTotUp[t1],
                                              diffs_at, True, one_mut)
                 best_bottom = dist[t1] / 2
                 best_top = dist[t1] / 2
@@ -167,7 +162,7 @@ def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,
                     else:
                         lk_diff += get_hnz(cfg.HnZ, 2) - get_hnz(cfg.HnZ, 1)
             if lk_diff >= best_lk_diff:
-                gl.shorten(diffs_at, dc.thresholdProb)
+                kern.shorten(diffs_at)
                 best_lk_diff = lk_diff
                 best_node = t1
                 failed_passes = 0
@@ -210,27 +205,21 @@ def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,
         if tree.mutations[node]:
             up_vect = rt.pass_down(up_vect, node)
         is_tip = tree.is_tip(node)
-        best_appending = K.estimate_branch_length(
-            ctx, probVectTotUp[node], diffs_at, from_tip_c=True)
-        mid_lower = K.merge_vectors(
-            ctx, probVect[node], dist[node] / 2, is_tip, diffs_at,
+        best_appending = kern.estimate_branch_length(probVectTotUp[node], diffs_at, from_tip_c=True)
+        mid_lower = kern.merge_vectors(probVect[node], dist[node] / 2, is_tip, diffs_at,
             best_appending, True)
-        best_top = K.estimate_branch_length(ctx, up_vect, mid_lower)
-        mid_top = K.merge_vectors(
-            ctx, up_vect, best_top, False, diffs_at, best_appending, True,
+        best_top = kern.estimate_branch_length(up_vect, mid_lower)
+        mid_top = kern.merge_vectors(up_vect, best_top, False, diffs_at, best_appending, True,
             is_up_down=True)
-        best_bottom = K.estimate_branch_length(
-            ctx, mid_top, probVect[node], from_tip_c=is_tip)
-        new_mid = K.merge_vectors(
-            ctx, up_vect, best_top, False, probVect[node], best_bottom,
+        best_bottom = kern.estimate_branch_length(mid_top, probVect[node], from_tip_c=is_tip)
+        new_mid = kern.merge_vectors(up_vect, best_top, False, probVect[node], best_bottom,
             is_tip, is_up_down=True)
-        appending_cost = K.append_prob_node(ctx, new_mid, diffs_at, True,
+        appending_cost = kern.append_prob_node(new_mid, diffs_at, True,
                                             best_appending)
         # account for the change in the appended-on branch's own likelihood
-        initial_cost = K.append_prob_node(ctx, up_vect, probVect[node],
+        initial_cost = kern.append_prob_node(up_vect, probVect[node],
                                           is_tip, dist[node])
-        new_partial_cost = K.append_prob_node(
-            ctx, up_vect, probVect[node], is_tip, best_bottom + best_top)
+        new_partial_cost = kern.append_prob_node(up_vect, probVect[node], is_tip, best_bottom + best_top)
         optimized_score = appending_cost + new_partial_cost - initial_cost
         if use_hnz:
             optimized_score, best_top, best_bottom = _hnz_optimize_placement(
@@ -280,7 +269,7 @@ def _hnz_optimize_placement(rt, node, diffs_at, up_vect, is_tip,
     0-length bottom branch (reference :8039-8064, :8151-8200)."""
     tree = rt.tree
     cfg = rt.cfg
-    ctx = rt.ctx()
+    kern = rt.kern
     eff0 = rt.dc.effectivelyNon0BLen
     dist = tree.dist
     up = tree.up
@@ -296,15 +285,13 @@ def _hnz_optimize_placement(rt, node, diffs_at, up_vect, is_tip,
         optimized_score += get_hnz(cfg.HnZ, tree.nDesc0[p0] + 1) \
             - get_hnz(cfg.HnZ, tree.nDesc0[p0])
     if best_bottom > eff0 and dist[node] > eff0:
-        alt_mid = K.merge_vectors(
-            ctx, up_vect, best_top + best_bottom, False,
+        alt_mid = kern.merge_vectors(up_vect, best_top + best_bottom, False,
             tree.probVect[node], 0.0, is_tip, is_up_down=True)
-        alt_cost = K.append_prob_node(ctx, alt_mid, diffs_at, True,
+        alt_cost = kern.append_prob_node(alt_mid, diffs_at, True,
                                       best_appending)
-        initial_cost = K.append_prob_node(ctx, up_vect, tree.probVect[node],
+        initial_cost = kern.append_prob_node(up_vect, tree.probVect[node],
                                           is_tip, dist[node])
-        new_partial = K.append_prob_node(
-            ctx, up_vect, tree.probVect[node], is_tip,
+        new_partial = kern.append_prob_node(up_vect, tree.probVect[node], is_tip,
             best_bottom + best_top)
         alt_optimized = alt_cost + new_partial - initial_cost
         alt_optimized += get_hnz(cfg.HnZ, tree.nDesc0[node] + 1) \
@@ -417,7 +404,7 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
     tree = rt.tree
     cfg = rt.cfg
     dc = rt.dc
-    ctx = rt.ctx()
+    kern = rt.kern
     up = tree.up
     children = tree.children
     dist = tree.dist
@@ -434,10 +421,9 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
         try_new_root = True
         root_new_partials = new_partials
         tot_root = rt.root_vector(probVect[node], False, False, node)
-        best_appending_length = K.estimate_branch_length(
-            ctx, tot_root, new_partials, from_tip_c=True)
+        best_appending_length = kern.estimate_branch_length(tot_root, new_partials, from_tip_c=True)
         root = node
-        new_child_lk = K.append_prob_node(ctx, tot_root, new_partials, True,
+        new_child_lk = kern.append_prob_node(tot_root, new_partials, True,
                                           best_appending_length)
     else:
         child = tree.child_index(node)
@@ -480,29 +466,28 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
         root_up_left = rt.root_vector(probVect[node],
                                       best_appending_length / 2, is_tip,
                                       node)
-        best_right = K.estimate_branch_length(ctx, root_up_left,
+        best_right = kern.estimate_branch_length(root_up_left,
                                               root_new_partials,
                                               from_tip_c=True)
         root_up_right = rt.root_vector(root_new_partials, best_right, True,
                                        node)
-        best_left = K.estimate_branch_length(ctx, root_up_right,
+        best_left = kern.estimate_branch_length(root_up_right,
                                              probVect[node],
                                              from_tip_c=is_tip)
         # second round of root branch-length optimization
         root_up_left = rt.root_vector(probVect[node], best_left, is_tip,
                                       node)
-        best_right = K.estimate_branch_length(ctx, root_up_left,
+        best_right = kern.estimate_branch_length(root_up_left,
                                               root_new_partials,
                                               from_tip_c=True)
         root_up_right = rt.root_vector(root_new_partials, best_right, True,
                                        node)
-        best_left = K.estimate_branch_length(ctx, root_up_right,
+        best_left = kern.estimate_branch_length(root_up_right,
                                              probVect[node],
                                              from_tip_c=is_tip)
-        prob_vect_root = K.merge_vectors(
-            ctx, probVect[node], best_left, is_tip, root_new_partials,
+        prob_vect_root = kern.merge_vectors(probVect[node], best_left, is_tip, root_new_partials,
             best_right, True, n_minor1=len(tree.minorSequences[node]))
-        prob_root = K.append_prob_node(ctx, root_up_left, root_new_partials,
+        prob_root = kern.append_prob_node(root_up_left, root_new_partials,
                                        True, best_right)
         prob_root += rt.find_prob_root(prob_vect_root, node=node)
         if use_hnz:
@@ -512,8 +497,7 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
             # placing as a direct descendant of the root is better
             best_right = best_appending_length
             best_left = False
-            prob_vect_root = K.merge_vectors(
-                ctx, probVect[node], best_left, is_tip, root_new_partials,
+            prob_vect_root = kern.merge_vectors(probVect[node], best_left, is_tip, root_new_partials,
                 best_right, True)
             root_up_right = rt.root_vector(root_new_partials, best_right,
                                            True, node)
@@ -550,14 +534,13 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
         rt.shorten(root_new_partials)
         probVect[new_node] = root_new_partials
         if best_right:
-            tree.probVectTotUp[new_node] = K.merge_vectors(
-                ctx, tree.probVectUpLeft[new_root], best_right / 2, False,
+            tree.probVectTotUp[new_node] = kern.merge_vectors(tree.probVectUpLeft[new_root], best_right / 2, False,
                 root_new_partials, best_right / 2, True, is_up_down=True)
             rt.shorten(tree.probVectTotUp[new_node])
         rt.update_partials([(node, 2, True, False)])
         if (not tree.mutations[new_root]) \
                 and tree.nDesc[new_root] >= cfg.maxNumDescendantsForMATClade \
-                and num_non4(probVect[new_root]) > cfg.minNumNon4 \
+                and rt.kern.num_non4(probVect[new_root]) > cfg.minNumNon4 \
                 and rt.use_local_reference:
             rt.make_node_reference(new_root)
         return new_root
@@ -622,21 +605,18 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
     if pass_up_mutations:
         probVect[new_node] = rt.pass_up(probVect[new_node], node)
     rt.shorten(probVect[new_node])
-    probVect[new_internal] = K.merge_vectors(
-        ctx, probVect[node], best_down_length, is_tip, new_partials,
+    probVect[new_internal] = kern.merge_vectors(probVect[node], best_down_length, is_tip, new_partials,
         best_appending_length, True)
     if pass_up_mutations:
         probVect[new_internal] = rt.pass_up(probVect[new_internal], node)
     rt.shorten(probVect[new_internal])
-    tree.probVectUpRight[new_internal] = K.merge_vectors(
-        ctx, vect_up, best_up_length, False, new_partials,
+    tree.probVectUpRight[new_internal] = kern.merge_vectors(vect_up, best_up_length, False, new_partials,
         best_appending_length, True, is_up_down=True)
     if pass_up_mutations:
         tree.probVectUpRight[new_internal] = rt.pass_up(
             tree.probVectUpRight[new_internal], node)
     rt.shorten(tree.probVectUpRight[new_internal])
-    tree.probVectUpLeft[new_internal] = K.merge_vectors(
-        ctx, vect_up, best_up_length, False, probVect[node],
+    tree.probVectUpLeft[new_internal] = kern.merge_vectors(vect_up, best_up_length, False, probVect[node],
         best_down_length, is_tip, is_up_down=True)
     if pass_up_mutations:
         tree.probVectUpLeft[new_internal] = rt.pass_up(
@@ -647,8 +627,7 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
             or tree.probVectUpLeft[new_internal] is None:
         raise RuntimeError("None genome list created in placement")
     if best_up_length:
-        tree.probVectTotUp[new_internal] = K.merge_vectors(
-            ctx, vect_up, best_up_length / 2, False, probVect[new_internal],
+        tree.probVectTotUp[new_internal] = kern.merge_vectors(vect_up, best_up_length / 2, False, probVect[new_internal],
             best_up_length / 2, False, is_up_down=True)
         if pass_up_mutations:
             tree.probVectTotUp[new_internal] = rt.pass_up(
@@ -657,16 +636,14 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
     else:
         tree.probVectTotUp[new_internal] = None
     if best_appending_length:
-        tree.probVectTotUp[new_node] = K.merge_vectors(
-            ctx, tree.probVectUpLeft[new_internal],
+        tree.probVectTotUp[new_node] = kern.merge_vectors(tree.probVectUpLeft[new_internal],
             best_appending_length / 2, False, new_partials,
             best_appending_length / 2, True, is_up_down=True)
         if pass_up_mutations:
             tree.probVectTotUp[new_node] = rt.pass_up(
                 tree.probVectTotUp[new_node], node)
         rt.shorten(tree.probVectTotUp[new_node])
-        K.update_pseudo_counts(rt.refd.lRef,
-                               tree.probVectUpLeft[new_internal],
+        kern.update_pseudo_counts(tree.probVectUpLeft[new_internal],
                                new_partials, pseudo_mut_counts)
     else:
         tree.probVectTotUp[new_node] = None
@@ -678,7 +655,7 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
         tree.nDesc[p_node] += descendants_to_pass
         while not tree.mutations[p_node]:
             if tree.nDesc[p_node] >= cfg.maxNumDescendantsForMATClade \
-                    and num_non4(probVect[p_node]) > cfg.minNumNon4 \
+                    and rt.kern.num_non4(probVect[p_node]) > cfg.minNumNon4 \
                     and rt.use_local_reference:
                 rt.make_node_reference(
                     p_node, old_value=tree.nDesc[p_node]

@@ -145,7 +145,7 @@ def find_best_root(rt: TreeRuntime, root: int, strict_stop=None,
     tree = rt.tree
     cfg = rt.cfg
     dc = rt.dc
-    ctx = rt.ctx()
+    kern = rt.kern
     up = tree.up
     children = tree.children
     dist = tree.dist
@@ -170,8 +170,7 @@ def find_best_root(rt: TreeRuntime, root: int, strict_stop=None,
         original_lk_cost = rt.find_prob_root(probVect[root], node=root)
         is_tip2 = tree.is_tip(child2)
         is_tip1 = tree.is_tip(child1)
-        _, lk = K.merge_vectors(
-            ctx, vect_up1, dist[child2], is_tip2, vect_up2, dist[child1],
+        _, lk = kern.merge_vectors(vect_up1, dist[child2], is_tip2, vect_up2, dist[child1],
             is_tip1, return_lk=True,
             n_minor1=len(tree.minorSequences[child2]),
             n_minor2=len(tree.minorSequences[child1]))
@@ -202,8 +201,7 @@ def find_best_root(rt: TreeRuntime, root: int, strict_stop=None,
             prob_vects[i] = rt.pass_up(prob_vects[i], childs[i])
             is_tips.append(tree.is_tip(childs[i]))
         new_lk_to_remove = lk_to_remove
-        _, lk = K.merge_vectors(
-            ctx, prob_vects[0], dists[0], is_tips[0], prob_vects[1],
+        _, lk = kern.merge_vectors(prob_vects[0], dists[0], is_tips[0], prob_vects[1],
             dists[1], is_tips[1], return_lk=True, n_minor1=num_minors[0],
             n_minor2=num_minors[1])
         new_lk_to_remove += lk
@@ -211,20 +209,18 @@ def find_best_root(rt: TreeRuntime, root: int, strict_stop=None,
             traverse = False
             up_vect = None
             try:
-                up_vect, lk = K.merge_vectors(
-                    ctx, prob_vects[1 - i], dists[1 - i], is_tips[1 - i],
+                up_vect, lk = kern.merge_vectors(prob_vects[1 - i], dists[1 - i], is_tips[1 - i],
                     passed_partials, distance, is_tip, return_lk=True,
                     n_minor1=num_minors[1 - i], n_minor2=num_minor)
                 new_lk_to_remove_pass = new_lk_to_remove - lk
-                new_root_vect, lk_root = K.merge_vectors(
-                    ctx, up_vect, dists[i] / 2, False, prob_vects[i],
+                new_root_vect, lk_root = kern.merge_vectors(up_vect, dists[i] / 2, False, prob_vects[i],
                     dists[i] / 2, is_tips[i], return_lk=True, n_minor1=0,
                     n_minor2=num_minors[i])
                 root_prob_lk = rt.find_prob_root(new_root_vect, node=t1)
                 score = root_prob_lk + lk_root + lk - new_lk_to_remove
                 failed_new = failed_passes
                 if score > best_lk_diff:
-                    gl.shorten(up_vect, dc.thresholdProb)
+                    kern.shorten(up_vect)
                     best_lk_diff = score
                     best_node = childs[i]
                     failed_new = 0
@@ -247,7 +243,7 @@ def find_best_root(rt: TreeRuntime, root: int, strict_stop=None,
             if traverse:
                 if tree.mutations[childs[i]]:
                     vect_to_pass = rt.pass_down(up_vect, childs[i])
-                    gl.shorten(vect_to_pass, dc.thresholdProb)
+                    kern.shorten(vect_to_pass)
                 else:
                     vect_to_pass = up_vect
                 nodes_to_visit.append(

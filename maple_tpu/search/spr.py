@@ -27,28 +27,23 @@ def evaluate_placement(rt: TreeRuntime, mid_tot, down_vect, up_vect,
                        from_tip1):
     """3-way branch-length optimization of one candidate attachment
     (reference evaluatePlacement :6790-6806)."""
-    ctx = rt.ctx()
+    kern = rt.kern
     dc = rt.dc
-    best_appending = K.estimate_branch_length(
-        ctx, mid_tot, removed_partials, from_tip_c=is_removed_tip)
-    mid_lower = K.merge_vectors(
-        ctx, down_vect, distance / 2, from_tip1, removed_partials,
+    best_appending = kern.estimate_branch_length(mid_tot, removed_partials, from_tip_c=is_removed_tip)
+    mid_lower = kern.merge_vectors(down_vect, distance / 2, from_tip1, removed_partials,
         best_appending, is_removed_tip)
-    best_top = K.estimate_branch_length(ctx, up_vect, mid_lower)
-    mid_top = K.merge_vectors(
-        ctx, up_vect, best_top, False, removed_partials, best_appending,
+    best_top = kern.estimate_branch_length(up_vect, mid_lower)
+    mid_top = kern.merge_vectors(up_vect, best_top, False, removed_partials, best_appending,
         is_removed_tip, is_up_down=True)
     if mid_top is None:
         best_top = rt.cfg.defaultBLen * 0.1
-        mid_top = K.merge_vectors(
-            ctx, up_vect, best_top, False, removed_partials, best_appending,
+        mid_top = kern.merge_vectors(up_vect, best_top, False, removed_partials, best_appending,
             is_removed_tip, is_up_down=True)
-    best_bottom = K.estimate_branch_length(ctx, mid_top, down_vect,
+    best_bottom = kern.estimate_branch_length(mid_top, down_vect,
                                            from_tip_c=from_tip1)
-    new_mid = K.merge_vectors(
-        ctx, up_vect, best_top, False, down_vect, best_bottom, from_tip1,
+    new_mid = kern.merge_vectors(up_vect, best_top, False, down_vect, best_bottom, from_tip1,
         is_up_down=True)
-    appending_cost = K.append_prob_node(ctx, new_mid, removed_partials,
+    appending_cost = kern.append_prob_node(new_mid, removed_partials,
                                         is_removed_tip, best_appending)
     return appending_cost, best_bottom, best_top, best_appending
 
@@ -66,7 +61,7 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
     tree = rt.tree
     cfg = rt.cfg
     dc = rt.dc
-    ctx = rt.ctx()
+    kern = rt.kern
     up = tree.up
     children = tree.children
     dist = tree.dist
@@ -210,12 +205,11 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                     and (dist[t1] > eff0 or up[up[t1]] is None):
                 if needs_updating:
                     is_tip = tree.is_tip(t1)
-                    mid_tot = K.merge_vectors(
-                        ctx, passed_partials, distance / 2, False,
+                    mid_tot = kern.merge_vectors(passed_partials, distance / 2, False,
                         probVect[t1], distance / 2, is_tip, is_up_down=True)
                     if mid_tot is None:
                         continue
-                    if not K.are_vectors_different(ctx, mid_tot,
+                    if not kern.are_vectors_different(mid_tot,
                                                    probVectTotUp[t1]):
                         needs_updating = False
                 else:
@@ -235,8 +229,7 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                                            distance, removed_rel_here,
                                            is_removed_tip, from_tip1)
                 else:
-                    mid_prob = K.append_prob_node(
-                        ctx, mid_tot, removed_rel_here, is_removed_tip,
+                    mid_prob = kern.append_prob_node(mid_tot, removed_rel_here, is_removed_tip,
                         removed_blen)
                     best_bottom = distance / 2
                     best_top = distance / 2
@@ -257,7 +250,7 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                 if mid_prob > best_lk_diff:
                     best_lk_diff = mid_prob
                     failed_passes = 0
-                    gl.shorten(removed_rel_here, dc.thresholdProb)
+                    kern.shorten(removed_rel_here)
                 elif mid_prob < (last_lk - threshold_consecutive):
                     failed_passes += 1
             else:
@@ -277,8 +270,7 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                     other = children[t1][1 - ci]
                     if needs_updating:
                         other_vect = rt.pass_up(probVect[other], other)
-                        vect_next = K.merge_vectors(
-                            ctx, passed_partials, distance, False,
+                        vect_next = kern.merge_vectors(passed_partials, distance, False,
                             other_vect, dist[other], tree.is_tip(other),
                             is_up_down=True)
                     else:
@@ -311,24 +303,21 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                 if needs_updating:
                     other_vect = rt.pass_up(probVect[other_child],
                                             other_child)
-                    mid_bottom = K.merge_vectors(
-                        ctx, passed_partials, distance, False, other_vect,
+                    mid_bottom = kern.merge_vectors(passed_partials, distance, False, other_vect,
                         dist[other_child], tree.is_tip(other_child))
                     if mid_bottom is None:
                         continue
                     vect_up = tree.vect_up_for(t1)
                     if tree.mutations[t1]:
                         vect_up = rt.pass_down(vect_up, t1)
-                    mid_tot = K.merge_vectors(
-                        ctx, vect_up, dist[t1] / 2, False, mid_bottom,
+                    mid_tot = kern.merge_vectors(vect_up, dist[t1] / 2, False, mid_bottom,
                         dist[t1] / 2, False, is_up_down=True)
                     if probVectTotUp[t1] is None:
-                        probVectTotUp[t1] = K.merge_vectors(
-                            ctx, vect_up, dist[t1] / 2, False, probVect[t1],
+                        probVectTotUp[t1] = kern.merge_vectors(vect_up, dist[t1] / 2, False, probVect[t1],
                             dist[t1] / 2, False, is_up_down=True)
                     if mid_tot is None:
                         continue
-                    if not K.are_vectors_different(ctx, mid_tot,
+                    if not kern.are_vectors_different(mid_tot,
                                                    probVectTotUp[t1]):
                         needs_updating = False
                 else:
@@ -347,8 +336,7 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                                            dist[t1], removed_rel_here,
                                            is_removed_tip, False)
                 else:
-                    mid_prob = K.append_prob_node(
-                        ctx, mid_tot, removed_rel_here, is_removed_tip,
+                    mid_prob = kern.append_prob_node(mid_tot, removed_rel_here, is_removed_tip,
                         removed_blen)
                     best_bottom = dist[t1] / 2
                     best_top = dist[t1] / 2
@@ -388,8 +376,7 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                             if up_child == 0 else tree.probVectUpLeft[up[t1]]
                         if tree.mutations[t1]:
                             vect_up_up = rt.pass_down(vect_up_up, t1)
-                        vect_up2 = K.merge_vectors(
-                            ctx, vect_up_up, dist[t1], False,
+                        vect_up2 = kern.merge_vectors(vect_up_up, dist[t1], False,
                             passed_partials, distance, False,
                             is_up_down=True)
                     else:
@@ -419,8 +406,7 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                         if mid_bottom is None:
                             other_vect = rt.pass_up(probVect[other_child],
                                                     other_child)
-                            mid_bottom = K.merge_vectors(
-                                ctx, passed_partials, distance, False,
+                            mid_bottom = kern.merge_vectors(passed_partials, distance, False,
                                 other_vect, dist[other_child],
                                 tree.is_tip(other_child))
                             if mid_bottom is None:
@@ -495,10 +481,9 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
         appending_cost, best_bottom, best_top, best_appending = \
             evaluate_placement(rt, mid_tot, down_vect, up_vect, distance,
                                removed_partials, is_removed_tip, from_tip1)
-        initial_cost = K.append_prob_node(ctx, up_vect, down_vect, from_tip1,
+        initial_cost = kern.append_prob_node(up_vect, down_vect, from_tip1,
                                           distance)
-        new_partial_cost = K.append_prob_node(
-            ctx, up_vect, down_vect, from_tip1, best_bottom + best_top)
+        new_partial_cost = kern.append_prob_node(up_vect, down_vect, from_tip1, best_bottom + best_top)
         optimized_score = appending_cost + new_partial_cost - initial_cost
         if use_hnz:
             optimized_score, best_top, best_bottom = _hnz_spr_correction(
@@ -564,7 +549,7 @@ def _hnz_spr_correction(rt, node, child, t1, original_parent0, up_vect,
     0-bottom-length alternative (reference :7518-7634)."""
     tree = rt.tree
     cfg = rt.cfg
-    ctx = rt.ctx()
+    kern = rt.kern
     dc = rt.dc
     eff0 = dc.effectivelyNon0BLen
     up = tree.up
@@ -656,14 +641,13 @@ def _hnz_spr_correction(rt, node, child, t1, original_parent0, up_vect,
     optimized_score += addendum
 
     if best_bottom > eff0 and dist[t1] > eff0:
-        alt_mid = K.merge_vectors(
-            ctx, up_vect, best_top + best_bottom, False, down_vect, 0.0,
+        alt_mid = kern.merge_vectors(up_vect, best_top + best_bottom, False, down_vect, 0.0,
             from_tip1, is_up_down=True)
-        alt_cost = K.append_prob_node(ctx, alt_mid, removed_partials,
+        alt_cost = kern.append_prob_node(alt_mid, removed_partials,
                                       is_removed_tip, best_appending)
-        initial_cost = K.append_prob_node(ctx, up_vect, down_vect, from_tip1,
+        initial_cost = kern.append_prob_node(up_vect, down_vect, from_tip1,
                                           distance)
-        new_partial = K.append_prob_node(ctx, up_vect, down_vect, from_tip1,
+        new_partial = kern.append_prob_node(up_vect, down_vect, from_tip1,
                                          best_bottom + best_top)
         alt_optimized = alt_cost + new_partial - initial_cost
         if (best_top + best_bottom) > eff0:
@@ -703,7 +687,7 @@ def place_subtree_on_tree(rt: TreeRuntime, node: int, new_partials,
     tree = rt.tree
     cfg = rt.cfg
     dc = rt.dc
-    ctx = rt.ctx()
+    kern = rt.kern
     up = tree.up
     children = tree.children
     dist = tree.dist
@@ -745,36 +729,32 @@ def place_subtree_on_tree(rt: TreeRuntime, node: int, new_partials,
         prob_old_root = rt.find_prob_root(probVect[node], node=node)
         root_up_left = rt.root_vector(probVect[node], best_appending / 2,
                                       is_tip, node)
-        best_right = K.estimate_branch_length(
-            ctx, root_up_left, root_new_partials, from_tip_c=appended_is_tip)
+        best_right = kern.estimate_branch_length(root_up_left, root_new_partials, from_tip_c=appended_is_tip)
         root_up_right = rt.root_vector(root_new_partials, best_right,
                                        appended_is_tip, node)
-        best_left = K.estimate_branch_length(ctx, root_up_right,
+        best_left = kern.estimate_branch_length(root_up_right,
                                              probVect[node],
                                              from_tip_c=is_tip)
         root_up_left = rt.root_vector(probVect[node], best_left, is_tip,
                                       node)
-        best_right = K.estimate_branch_length(
-            ctx, root_up_left, root_new_partials, from_tip_c=appended_is_tip)
+        best_right = kern.estimate_branch_length(root_up_left, root_new_partials, from_tip_c=appended_is_tip)
         root_up_right = rt.root_vector(root_new_partials, best_right,
                                        appended_is_tip, node)
-        best_left = K.estimate_branch_length(ctx, root_up_right,
+        best_left = kern.estimate_branch_length(root_up_right,
                                              probVect[node],
                                              from_tip_c=is_tip)
-        prob_vect_root = K.merge_vectors(
-            ctx, probVect[node], best_left, is_tip, root_new_partials,
+        prob_vect_root = kern.merge_vectors(probVect[node], best_left, is_tip, root_new_partials,
             best_right, appended_is_tip,
             n_minor1=len(tree.minorSequences[node]),
             n_minor2=len(tree.minorSequences[appended_node]))
-        prob_root = K.append_prob_node(ctx, root_up_left, root_new_partials,
+        prob_root = kern.append_prob_node(root_up_left, root_new_partials,
                                        appended_is_tip, best_right)
         prob_root += rt.find_prob_root(prob_vect_root, node=node)
         parent_lk_diff = prob_root - prob_old_root
         if parent_lk_diff <= new_child_lk:
             best_right = best_appending
             best_left = False
-            prob_vect_root = K.merge_vectors(
-                ctx, probVect[node], best_left, is_tip, root_new_partials,
+            prob_vect_root = kern.merge_vectors(probVect[node], best_left, is_tip, root_new_partials,
                 best_right, appended_is_tip)
             root_up_right = rt.root_vector(root_new_partials, best_right,
                                            appended_is_tip, node)
@@ -837,16 +817,16 @@ def place_subtree_on_tree(rt: TreeRuntime, node: int, new_partials,
     children[new_internal][1] = appended_node
 
     def merge_lower():
-        return K.merge_vectors(ctx, probVect[node], best_down, is_tip,
+        return kern.merge_vectors(probVect[node], best_down, is_tip,
                                new_partials, best_appending, appended_is_tip)
 
     def merge_up_right():
-        return K.merge_vectors(ctx, vect_up, best_up, False, new_partials,
+        return kern.merge_vectors(vect_up, best_up, False, new_partials,
                                best_appending, appended_is_tip,
                                is_up_down=True)
 
     def merge_up_left():
-        return K.merge_vectors(ctx, vect_up, best_up, False, probVect[node],
+        return kern.merge_vectors(vect_up, best_up, False, probVect[node],
                                best_down, is_tip, is_up_down=True)
 
     probVect[new_internal] = merge_lower()
@@ -854,20 +834,16 @@ def place_subtree_on_tree(rt: TreeRuntime, node: int, new_partials,
         tree.probVectUpLeft[new_internal] = merge_up_left()
         if tree.probVectUpLeft[new_internal] is None:
             tree.probVectUpRight[new_internal] = merge_up_right()
-            best_down = K.estimate_branch_length(
-                ctx, tree.probVectUpRight[new_internal], probVect[node],
+            best_down = kern.estimate_branch_length(tree.probVectUpRight[new_internal], probVect[node],
                 from_tip_c=is_tip)
             tree.probVectUpLeft[new_internal] = merge_up_left()
-            best_appending = K.estimate_branch_length(
-                ctx, tree.probVectUpLeft[new_internal], new_partials,
+            best_appending = kern.estimate_branch_length(tree.probVectUpLeft[new_internal], new_partials,
                 from_tip_c=appended_is_tip)
         else:
-            best_appending = K.estimate_branch_length(
-                ctx, tree.probVectUpLeft[new_internal], new_partials,
+            best_appending = kern.estimate_branch_length(tree.probVectUpLeft[new_internal], new_partials,
                 from_tip_c=appended_is_tip)
             tree.probVectUpRight[new_internal] = merge_up_right()
-            best_down = K.estimate_branch_length(
-                ctx, tree.probVectUpRight[new_internal], probVect[node],
+            best_down = kern.estimate_branch_length(tree.probVectUpRight[new_internal], probVect[node],
                 from_tip_c=is_tip)
         probVect[new_internal] = merge_lower()
         if probVect[new_internal] is None:
@@ -877,11 +853,9 @@ def place_subtree_on_tree(rt: TreeRuntime, node: int, new_partials,
     rt.shorten(probVect[new_internal])
     tree.probVectUpRight[new_internal] = merge_up_right()
     if tree.probVectUpRight[new_internal] is None:
-        best_up = K.estimate_branch_length(
-            ctx, vect_up, probVect[new_internal], from_tip_c=False)
+        best_up = kern.estimate_branch_length(vect_up, probVect[new_internal], from_tip_c=False)
         tree.probVectUpLeft[new_internal] = merge_up_left()
-        best_appending = K.estimate_branch_length(
-            ctx, tree.probVectUpLeft[new_internal], new_partials,
+        best_appending = kern.estimate_branch_length(tree.probVectUpLeft[new_internal], new_partials,
             from_tip_c=appended_is_tip)
         tree.probVectUpRight[new_internal] = merge_up_right()
         if tree.probVectUpRight[new_internal] is None:
@@ -892,10 +866,8 @@ def place_subtree_on_tree(rt: TreeRuntime, node: int, new_partials,
     rt.shorten(tree.probVectUpRight[new_internal])
     tree.probVectUpLeft[new_internal] = merge_up_left()
     if tree.probVectUpLeft[new_internal] is None:
-        best_up = K.estimate_branch_length(
-            ctx, vect_up, probVect[new_internal], from_tip_c=False)
-        best_down = K.estimate_branch_length(
-            ctx, tree.probVectUpRight[new_internal], probVect[node],
+        best_up = kern.estimate_branch_length(vect_up, probVect[new_internal], from_tip_c=False)
+        best_down = kern.estimate_branch_length(tree.probVectUpRight[new_internal], probVect[node],
             from_tip_c=is_tip)
         tree.probVectUpLeft[new_internal] = merge_up_left()
         if tree.probVectUpLeft[new_internal] is None:
@@ -933,8 +905,7 @@ def place_subtree_on_tree(rt: TreeRuntime, node: int, new_partials,
     if not best_appending:
         tree.probVectTotUp[appended_node] = None
     if best_up:
-        tree.probVectTotUp[new_internal] = K.merge_vectors(
-            ctx, vect_up, best_up / 2, False, probVect[new_internal],
+        tree.probVectTotUp[new_internal] = kern.merge_vectors(vect_up, best_up / 2, False, probVect[new_internal],
             best_up / 2, False, is_up_down=True)
         rt.shorten(tree.probVectTotUp[new_internal])
     if not best_down:
@@ -1018,7 +989,7 @@ def traverse_tree_for_topology_update(rt: TreeRuntime, node: int,
     tree = rt.tree
     cfg = rt.cfg
     dc = rt.dc
-    ctx = rt.ctx()
+    kern = rt.kern
     up = tree.up
     children = tree.children
     dist = tree.dist
@@ -1036,7 +1007,7 @@ def traverse_tree_for_topology_update(rt: TreeRuntime, node: int,
         vect_up = rt.pass_down(vect_up, node)
     best_curren_blen = dist[node]
     is_tip = tree.is_tip(node)
-    original_lk = K.append_prob_node(ctx, vect_up, tree.probVect[node],
+    original_lk = kern.append_prob_node(vect_up, tree.probVect[node],
                                      is_tip, best_curren_blen)
     genetic_lk = original_lk
     if tree.use_hnz:
@@ -1054,15 +1025,13 @@ def traverse_tree_for_topology_update(rt: TreeRuntime, node: int,
     if ((genetic_lk < threshold_topology_placement)
             or (cfg.supportFor0Branches and abayes_on)) \
             and up[up[node]] is not None:
-        best_curren_blen = K.estimate_branch_length(
-            ctx, vect_up, tree.probVect[node], from_tip_c=is_tip)
+        best_curren_blen = kern.estimate_branch_length(vect_up, tree.probVect[node], from_tip_c=is_tip)
         if best_curren_blen or dist[node]:
             if (not best_curren_blen) or (not dist[node]) \
                     or dist[node] / best_curren_blen > 1.01 \
                     or dist[node] / best_curren_blen < 0.99:
                 blen_changed = True
-            best_current_lk = K.append_prob_node(
-                ctx, vect_up, tree.probVect[node], is_tip, best_curren_blen)
+            best_current_lk = kern.append_prob_node(vect_up, tree.probVect[node], is_tip, best_curren_blen)
             if tree.use_hnz:
                 if best_curren_blen > eff0:
                     if dist[node] > eff0:

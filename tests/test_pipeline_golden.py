@@ -21,8 +21,10 @@ def _compare(out_prefix, golden_prefix, parts=("_tree.tree", "_subs.txt",
         assert mine == golden, f"{part} differs from golden"
 
 
+@pytest.mark.parametrize("backend", ["python", "native"])
 @pytest.mark.parametrize("model", ["GTR", "UNREST"])
-def test_denovo_placement_only_golden(tmp_path, model):
+def test_denovo_placement_only_golden(tmp_path, model, backend):
+    """Both kernel backends must reproduce the goldens byte-for-byte."""
     golden = os.path.join(GOLDEN_DIR,
                           f"example_{model.lower()}_placeonly")
     if not os.path.isfile(golden + "_tree.tree"):
@@ -30,7 +32,8 @@ def test_denovo_placement_only_golden(tmp_path, model):
     out = str(tmp_path / "run")
     cfg = MapleConfig(input=EXAMPLE, output=out, model=model,
                       doNotReroot=True, numTopologyImprovements=0,
-                      noFastTopologyInitialSearch=True, overwrite=True)
+                      noFastTopologyInitialSearch=True, overwrite=True,
+                      kernel_backend=backend)
     run_inference(cfg)
     _compare(out, golden)
 
@@ -42,7 +45,8 @@ def test_denovo_full_default_golden(tmp_path):
     if not os.path.isfile(golden + "_tree.tree"):
         pytest.skip("golden not generated")
     out = str(tmp_path / "run")
-    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR", overwrite=True)
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR", overwrite=True,
+                      kernel_backend="python")
     run_inference(cfg)
     _compare(out, golden, parts=(
         "_tree.tree", "_subs.txt", "_LK.txt",
