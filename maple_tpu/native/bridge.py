@@ -97,6 +97,29 @@ def _load():
     lib.k_pseudo_counts.argtypes = [C.c_void_p, C.c_int64, C.c_int64, p(d)]
     lib.k_num_non4.restype = C.c_int
     lib.k_num_non4.argtypes = [C.c_void_p, C.c_int64]
+    lib.engine_create.restype = C.c_void_p
+    lib.engine_create.argtypes = [C.c_void_p, C.c_int64, C.c_int32, C.c_int,
+                                  C.c_int, d, d, d, d, d, C.c_int, C.c_int,
+                                  C.c_int, C.c_int]
+    lib.engine_free.argtypes = [C.c_void_p]
+    lib.engine_place.restype = C.c_int
+    lib.engine_place.argtypes = [C.c_void_p, C.c_int64, C.c_int32]
+    lib.engine_root.restype = C.c_int32
+    lib.engine_root.argtypes = [C.c_void_p]
+    lib.engine_node_count.restype = C.c_int32
+    lib.engine_node_count.argtypes = [C.c_void_p]
+    lib.engine_error.restype = C.c_char_p
+    lib.engine_error.argtypes = [C.c_void_p]
+    lib.engine_counts.argtypes = [C.c_void_p, p(d), C.c_int]
+    lib.engine_stats.argtypes = [C.c_void_p, p(d)]
+    lib.engine_export_nodes.argtypes = [
+        C.c_void_p, p(C.c_int32), p(C.c_int32), p(C.c_int32), p(d),
+        p(C.c_int32), p(C.c_int32), p(C.c_uint8), p(C.c_int64),
+        p(C.c_int64), p(C.c_int64), p(C.c_int64), p(C.c_int32),
+        p(C.c_int32)]
+    lib.engine_export_minor.argtypes = [C.c_void_p, C.c_int32,
+                                        p(C.c_int32)]
+    lib.engine_export_muts.argtypes = [C.c_void_p, C.c_int32, p(C.c_int32)]
     _lib = lib
     return _lib
 

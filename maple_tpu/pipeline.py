@@ -19,6 +19,7 @@ from .io.newick import (AnnotationOptions, create_newick, read_newick,
                         write_nexus)
 from .models.em import expectation_maximization_rates
 from .refdata import Model, RefData
+from .native.engine import native_engine_supported
 from .runtime.partials import TreeRuntime
 from .runtime.tree import (PhyloTree, give_internal_node_names,
                            make_tree_binary, set_all_dirty)
@@ -151,6 +152,11 @@ class Run:
             self.tree = tree
             self.rt = TreeRuntime(tree, self.refd, self.model, dc, cfg)
             t1 = 0
+            if self.rt.kern.name == "native" \
+                    and native_engine_supported(self):
+                self.root = self._build_initial_tree_engine(
+                    distances, first_sample)
+                return
             tree.probVect[0] = self.rt.terminal_vector(
                 self.data[first_sample])
             self.data[first_sample] = None
@@ -200,6 +206,38 @@ class Run:
         print("Sample placement completed", flush=True)
         print(f"Placed samples that became minor sequences: "
               f"{self.stats.num_minors_found}")
+
+    def _build_initial_tree_engine(self, distances, first_sample) -> int:
+        """Fast path: the whole stepwise-addition loop runs in the C++
+        placement engine (see maple_tpu/native/engine.py); the Python side
+        only builds terminal vectors and refreshes the substitution model
+        on the reference's cadence (:11686-11760)."""
+        from .native.engine import NativePlacementEngine
+        cfg = self.cfg
+        eng = NativePlacementEngine(self.rt, self.data[first_sample])
+        self.data[first_sample] = None
+        num_samples = 1
+        start = time.time()
+        while distances:
+            _, sample = distances.pop()
+            self.names_in_tree.append(sample)
+            if num_samples % cfg.updateSubstMatrixEveryThisSamples == 0 \
+                    and cfg.model != "JC":
+                eng.flush_pseudo_counts(self.model.pseudo_counts)
+                self.model.update_from_pseudo_counts()
+                eng.sync_model()
+            if num_samples % 50000 == 0:
+                print(f"Sample num {num_samples}", flush=True)
+            eng.place(self.data[sample], num_samples)
+            self.data[sample] = None
+            num_samples += 1
+        eng.flush_pseudo_counts(self.model.pseudo_counts)
+        root = eng.export_to_tree(self.stats)
+        self.timings["finding"] += time.time() - start
+        print("Sample placement completed", flush=True)
+        print(f"Placed samples that became minor sequences: "
+              f"{self.stats.num_minors_found}")
+        return root
 
     # ------------------------------------------------------------------
     def build_initial_tree_device(self, warmup: int = 256,

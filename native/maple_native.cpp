@@ -1685,3 +1685,1095 @@ int k_num_non4(Store *s, int64_t v) {
 
 
 }  // extern "C"
+
+
+// ======================================================================
+// Native placement engine: stepwise-addition DFS + placement + dirty
+// propagation run entirely in C++ over store-owned vectors.  A direct
+// port of maple_tpu/search/placement.py (find_best_parent_for_new_sample
+// :36-246, place_sample_on_tree :397-670) and
+// maple_tpu/runtime/partials.py (update_partials :214-450,
+// make_node_reference :547-595, root_vector :145-171) — reference
+// findBestParentForNewSample :7912-8293, placeSampleOnTree :8370-8710,
+// updatePartials :5479-5817, makeNodeReference :8296-8353.
+// Covers the default de-novo path: no HnZ, no rate variation, no error
+// rates, no deeper-long-branch search (the Python driver gates on this).
+// ======================================================================
+
+#include <unordered_set>
+#include <cmath>
+#include <string>
+
+namespace {
+
+struct Engine {
+    Store *S;
+    // tree arrays (index = node id, allocation order identical to the
+    // Python PhyloTree.add_node sequence so downstream traversals match)
+    std::vector<int32_t> up, c0, c1;          // -1 = none
+    std::vector<double> dist;
+    std::vector<int32_t> name;                // sample id, -1 = internal
+    std::vector<int32_t> nDesc;
+    std::vector<uint8_t> dirty;
+    std::vector<std::vector<int32_t>> minorSeqs;
+    std::vector<std::vector<int32_t>> muts;   // flat (pos,from,to) triples
+    std::vector<int64_t> pv, upR, upL, totUp; // vec ids, -1 = None
+    int32_t root = 0;
+    // config
+    bool strict_stop = true, only_identical = false, use_refs = true;
+    int allowed_fails = 0;
+    double threshold_log_lk = 0, threshold_opt = 0, threshold_consec = 0;
+    double one_mut = 0, eff0 = 0;
+    int max_ndesc_clade = 0, min_num_non4 = 0;
+    // accumulators / stats
+    double counts[16] = {};
+    int num_refs = 0;
+    int num_minors_found = 0, total_missed_minors = 0, num_child_lks = 0;
+    double sum_child_lks = 0.0;
+    int warned_blen = 0;
+    double warned_blen_value = 0.0;
+    std::string error;
+    // per-call temporary ownership: every vec id allocated during a
+    // place() call lands here; installing into a tree slot removes it
+    // (and orphans the replaced id back in).  Released at call end.
+    std::unordered_set<int64_t> owned;
+
+    int add_node() {
+        up.push_back(-1); c0.push_back(-1); c1.push_back(-1);
+        dist.push_back(0.0); name.push_back(-1); nDesc.push_back(0);
+        dirty.push_back(1);
+        minorSeqs.emplace_back(); muts.emplace_back();
+        pv.push_back(-1); upR.push_back(-1); upL.push_back(-1);
+        totUp.push_back(-1);
+        return (int)up.size() - 1;
+    }
+    bool is_tip(int n) const {
+        return c0[n] < 0 && minorSeqs[n].empty();
+    }
+    bool is_leaf(int n) const { return c0[n] < 0; }
+    int child_index(int n) const { return c0[up[n]] == n ? 0 : 1; }
+    int child(int n, int i) const { return i == 0 ? c0[n] : c1[n]; }
+    int64_t vect_up_for(int n) const {
+        return c0[up[n]] == n ? upR[up[n]] : upL[up[n]];
+    }
+    void own(int64_t id) { if (id >= 0) owned.insert(id); }
+    void install(int64_t *slot, int64_t id) {
+        if (*slot >= 0 && *slot != id) owned.insert(*slot);
+        if (id >= 0) owned.erase(id);
+        *slot = id;
+    }
+    void end_call() {
+        for (int64_t id : owned) {
+            S->v(id).clear();
+            S->v(id).shrink_to_fit();
+            S->free_slots.push_back(id);
+        }
+        owned.clear();
+    }
+};
+
+// --- kernel wrappers with temp ownership ---
+static int64_t E_merge(Engine *E, int64_t v1, double bl1, bool t1,
+                       int64_t v2, double bl2, bool t2, bool updown) {
+    Store *s = E->S;
+    int64_t id = s->alloc();
+    double lk;
+    int rc = merge_vectors(*s, s->v(v1), bl1, t1, s->v(v2), bl2, t2,
+                           false, updown, 0, 0, s->v(id), &lk);
+    if (rc != 0) { s->free_slots.push_back(id); return -1; }
+    E->own(id);
+    return id;
+}
+
+static double E_append(Engine *E, int64_t vP, int64_t vC, bool tipc,
+                       double blen) {
+    return append_prob_node(*E->S, E->S->v(vP), E->S->v(vC), tipc, blen);
+}
+
+static double E_blen(Engine *E, int64_t vP, int64_t vC, bool from_tip) {
+    double b = estimate_branch_length(*E->S, E->S->v(vP), E->S->v(vC),
+                                      from_tip);
+    return b < 0.0 ? 0.0 : b;  // Python returns False for "no branch"
+}
+
+static void E_shorten(Engine *E, int64_t id) {
+    if (id >= 0) shorten_vec(*E->S, E->S->v(id));
+}
+
+static int64_t E_pass(Engine *E, int64_t v,
+                      const std::vector<int32_t> &m, bool dir_up) {
+    if (m.empty()) return v;
+    Store *s = E->S;
+    int64_t id = s->alloc();
+    Vec tmp;
+    pass_through_branch(*s, s->v(v), m.data(), (int)(m.size() / 3), dir_up,
+                        tmp);
+    s->v(id) = std::move(tmp);
+    E->own(id);
+    return id;
+}
+
+static int64_t E_pass_down(Engine *E, int64_t v, int node) {
+    return E_pass(E, v, E->muts[node], false);
+}
+static int64_t E_pass_up(Engine *E, int64_t v, int node) {
+    return E_pass(E, v, E->muts[node], true);
+}
+
+// partials.py root_vector :145-161 — pass up to the global frame, apply
+// root frequencies, pass back down into node's frame.
+static int64_t E_root_vector(Engine *E, int64_t vec, double blen,
+                             bool from_tip, int node) {
+    std::vector<int> chain;
+    int n = node;
+    while (n >= 0) {
+        chain.push_back(n);
+        vec = E_pass_up(E, vec, n);
+        n = E->up[n];
+    }
+    Store *s = E->S;
+    int64_t id = s->alloc();
+    Vec tmp;
+    root_vector_frame(*s, s->v(vec), blen, from_tip, tmp);
+    s->v(id) = std::move(tmp);
+    E->own(id);
+    vec = id;
+    for (auto it = chain.rbegin(); it != chain.rend(); ++it)
+        vec = E_pass_down(E, vec, *it);
+    E_shorten(E, vec);
+    return vec;
+}
+
+// partials.py find_prob_root :163-171
+static double E_find_prob_root(Engine *E, int64_t vec, int node) {
+    int n = node;
+    while (n >= 0) {
+        vec = E_pass_up(E, vec, n);
+        n = E->up[n];
+    }
+    return find_prob_root_frame(*E->S, E->S->v(vec));
+}
+
+static bool E_different(Engine *E, int64_t v1, int64_t v2) {
+    if (v1 < 0 || v2 < 0) return true;
+    return are_vectors_different(*E->S, E->S->v(v1), E->S->v(v2));
+}
+
+struct WorkItem { int32_t node; int32_t dir; uint8_t lk_dirty; };
+
+// partials.py update_blen :174-194
+static void E_update_blen(Engine *E, int c_node, bool add_to_list,
+                          std::vector<WorkItem> *wl) {
+    int node = E->up[c_node];
+    int c_num = E->child_index(c_node);
+    int64_t vect_up = c_num == 0 ? E->upR[node] : E->upL[node];
+    vect_up = E_pass_down(E, vect_up, c_node);
+    double best = E_blen(E, vect_up, E->pv[c_node], E->is_tip(c_node));
+    E->dist[c_node] = best;
+    E->dirty[node] = 1;
+    E->dirty[c_node] = 1;
+    if (add_to_list) {
+        wl->push_back({(int32_t)c_node, 2, 1});
+        wl->push_back({(int32_t)node, (int32_t)c_num, 1});
+    }
+}
+
+// partials.py update_partials :214-450 (no-HnZ path)
+static bool E_update_partials(Engine *E, std::vector<WorkItem> wl) {
+    while (!wl.empty()) {
+        bool updated_blen = false, made_change = false;
+        WorkItem it = wl.back(); wl.pop_back();
+        int node = it.node, direction = it.dir;
+        bool lk_dirty = it.lk_dirty != 0;
+        E->dirty[node] = 1;
+        int64_t vect_up_up = -1;
+        int child_num_up = -1;
+        if (E->up[node] >= 0) {
+            child_num_up = E->child_index(node);
+            vect_up_up = child_num_up == 0 ? E->upR[E->up[node]]
+                                           : E->upL[E->up[node]];
+            if (!E->muts[node].empty() && lk_dirty)
+                vect_up_up = E_pass_down(E, vect_up_up, node);
+        }
+        bool is_tip = E->is_tip(node);
+        if (direction == 2) {
+            if (E->dist[node] != 0.0) {
+                if (lk_dirty) {
+                    int64_t new_tot = E_merge(E, vect_up_up,
+                        E->dist[node] / 2, false, E->pv[node],
+                        E->dist[node] / 2, is_tip, true);
+                    if (new_tot < 0) {
+                        E_update_blen(E, node, false, nullptr);
+                        wl.push_back({(int32_t)E->up[node],
+                                      (int32_t)child_num_up, 1});
+                        new_tot = E_merge(E, vect_up_up, E->dist[node] / 2,
+                            false, E->pv[node], E->dist[node] / 2, is_tip,
+                            true);
+                        made_change = true;
+                    }
+                    E->install(&E->totUp[node], new_tot);
+                    E_shorten(E, E->totUp[node]);
+                }
+            } else {
+                E->install(&E->totUp[node], -1);
+            }
+            if (!E->is_leaf(node)) {
+                int cc0 = E->c0[node], cc1 = E->c1[node];
+                double dist0 = E->dist[cc0], dist1 = E->dist[cc1];
+                int64_t new_up_right = -1, new_up_left = -1;
+                if (lk_dirty) {
+                    int64_t child0_vect = E_pass_up(E, E->pv[cc0], cc0);
+                    int64_t child1_vect = E_pass_up(E, E->pv[cc1], cc1);
+                    bool tip0 = E->is_tip(cc0), tip1 = E->is_tip(cc1);
+                    new_up_right = E_merge(E, vect_up_up, E->dist[node],
+                        false, child1_vect, dist1, tip1, true);
+                    if (new_up_right < 0) {
+                        if (E->dist[node] == 0.0 && dist1 == 0.0) {
+                            E_update_blen(E, node, false, nullptr);
+                            if (E->dist[node] == 0.0) {
+                                E_update_blen(E, cc1, true, &wl);
+                                updated_blen = true;
+                            } else {
+                                E->install(&E->totUp[node], E_merge(E,
+                                    vect_up_up, E->dist[node] / 2, false,
+                                    E->pv[node], E->dist[node] / 2, is_tip,
+                                    true));
+                                new_up_right = E_merge(E, vect_up_up,
+                                    E->dist[node], false, child1_vect,
+                                    dist1, tip1, true);
+                                wl.push_back({(int32_t)E->up[node],
+                                              (int32_t)child_num_up, 1});
+                                made_change = true;
+                            }
+                        } else {
+                            E->error = "impossible merge with non-zero "
+                                "distances in update_partials (from parent)";
+                            return false;
+                        }
+                    }
+                    if (!updated_blen) {
+                        new_up_left = E_merge(E, vect_up_up, E->dist[node],
+                            false, child0_vect, dist0, tip0, true);
+                        if (new_up_left < 0) {
+                            if (E->dist[node] == 0.0 && dist0 == 0.0) {
+                                E_update_blen(E, node, false, nullptr);
+                                if (E->dist[node] == 0.0) {
+                                    E_update_blen(E, cc0, true, &wl);
+                                    updated_blen = true;
+                                } else {
+                                    E->install(&E->totUp[node], E_merge(E,
+                                        vect_up_up, E->dist[node] / 2,
+                                        false, E->pv[node],
+                                        E->dist[node] / 2, is_tip, true));
+                                    new_up_right = E_merge(E, vect_up_up,
+                                        E->dist[node], false, child1_vect,
+                                        dist1, tip1, true);
+                                    new_up_left = E_merge(E, vect_up_up,
+                                        E->dist[node], false, child0_vect,
+                                        dist0, tip0, true);
+                                    wl.push_back({(int32_t)E->up[node],
+                                                  (int32_t)child_num_up,
+                                                  1});
+                                    made_change = true;
+                                }
+                            } else {
+                                E->error = "impossible merge with non-zero "
+                                    "distances in update_partials (from "
+                                    "parent, child0)";
+                                return false;
+                            }
+                        }
+                    }
+                }
+                if (!updated_blen) {
+                    bool up_right_changed = false, up_left_changed = false;
+                    if (lk_dirty) {
+                        if (made_change
+                            || E_different(E, E->upR[node], new_up_right)) {
+                            E->install(&E->upR[node], new_up_right);
+                            E_shorten(E, E->upR[node]);
+                            up_right_changed = true;
+                        }
+                        if (made_change
+                            || E_different(E, E->upL[node], new_up_left)) {
+                            E->install(&E->upL[node], new_up_left);
+                            E_shorten(E, E->upL[node]);
+                            up_left_changed = true;
+                        }
+                    }
+                    if (up_right_changed) wl.push_back({(int32_t)cc0, 2, 1});
+                    if (up_left_changed) wl.push_back({(int32_t)cc1, 2, 1});
+                }
+            }
+        } else {
+            int child_num = direction;
+            int other_num = 1 - child_num;
+            int child = E->child(node, child_num);
+            int other = E->child(node, other_num);
+            double child_dist = E->dist[child];
+            double other_dist = E->dist[other];
+            int64_t new_up_vect = -1, old_prob_vect = -1, other_vect_up = -1;
+            bool have_old = false;
+            if (lk_dirty) {
+                int64_t other_child_vect = E_pass_up(E, E->pv[other], other);
+                int64_t prob_vect_down = E_pass_up(E, E->pv[child], child);
+                bool c_is_tip = E->is_tip(child);
+                bool other_is_tip = E->is_tip(other);
+                other_vect_up = child_num ? E->upR[node] : E->upL[node];
+                int64_t new_vect = E_merge(E, other_child_vect, other_dist,
+                    other_is_tip, prob_vect_down, child_dist, c_is_tip,
+                    false);
+                if (new_vect < 0) {
+                    if (child_dist == 0.0 && other_dist == 0.0) {
+                        E_update_blen(E, child, false, nullptr);
+                        if (E->dist[child] == 0.0) {
+                            E_update_blen(E, other, true, &wl);
+                            updated_blen = true;
+                        } else {
+                            child_dist = E->dist[child];
+                            E->install(&E->pv[node], E_merge(E,
+                                other_child_vect, other_dist, other_is_tip,
+                                prob_vect_down, child_dist, c_is_tip,
+                                false));
+                            wl.push_back({(int32_t)child, 2, 1});
+                            made_change = true;
+                        }
+                    } else {
+                        E->error = "impossible merge with non-zero "
+                            "distances in update_partials (from child)";
+                        return false;
+                    }
+                } else {
+                    old_prob_vect = E->pv[node];
+                    have_old = true;
+                    // keep the old vector alive for the comparison below
+                    if (old_prob_vect >= 0) E->owned.insert(old_prob_vect);
+                    E->pv[node] = -1;
+                    E->install(&E->pv[node], new_vect);
+                    E_shorten(E, E->pv[node]);
+                }
+                if (!updated_blen && E->dist[node] != 0.0
+                        && E->up[node] >= 0 && vect_up_up >= 0) {
+                    int64_t new_tot = E_merge(E, vect_up_up,
+                        E->dist[node] / 2, false, E->pv[node],
+                        E->dist[node] / 2, false, true);
+                    if (new_tot < 0) {
+                        E_update_blen(E, node, false, nullptr);
+                        E->install(&E->pv[node], E_merge(E,
+                            other_child_vect, other_dist, other_is_tip,
+                            prob_vect_down, child_dist, c_is_tip, false));
+                        wl.push_back({(int32_t)child, 2, 1});
+                        E->install(&E->totUp[node], E_merge(E, vect_up_up,
+                            E->dist[node] / 2, false, E->pv[node],
+                            E->dist[node] / 2, false, true));
+                        made_change = true;
+                    } else {
+                        E->install(&E->totUp[node], new_tot);
+                        E_shorten(E, E->totUp[node]);
+                    }
+                } else if (E->dist[node] == 0.0) {
+                    E->install(&E->totUp[node], -1);
+                }
+                if (!updated_blen && other_vect_up >= 0) {
+                    if (E->up[node] >= 0) {
+                        new_up_vect = E_merge(E, vect_up_up, E->dist[node],
+                            false, prob_vect_down, child_dist, c_is_tip,
+                            true);
+                    } else {
+                        new_up_vect = E_root_vector(E, prob_vect_down,
+                            child_dist, c_is_tip, node);
+                    }
+                    if (new_up_vect < 0) {
+                        if (E->dist[node] == 0.0 && child_dist == 0.0) {
+                            E_update_blen(E, node, false, nullptr);
+                            if (E->dist[node] == 0.0) {
+                                E_update_blen(E, child, true, &wl);
+                                updated_blen = true;
+                            } else {
+                                E->install(&E->totUp[node], E_merge(E,
+                                    vect_up_up, E->dist[node] / 2, false,
+                                    E->pv[node], E->dist[node] / 2, false,
+                                    true));
+                                wl.push_back({(int32_t)child, 2, 1});
+                                made_change = true;
+                                new_up_vect = E_merge(E, vect_up_up,
+                                    E->dist[node], false, prob_vect_down,
+                                    child_dist, c_is_tip, true);
+                            }
+                        } else {
+                            E->error = "impossible merge with non-zero "
+                                "distances in update_partials (newUpVect)";
+                            return false;
+                        }
+                    }
+                }
+            }
+            if (!updated_blen) {
+                bool up_changed = false, down_changed = false;
+                if (lk_dirty) {
+                    if (other_vect_up >= 0) {
+                        if (made_change
+                            || E_different(E, other_vect_up, new_up_vect)) {
+                            up_changed = true;
+                            if (child_num) {
+                                E->install(&E->upR[node], new_up_vect);
+                                E_shorten(E, E->upR[node]);
+                            } else {
+                                E->install(&E->upL[node], new_up_vect);
+                                E_shorten(E, E->upL[node]);
+                            }
+                        }
+                    }
+                    if (made_change
+                        || (have_old
+                            && E_different(E, E->pv[node], old_prob_vect)))
+                        down_changed = true;
+                }
+                if (E->up[node] >= 0 && down_changed)
+                    wl.push_back({(int32_t)E->up[node],
+                                  (int32_t)E->child_index(node), 1});
+                if (up_changed) wl.push_back({(int32_t)other, 2, 1});
+            }
+        }
+    }
+    return true;
+}
+
+// partials.py merge_mutation_lists :454-500 (flat triples)
+static std::vector<int32_t> E_merge_mutation_lists(
+        const std::vector<int32_t> &m1, const std::vector<int32_t> &m2,
+        bool downward) {
+    std::vector<int32_t> out;
+    size_t i1 = 0, i2 = 0, n1 = m1.size() / 3, n2 = m2.size() / 3;
+    while (true) {
+        if (i1 < n1) {
+            int pos1 = m1[i1 * 3];
+            if (i2 < n2) {
+                int pos2 = m2[i2 * 3];
+                if (pos1 < pos2) {
+                    if (downward) {
+                        out.push_back(pos1);
+                        out.push_back(m1[i1 * 3 + 2]);
+                        out.push_back(m1[i1 * 3 + 1]);
+                    } else {
+                        out.insert(out.end(), m1.begin() + i1 * 3,
+                                   m1.begin() + i1 * 3 + 3);
+                    }
+                    i1++;
+                } else if (pos2 < pos1) {
+                    out.insert(out.end(), m2.begin() + i2 * 3,
+                               m2.begin() + i2 * 3 + 3);
+                    i2++;
+                } else {
+                    int source, end;
+                    if (downward) {
+                        source = m1[i1 * 3 + 2];
+                        end = m1[i1 * 3 + 1];
+                    } else {
+                        source = m1[i1 * 3 + 1];
+                        end = m1[i1 * 3 + 2];
+                    }
+                    if (end != m2[i2 * 3 + 1])
+                        std::fprintf(stderr,
+                                     "WARNING: inconsistent MAT mutations\n");
+                    if (source != m2[i2 * 3 + 2]) {
+                        out.push_back(pos2);
+                        out.push_back(source);
+                        out.push_back(m2[i2 * 3 + 2]);
+                    }
+                    i1++; i2++;
+                }
+            } else {
+                if (downward) {
+                    out.push_back(pos1);
+                    out.push_back(m1[i1 * 3 + 2]);
+                    out.push_back(m1[i1 * 3 + 1]);
+                } else {
+                    out.insert(out.end(), m1.begin() + i1 * 3,
+                               m1.begin() + i1 * 3 + 3);
+                }
+                i1++;
+            }
+        } else if (i2 < n2) {
+            out.insert(out.end(), m2.begin() + i2 * 3,
+                       m2.begin() + i2 * 3 + 3);
+            i2++;
+        } else {
+            break;
+        }
+    }
+    return out;
+}
+
+// partials.py make_node_reference :547-595
+static void E_make_node_reference(Engine *E, int node, int old_value) {
+    E->num_refs++;
+    if (old_value) {
+        int p = E->up[node];
+        while (p >= 0) {
+            E->nDesc[p] -= old_value;
+            if (!E->muts[p].empty()) break;
+            p = E->up[p];
+        }
+    }
+    int pos = 0;
+    std::vector<int32_t> &m = E->muts[node];
+    for (const Entry &e : E->S->v(E->pv[node])) {
+        if (e.type < 4) {
+            pos += 1;
+            m.push_back(pos);
+            m.push_back(e.val);
+            m.push_back(e.type);
+        } else if (e.type == TYPE_O) {
+            pos += 1;
+        } else {
+            pos = e.val;
+        }
+    }
+    auto repass = [&](int64_t *slot) {
+        int64_t nv = E_pass(E, *slot, m, false);
+        E->install(slot, nv);
+        E_shorten(E, *slot);
+    };
+    repass(&E->pv[node]);
+    if (E->dist[node] != 0.0 && E->up[node] >= 0) repass(&E->totUp[node]);
+    repass(&E->upR[node]);
+    repass(&E->upL[node]);
+    std::vector<int> stack = {E->c0[node], E->c1[node]};
+    while (!stack.empty()) {
+        int n = stack.back(); stack.pop_back();
+        if (!E->muts[n].empty()) {
+            E->muts[n] = E_merge_mutation_lists(m, E->muts[n], true);
+        } else {
+            repass(&E->pv[n]);
+            if (E->dist[n] != 0.0) repass(&E->totUp[n]);
+            if (!E->is_leaf(n)) {
+                repass(&E->upR[n]);
+                repass(&E->upL[n]);
+                stack.push_back(E->c0[n]);
+                stack.push_back(E->c1[n]);
+            }
+        }
+    }
+}
+
+// placement.py try_absorb_minor :77-102 (no HnZ / error-rate path)
+static int E_try_absorb_minor(Engine *E, int node, int64_t diffs_at,
+                              int sample) {
+    int cmp = is_minor_sequence(*E->S, E->S->v(E->pv[node]),
+                                E->S->v(diffs_at), E->only_identical);
+    if (cmp == 1) {
+        E->minorSeqs[node].push_back(sample);
+        E->num_minors_found++;
+        return 1;
+    }
+    if (cmp == 2) E->total_missed_minors++;
+    return 0;
+}
+
+struct BestCand { int32_t node; double score; int64_t diffs; };
+
+struct FindResult {
+    int absorbed = 0;
+    int32_t best_node = 0;
+    double best_score = 0;
+    double top = 0, bottom = 0, appending = 0;
+    int64_t best_diffs = -1;
+};
+
+// placement.py find_best_parent_for_new_sample :36-246
+static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
+    FindResult R;
+    int root = E->root;
+    std::vector<BestCand> best_nodes;
+    int best_node = root;
+    double best_top = 0.0, best_bottom = 0.0, best_app = E->one_mut;
+    if (!E->muts[root].empty()) diffs = E_pass_down(E, diffs, root);
+    int64_t best_diffs = diffs;
+    if (E->is_leaf(root)) {
+        if (E_try_absorb_minor(E, root, diffs, sample)) {
+            R.absorbed = 1;
+            return R;
+        }
+    }
+    int64_t root_vect = E_root_vector(E, E->pv[root], 0.0, false, root);
+    double best_lk_diff = E_append(E, root_vect, diffs, true, E->one_mut);
+    double original_lk_diff = best_lk_diff;
+    struct StackItem { int32_t node; double parent_lk; int32_t failed;
+                       int64_t diffs; };
+    std::vector<StackItem> stack;
+    for (int i = 0; i < 2 && !E->is_leaf(root); i++) {
+        int ch = E->child(root, i);
+        int64_t dcc = diffs;
+        if (!E->muts[ch].empty()) dcc = E_pass_down(E, diffs, ch);
+        stack.push_back({(int32_t)ch, best_lk_diff, 0, dcc});
+    }
+    while (!stack.empty()) {
+        StackItem it = stack.back(); stack.pop_back();
+        int t1 = it.node;
+        double parent_lk = it.parent_lk;
+        int failed_passes = it.failed;
+        int64_t diffs_at = it.diffs;
+        if (E->is_leaf(t1)) {
+            if (E_try_absorb_minor(E, t1, diffs_at, sample)) {
+                R.absorbed = 1;
+                return R;
+            }
+        }
+        double lk_diff;
+        if (E->dist[t1] > E->eff0 && E->up[t1] >= 0) {
+            lk_diff = E_append(E, E->totUp[t1], diffs_at, true, E->one_mut);
+            if (lk_diff >= best_lk_diff) {
+                E_shorten(E, diffs_at);
+                best_lk_diff = lk_diff;
+                best_node = t1;
+                failed_passes = 0;
+                best_nodes.push_back({(int32_t)t1, lk_diff, diffs_at});
+                best_diffs = diffs_at;
+                best_top = E->dist[t1] / 2;
+                best_bottom = E->dist[t1] / 4;  // (dist/2)/2 as in Python
+                best_app = E->one_mut;
+            } else if (lk_diff > best_lk_diff - E->threshold_opt) {
+                best_nodes.push_back({(int32_t)t1, lk_diff, diffs_at});
+            }
+            if (lk_diff < parent_lk - E->threshold_consec) failed_passes++;
+        } else {
+            lk_diff = parent_lk;
+        }
+        bool keep_going;
+        if (E->strict_stop)
+            keep_going = failed_passes <= E->allowed_fails
+                && lk_diff > best_lk_diff - E->threshold_log_lk;
+        else
+            keep_going = failed_passes <= E->allowed_fails
+                || lk_diff > best_lk_diff - E->threshold_log_lk;
+        if (keep_going && !E->is_leaf(t1)) {
+            for (int i = 0; i < 2; i++) {
+                int c = E->child(t1, i);
+                int64_t dcc = diffs_at;
+                if (!E->muts[c].empty()) dcc = E_pass_down(E, diffs_at, c);
+                stack.push_back({(int32_t)c, lk_diff,
+                                 (int32_t)failed_passes, dcc});
+            }
+        }
+    }
+    // fine phase: optimize branch lengths on the best candidates
+    double best_score = best_lk_diff;
+    for (const BestCand &bc : best_nodes) {
+        if (!(bc.score >= best_lk_diff - E->threshold_opt)) continue;
+        int node = bc.node;
+        int64_t diffs_at = bc.diffs;
+        int64_t up_vect = E->vect_up_for(node);
+        if (!E->muts[node].empty()) up_vect = E_pass_down(E, up_vect, node);
+        bool is_tip = E->is_tip(node);
+        double ba = E_blen(E, E->totUp[node], diffs_at, true);
+        int64_t mid_lower = E_merge(E, E->pv[node], E->dist[node] / 2,
+                                    is_tip, diffs_at, ba, true, false);
+        if (mid_lower < 0) { E->error = "impossible merge in fine phase"; return R; }
+        double bt = E_blen(E, up_vect, mid_lower, false);
+        int64_t mid_top = E_merge(E, up_vect, bt, false, diffs_at, ba, true,
+                                  true);
+        if (mid_top < 0) { E->error = "impossible merge in fine phase"; return R; }
+        double bb = E_blen(E, mid_top, E->pv[node], is_tip);
+        int64_t new_mid = E_merge(E, up_vect, bt, false, E->pv[node], bb,
+                                  is_tip, true);
+        if (new_mid < 0) { E->error = "impossible merge in fine phase"; return R; }
+        double appending_cost = E_append(E, new_mid, diffs_at, true, ba);
+        double initial_cost = E_append(E, up_vect, E->pv[node], is_tip,
+                                       E->dist[node]);
+        double new_partial_cost = E_append(E, up_vect, E->pv[node], is_tip,
+                                           bb + bt);
+        double optimized = appending_cost + new_partial_cost - initial_cost;
+        if (optimized >= best_score) {
+            best_node = node;
+            best_score = optimized;
+            best_top = bt;
+            best_bottom = bb;
+            best_app = ba;
+            best_diffs = diffs_at;
+        }
+    }
+    if (std::isinf(best_score) && best_score < 0)
+        best_score = original_lk_diff;
+    R.best_node = best_node;
+    R.best_score = best_score;
+    R.top = best_top;
+    R.bottom = best_bottom;
+    R.appending = best_app;
+    R.best_diffs = best_diffs;
+    return R;
+}
+
+// placement.py place_sample_on_tree :397-670 (no-HnZ path); returns the
+// new root id or -1.
+static int E_place_sample(Engine *E, int node, int64_t new_partials,
+                          int sample, double new_child_lk,
+                          double best_up_length, double best_down_length,
+                          double best_appending_length) {
+    bool try_new_root = false;
+    if (new_child_lk < -0.01) {
+        E->sum_child_lks += new_child_lk;
+        E->num_child_lks++;
+    }
+    int64_t vect_up = -1;
+    int child = -1;
+    int root = -1;
+    int64_t root_new_partials = -1;
+    if (E->up[node] < 0) {
+        try_new_root = true;
+        root_new_partials = new_partials;
+        int64_t tot_root = E_root_vector(E, E->pv[node], 0.0, false, node);
+        best_appending_length = E_blen(E, tot_root, new_partials, true);
+        root = node;
+        new_child_lk = E_append(E, tot_root, new_partials, true,
+                                best_appending_length);
+    } else {
+        child = E->child_index(node);
+        vect_up = child == 0 ? E->upR[E->up[node]] : E->upL[E->up[node]];
+        if (!E->muts[node].empty())
+            vect_up = E_pass_down(E, vect_up, node);
+        if (best_up_length == 0.0) {
+            int p_node = E->up[node];
+            while (E->dist[p_node] == 0.0 && E->up[p_node] >= 0)
+                p_node = E->up[p_node];
+            if (E->up[p_node] < 0) {
+                root = p_node;
+                try_new_root = true;
+                if (best_down_length == 0.0
+                        || best_down_length > 1.01 * E->dist[node]
+                        || best_down_length < 0.99 * E->dist[node]) {
+                    E->dist[node] = best_down_length;
+                    std::vector<WorkItem> wl;
+                    wl.push_back({(int32_t)node, 2, 1});
+                    wl.push_back({(int32_t)E->up[node], (int32_t)child, 1});
+                    if (!E_update_partials(E, std::move(wl))) return -2;
+                }
+            }
+            if (try_new_root) {
+                int p2 = E->up[node];
+                root_new_partials = new_partials;
+                if (!E->muts[node].empty())
+                    root_new_partials = E_pass_up(E, new_partials, node);
+                while (E->dist[p2] == 0.0 && E->up[p2] >= 0) {
+                    if (!E->muts[p2].empty())
+                        root_new_partials = E_pass_up(E, root_new_partials,
+                                                      p2);
+                    p2 = E->up[p2];
+                }
+            }
+        }
+    }
+    bool is_tip = E->is_tip(node);
+
+    if (try_new_root) {
+        node = root;
+        double prob_old_root = E_find_prob_root(E, E->pv[node], node);
+        int64_t root_up_left = E_root_vector(E, E->pv[node],
+            best_appending_length / 2, is_tip, node);
+        double best_right = E_blen(E, root_up_left, root_new_partials,
+                                   true);
+        int64_t root_up_right = E_root_vector(E, root_new_partials,
+                                              best_right, true, node);
+        double best_left = E_blen(E, root_up_right, E->pv[node], is_tip);
+        root_up_left = E_root_vector(E, E->pv[node], best_left, is_tip,
+                                     node);
+        best_right = E_blen(E, root_up_left, root_new_partials, true);
+        root_up_right = E_root_vector(E, root_new_partials, best_right,
+                                      true, node);
+        best_left = E_blen(E, root_up_right, E->pv[node], is_tip);
+        int64_t prob_vect_root = E_merge(E, E->pv[node], best_left, is_tip,
+            root_new_partials, best_right, true, false);
+        double prob_root = E_append(E, root_up_left, root_new_partials,
+                                    true, best_right);
+        prob_root += E_find_prob_root(E, prob_vect_root, node);
+        double parent_lk_diff = prob_root - prob_old_root;
+        if (parent_lk_diff <= new_child_lk) {
+            best_right = best_appending_length;
+            best_left = 0.0;
+            prob_vect_root = E_merge(E, E->pv[node], best_left, is_tip,
+                root_new_partials, best_right, true, false);
+            root_up_right = E_root_vector(E, root_new_partials, best_right,
+                                          true, node);
+        }
+        int new_root = E->add_node();
+        if (prob_vect_root < 0) {
+            E->error = "new root probVect is None in placement";
+            return -2;
+        }
+        E_shorten(E, prob_vect_root);
+        E->install(&E->pv[new_root], prob_vect_root);
+        E_shorten(E, root_up_right);
+        E->install(&E->upR[new_root], root_up_right);
+        E->install(&E->upL[new_root], E_root_vector(E, E->pv[node],
+            best_left, is_tip, node));
+        E_shorten(E, E->upL[new_root]);
+        E->muts[new_root] = std::move(E->muts[node]);
+        E->muts[node].clear();
+        E->up[node] = new_root;
+        E->dist[node] = best_left;
+        E->c0[new_root] = node;
+        if (!E->is_leaf(node)) E->nDesc[new_root] += E->nDesc[node];
+        if (best_left != 0.0) E->nDesc[new_root]++;
+        if (best_right != 0.0) E->nDesc[new_root]++;
+        int new_node = E->add_node();
+        E->name[new_node] = sample;
+        E->dist[new_node] = best_right;
+        if (best_right != 0.0 && best_right > 0.01 && !E->warned_blen) {
+            E->warned_blen = 1;
+            E->warned_blen_value = best_right;
+        }
+        E->up[new_node] = new_root;
+        E->c1[new_root] = new_node;
+        E_shorten(E, root_new_partials);
+        E->install(&E->pv[new_node], root_new_partials);
+        if (best_right != 0.0) {
+            E->install(&E->totUp[new_node], E_merge(E, E->upL[new_root],
+                best_right / 2, false, root_new_partials, best_right / 2,
+                true, true));
+            E_shorten(E, E->totUp[new_node]);
+        }
+        std::vector<WorkItem> wl;
+        wl.push_back({(int32_t)node, 2, 1});
+        if (!E_update_partials(E, std::move(wl))) return -2;
+        if (E->muts[new_root].empty()
+                && E->nDesc[new_root] >= E->max_ndesc_clade
+                && E->use_refs) {
+            int nn4 = 0;
+            for (const Entry &e : E->S->v(E->pv[new_root]))
+                if (e.type < 4) nn4++;
+            if (nn4 > E->min_num_non4)
+                E_make_node_reference(E, new_root, 0);
+        }
+        return new_root;
+    }
+
+    // ordinary case: insert a new internal node above `node`
+    int new_internal = E->add_node();
+    if (child == 0) E->c0[E->up[node]] = new_internal;
+    else E->c1[E->up[node]] = new_internal;
+    E->up[new_internal] = E->up[node];
+    E->c0[new_internal] = node;
+    E->up[node] = new_internal;
+    E->dist[node] = best_down_length;
+    bool pass_up_mutations = false;
+    int descendants_to_pass = 0;
+    if (!E->muts[node].empty() && best_down_length == 0.0) {
+        E->muts[new_internal] = std::move(E->muts[node]);
+        E->nDesc[new_internal] = E->nDesc[node];
+        if (best_appending_length != 0.0) E->nDesc[new_internal]++;
+        E->muts[node].clear();
+        descendants_to_pass = 0;
+    } else {
+        if (!E->muts[node].empty()) {
+            pass_up_mutations = true;
+            E->nDesc[new_internal] = 1;
+            descendants_to_pass = 1;
+        } else {
+            if (!E->is_leaf(node)) E->nDesc[new_internal] = E->nDesc[node];
+            else E->nDesc[new_internal] = 0;
+            descendants_to_pass = 0;
+            if (best_down_length != 0.0) {
+                descendants_to_pass++;
+                E->nDesc[new_internal]++;
+            }
+        }
+        E->muts[new_internal].clear();
+        if (best_appending_length != 0.0) {
+            E->nDesc[new_internal]++;
+            descendants_to_pass++;
+        }
+        if (best_down_length != 0.0 && best_up_length == 0.0)
+            descendants_to_pass--;
+    }
+
+    int new_node = E->add_node();
+    E->name[new_node] = sample;
+    E->dist[new_node] = best_appending_length;
+    if (best_appending_length != 0.0 && best_appending_length > 0.01
+            && !E->warned_blen) {
+        E->warned_blen = 1;
+        E->warned_blen_value = best_appending_length;
+    }
+    E->up[new_node] = new_internal;
+    E->c1[new_internal] = new_node;
+    E->dist[new_internal] = best_up_length;
+
+    int64_t pv_new_node = new_partials;
+    if (pass_up_mutations) pv_new_node = E_pass_up(E, new_partials, node);
+    E->install(&E->pv[new_node], pv_new_node);
+    E_shorten(E, E->pv[new_node]);
+    int64_t pv_internal = E_merge(E, E->pv[node], best_down_length, is_tip,
+        new_partials, best_appending_length, true, false);
+    if (pass_up_mutations && pv_internal >= 0)
+        pv_internal = E_pass_up(E, pv_internal, node);
+    E->install(&E->pv[new_internal], pv_internal);
+    E_shorten(E, E->pv[new_internal]);
+    int64_t up_right = E_merge(E, vect_up, best_up_length, false,
+        new_partials, best_appending_length, true, true);
+    if (pass_up_mutations && up_right >= 0)
+        up_right = E_pass_up(E, up_right, node);
+    E->install(&E->upR[new_internal], up_right);
+    E_shorten(E, E->upR[new_internal]);
+    int64_t up_left = E_merge(E, vect_up, best_up_length, false,
+        E->pv[node], best_down_length, is_tip, true);
+    if (pass_up_mutations && up_left >= 0)
+        up_left = E_pass_up(E, up_left, node);
+    E->install(&E->upL[new_internal], up_left);
+    E_shorten(E, E->upL[new_internal]);
+    if (E->pv[new_internal] < 0 || E->upR[new_internal] < 0
+            || E->upL[new_internal] < 0) {
+        E->error = "None genome list created in placement";
+        return -2;
+    }
+    if (best_up_length != 0.0) {
+        int64_t tot = E_merge(E, vect_up, best_up_length / 2, false,
+            E->pv[new_internal], best_up_length / 2, false, true);
+        if (pass_up_mutations && tot >= 0) tot = E_pass_up(E, tot, node);
+        E->install(&E->totUp[new_internal], tot);
+        E_shorten(E, E->totUp[new_internal]);
+    } else {
+        E->install(&E->totUp[new_internal], -1);
+    }
+    if (best_appending_length != 0.0) {
+        int64_t tot = E_merge(E, E->upL[new_internal],
+            best_appending_length / 2, false, new_partials,
+            best_appending_length / 2, true, true);
+        if (pass_up_mutations && tot >= 0) tot = E_pass_up(E, tot, node);
+        E->install(&E->totUp[new_node], tot);
+        E_shorten(E, E->totUp[new_node]);
+        update_pseudo_counts(*E->S, E->S->v(E->upL[new_internal]),
+                             E->S->v(new_partials), E->counts);
+    } else {
+        E->install(&E->totUp[new_node], -1);
+    }
+    if (best_down_length == 0.0) E->install(&E->totUp[node], -1);
+
+    if (descendants_to_pass) {
+        int p_node = E->up[new_internal];
+        E->nDesc[p_node] += descendants_to_pass;
+        while (E->muts[p_node].empty()) {
+            if (E->nDesc[p_node] >= E->max_ndesc_clade && E->use_refs) {
+                int nn4 = 0;
+                for (const Entry &e : E->S->v(E->pv[p_node]))
+                    if (e.type < 4) nn4++;
+                if (nn4 > E->min_num_non4) {
+                    E_make_node_reference(E, p_node,
+                        E->nDesc[p_node] - descendants_to_pass);
+                    break;
+                }
+            }
+            p_node = E->up[p_node];
+            if (p_node < 0) break;
+            E->nDesc[p_node] += descendants_to_pass;
+        }
+    }
+    std::vector<WorkItem> wl;
+    wl.push_back({(int32_t)node, 2, 1});
+    wl.push_back({(int32_t)E->up[new_internal], (int32_t)child, 1});
+    if (!E_update_partials(E, std::move(wl))) return -2;
+    return -1;
+}
+
+}  // namespace
+
+extern "C" {
+
+Engine *engine_create(Store *s, int64_t root_vec, int32_t root_name,
+                      int strict_stop, int allowed_fails,
+                      double threshold_log_lk, double threshold_opt,
+                      double threshold_consec, double one_mut, double eff0,
+                      int only_identical, int use_refs,
+                      int max_ndesc_clade, int min_num_non4) {
+    Engine *E = new Engine();
+    E->S = s;
+    E->strict_stop = strict_stop != 0;
+    E->allowed_fails = allowed_fails;
+    E->threshold_log_lk = threshold_log_lk;
+    E->threshold_opt = threshold_opt;
+    E->threshold_consec = threshold_consec;
+    E->one_mut = one_mut;
+    E->eff0 = eff0;
+    E->only_identical = only_identical != 0;
+    E->use_refs = use_refs != 0;
+    E->max_ndesc_clade = max_ndesc_clade;
+    E->min_num_non4 = min_num_non4;
+    E->add_node();
+    E->name[0] = root_name;
+    E->pv[0] = root_vec;
+    E->root = 0;
+    return E;
+}
+
+void engine_free(Engine *E) { delete E; }
+
+// Place one sample (diffs = global-frame terminal vector id; the engine
+// takes ownership).  Returns 1 if absorbed as a minor sequence, 0 if
+// placed, -1 on error (see engine_error).
+int engine_place(Engine *E, int64_t diffs, int32_t sample) {
+    E->own(diffs);
+    FindResult R = E_find_best_parent(E, diffs, sample);
+    if (!E->error.empty()) { E->end_call(); return -1; }
+    if (R.absorbed) { E->end_call(); return 1; }
+    int new_root = E_place_sample(E, R.best_node, R.best_diffs, sample,
+                                  R.best_score, R.top, R.bottom,
+                                  R.appending);
+    if (new_root == -2 || !E->error.empty()) { E->end_call(); return -1; }
+    if (new_root >= 0) E->root = new_root;
+    E->end_call();
+    return 0;
+}
+
+int32_t engine_root(Engine *E) { return E->root; }
+int32_t engine_node_count(Engine *E) { return (int32_t)E->up.size(); }
+
+const char *engine_error(Engine *E) { return E->error.c_str(); }
+
+void engine_counts(Engine *E, double *out, int reset) {
+    for (int i = 0; i < 16; i++) out[i] = E->counts[i];
+    if (reset) for (int i = 0; i < 16; i++) E->counts[i] = 0.0;
+}
+
+void engine_stats(Engine *E, double *out) {
+    out[0] = E->num_minors_found;
+    out[1] = E->total_missed_minors;
+    out[2] = E->sum_child_lks;
+    out[3] = E->num_child_lks;
+    out[4] = E->warned_blen;
+    out[5] = E->warned_blen_value;
+    out[6] = E->num_refs;
+}
+
+void engine_export_nodes(Engine *E, int32_t *up, int32_t *cc0, int32_t *cc1,
+                         double *dist, int32_t *name, int32_t *ndesc,
+                         uint8_t *dirty, int64_t *pv, int64_t *upr,
+                         int64_t *upl, int64_t *totup, int32_t *n_minor,
+                         int32_t *n_muts) {
+    int n = (int)E->up.size();
+    for (int i = 0; i < n; i++) {
+        up[i] = E->up[i];
+        cc0[i] = E->c0[i];
+        cc1[i] = E->c1[i];
+        dist[i] = E->dist[i];
+        name[i] = E->name[i];
+        ndesc[i] = E->nDesc[i];
+        dirty[i] = E->dirty[i];
+        pv[i] = E->pv[i];
+        upr[i] = E->upR[i];
+        upl[i] = E->upL[i];
+        totup[i] = E->totUp[i];
+        n_minor[i] = (int32_t)E->minorSeqs[i].size();
+        n_muts[i] = (int32_t)(E->muts[i].size() / 3);
+    }
+}
+
+void engine_export_minor(Engine *E, int32_t node, int32_t *out) {
+    for (size_t i = 0; i < E->minorSeqs[node].size(); i++)
+        out[i] = E->minorSeqs[node][i];
+}
+
+void engine_export_muts(Engine *E, int32_t node, int32_t *out) {
+    for (size_t i = 0; i < E->muts[node].size(); i++)
+        out[i] = E->muts[node][i];
+}
+
+}  // extern "C"
