@@ -309,6 +309,11 @@ def create_newick(tree: PhyloTree, node: int, binary: bool = True,
                                      or opts.performLineageAssignment)
     write_lineage = opts is not None and opts.performLineageAssignment
     expand_names = support_for_identical or write_lineage
+    if expand_names and opts is None:
+        # the reference's preliminary-tree writes keep expanding minor
+        # sequences via stringForNode with all annotation flags off
+        # (:12333, :2864): the call degrades to the plain name
+        opts = AnnotationOptions()
 
     def node_name(n) -> str:
         raw = tree.name[n]

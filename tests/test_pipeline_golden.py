@@ -71,6 +71,22 @@ def test_denovo_sprta_mat_golden(tmp_path):
                                  "_nexusTree.tree", "_metaData.tsv"))
 
 
+def test_support_for_0branches_golden(tmp_path):
+    """--supportFor0Branches --SPRTA: support on zero-length branches plus
+    expanded minor-sequence clades in every tree write (regression for the
+    preliminary-tree writer crash)."""
+    golden = os.path.join(GOLDEN_DIR, "example_sup0")
+    if not os.path.isfile(golden + "_nexusTree.tree"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR", SPRTA=True,
+                      supportFor0Branches=True, overwrite=True)
+    run_inference(cfg)
+    _compare(out, golden, parts=("_tree.tree", "_subs.txt", "_LK.txt",
+                                 "_nexusTree.tree", "_metaData.tsv",
+                                 "_round1_preliminary_tree.tree"))
+
+
 GOLDEN = GOLDEN_DIR  # alias
 
 
