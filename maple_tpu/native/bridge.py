@@ -34,9 +34,16 @@ TYPE_R, TYPE_N, TYPE_O = 4, 5, 6
 
 
 def _build():
-    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-           "-o", _LIB, _SRC]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # -ffp-contract=off: FMA contraction would break byte-level parity
+    # with the Python kernels (1-ulp drift); -march=native is safe with
+    # contraction off since -O3 alone never reassociates FP reductions.
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-fPIC",
+           "-shared", "-std=c++17", "-o", _LIB, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        cmd.remove("-march=native")
+        subprocess.run(cmd, check=True, capture_output=True)
 
 
 def _load():

@@ -675,11 +675,14 @@ int merge_vectors(Store &S, const Vec &v1, double bl1, bool tip1,
 }
 
 // --------------------------------------------------------- appendProbNode
-// (reference :6505-6785; Python append_prob_node)
-double append_prob_node(const Store &S, const Vec &vP, const Vec &vC,
-                        bool tip_c, double blen) {
-    const bool uer = S.using_error_rate;
-    const int uer1 = uer ? 1 : 0;
+// (reference :6505-6785; Python append_prob_node).  Templated on the
+// error-rate flag so the placement-path instantiation (uer=false) strips
+// every error-model branch at compile time.
+template <bool UER>
+static double append_prob_node_t(const Store &S, const Vec &vP,
+                                 const Vec &vC, bool tip_c, double blen) {
+    constexpr bool uer = UER;
+    constexpr int uer1 = uer ? 1 : 0;
     size_t i1 = 0, i2 = 0;
     double tot_factor = 1.0;
     int pos = 0;
@@ -903,6 +906,13 @@ double append_prob_node(const Store &S, const Vec &vP, const Vec &vC,
         }
     }
     return lk + std::log(tot_factor);
+}
+
+double append_prob_node(const Store &S, const Vec &vP, const Vec &vC,
+                        bool tip_c, double blen) {
+    if (S.using_error_rate)
+        return append_prob_node_t<true>(S, vP, vC, tip_c, blen);
+    return append_prob_node_t<false>(S, vP, vC, tip_c, blen);
 }
 
 
