@@ -24,6 +24,24 @@ from typing import List, Optional, Sequence, Tuple
 
 from ..refdata import ALLELES, AMBIGUITIES, RefData
 
+
+def reshare_tip_ambiguities(tree, kern_name="python"):
+    """Restore the reference's tip-ambiguity aliasing after a backend
+    conversion: leaf O entries whose probabilities still equal a pristine
+    ambiguity pattern are re-pointed at the shared per-code list."""
+    by_value = {tuple(v): v for v in AMBIGUITIES.values()}
+    for node in range(len(tree.up)):
+        if tree.children[node]:
+            continue
+        vec = tree.probVect[node]
+        if vec is None or not isinstance(vec, list):
+            continue
+        for i, e in enumerate(vec):
+            if e[0] == TYPE_O and isinstance(e[-1], list):
+                shared = by_value.get(tuple(e[-1]))
+                if shared is not None:
+                    vec[i] = e[:-1] + (shared,)
+
 TYPE_R = 4
 TYPE_N = 5
 TYPE_O = 6
@@ -205,7 +223,16 @@ def terminal_node_genome_list(
             if only_n_ambiguities:
                 entry = (TYPE_N, cur)
             else:
-                vec = list(AMBIGUITIES[ch])
+                if not using_error_rate:
+                    # the reference shares ONE probability list per
+                    # ambiguity code across every tip (:3959); later
+                    # error-model refreshes mutate it in place, so all
+                    # aliased entries end with the eps of whichever tip
+                    # was refreshed last.  Preserve the aliasing for byte
+                    # parity.
+                    vec = AMBIGUITIES[ch]
+                else:
+                    vec = list(AMBIGUITIES[ch])
                 if using_error_rate and num_minor_seqs == 0:
                     eps = (error_rates[cur - 1] if error_rates is not None
                            else error_rate)

@@ -45,7 +45,9 @@ class Run:
             data = read_maple_alignment(cfg.input, extract_reference=False,
                                         ref=ref)
         else:
-            ref, data = read_maple_alignment(cfg.input)
+            from .refdata import reset_ambiguities
+        reset_ambiguities()
+        ref, data = read_maple_alignment(cfg.input)
         self.data = data
         self.refd = RefData.build(ref, model=cfg.model)
         self.dc = DerivedConfig.build(cfg, self.refd.lRef)
@@ -319,8 +321,13 @@ class Run:
         model.refresh_cumulative_rate()
         if model.using_error_rate and (self.cfg.estimateErrorRate
                                        or self.cfg.estimateSiteSpecificErrorRate):
-            model.set_error_rates(err_rate if err_rate is not None
-                                  else model.error_rate, err_rates)
+            # the global rate is only replaced under --estimateErrorRate;
+            # site-specific-only estimation keeps the initial global rate
+            # (reference :11784-11786, :11841-11844)
+            if self.cfg.estimateErrorRate and err_rate is not None:
+                model.set_error_rates(err_rate, err_rates)
+            else:
+                model.set_error_rates(model.error_rate, err_rates)
         return mat
 
     def post_placement(self):
@@ -340,6 +347,14 @@ class Run:
             # :11779-11811)
             lk = rt.calculate_tree_likelihood(t1)
             print(f"Tree LK before error rates EM: {lk}")
+            if rt.kern.name == "native":
+                # the C++ entry encoding cannot represent the reference's
+                # stale flag-less tuples that exist between error-model
+                # activation and the next full recompute; error-model
+                # phases run on the Python kernels for byte parity
+                rt.convert_backend("python")
+                from .core.genomelist import reshare_tip_ambiguities
+                reshare_tip_ambiguities(self.tree)
             self.model.using_error_rate = True
             self.model.version += 1
             self.run_em_step()
@@ -468,6 +483,10 @@ class Run:
         if self.error_model_requested() and (
                 num_samples > cfg.minNumSamplesForErrorModel
                 or not cfg.largeUpdate):
+            if self.rt.kern.name == "native":
+                self.rt.convert_backend("python")
+                from .core.genomelist import reshare_tip_ambiguities
+                reshare_tip_ambiguities(self.tree)
             self.model.using_error_rate = True
             self.model.version += 1
         if not cfg.inputRates:
@@ -617,6 +636,14 @@ class Run:
         self.write_subs(suffix_add + "_subs.txt")
         total = self.write_lk(suffix_add + "_LK.txt")
         print(f"totalLK: {total}", flush=True)
+        if cfg.estimateErrors:
+            from .analysis.errors import calculate_error_probabilities
+            fname = cfg.output + suffix_add + "_estimatedErrors.txt"
+            with open(fname, "w") as fh:
+                calculate_error_probabilities(
+                    self.rt, self.root, fh, cfg.minErrorProb,
+                    self.names_in_tree)
+            print(f"Errors estimated, written to file {fname}")
         annotations = None
         if cfg.SPRTA or cfg.estimateMAT:
             if cfg.estimateMAT:

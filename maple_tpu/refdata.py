@@ -28,6 +28,17 @@ AMBIGUITIES = {
     "b": [0.0, 1.0, 1.0, 1.0],
 }
 
+# pristine copies: the per-code lists above are intentionally shared across
+# tips (reference :3959) and mutated in place by error-model refreshes;
+# each Run restores them so successive runs in one process stay independent
+_AMBIGUITIES_PRISTINE = {k: tuple(v) for k, v in AMBIGUITIES.items()}
+
+
+def reset_ambiguities():
+    for k, v in _AMBIGUITIES_PRISTINE.items():
+        AMBIGUITIES[k][:] = v
+
+
 
 @dataclass
 class RefData:

@@ -87,6 +87,21 @@ def test_support_for_0branches_golden(tmp_path):
                                  "_round1_preliminary_tree.tree"))
 
 
+def test_estimate_errors_golden(tmp_path):
+    """--estimateErrors: site-specific error-model pipeline (activation,
+    error EM iterations, per-sample error posteriors) byte-identical,
+    including the reference's shared-ambiguity-list aliasing semantics."""
+    golden = os.path.join(GOLDEN_DIR, "example_errest")
+    if not os.path.isfile(golden + "_estimatedErrors.txt"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR",
+                      estimateErrors=True, overwrite=True)
+    run_inference(cfg)
+    _compare(out, golden, parts=("_tree.tree", "_subs.txt", "_LK.txt",
+                                 "_estimatedErrors.txt"))
+
+
 GOLDEN = GOLDEN_DIR  # alias
 
 
