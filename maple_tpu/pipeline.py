@@ -532,6 +532,10 @@ class Run:
     def run(self):
         """Full pipeline: de-novo or online inference."""
         cfg = self.cfg
+        if cfg.assignmentFile or cfg.assignmentFileCSV:
+            from .analysis.lineages import run_lineage_assignment_mode
+            run_lineage_assignment_mode(cfg)
+            return
         if cfg.inputRFtrees:
             from .analysis.rf import run_rf_mode
             out = run_rf_mode(cfg)

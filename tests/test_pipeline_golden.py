@@ -102,6 +102,62 @@ def test_estimate_errors_golden(tmp_path):
                                  "_estimatedErrors.txt"))
 
 
+LINEAGE_DIR = os.path.join(GOLDEN_DIR, "lineage")
+
+
+def test_lineage_assignment_newick_golden(tmp_path):
+    """--assignmentFileCSV on a newick input tree (reference :3191-3480)."""
+    if not os.path.isfile(os.path.join(LINEAGE_DIR, "assign.csv")):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(
+        inputTree=os.path.join(GOLDEN_DIR, "example_gtr_tree.tree"),
+        assignmentFileCSV=os.path.join(LINEAGE_DIR, "assign.csv"),
+        output=out, overwrite=True)
+    run_inference(cfg)
+    for part, gold in (("_lineageAssignments.csv",
+                        "newick_lineageAssignments.csv"),
+                       ("_nexusTree.tree", "newick_nexusTree.tree")):
+        with open(out + part) as f, \
+                open(os.path.join(LINEAGE_DIR, gold)) as g:
+            assert f.read() == g.read(), part
+
+
+def test_lineage_assignment_reroot_golden(tmp_path):
+    """--reRoot re-roots the input newick tree before assignment."""
+    if not os.path.isfile(os.path.join(LINEAGE_DIR, "assign.csv")):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(
+        inputTree=os.path.join(GOLDEN_DIR, "example_gtr_tree.tree"),
+        assignmentFileCSV=os.path.join(LINEAGE_DIR, "assign.csv"),
+        reRoot="DRR272391", output=out, overwrite=True)
+    run_inference(cfg)
+    with open(out + "_lineageAssignments.csv") as f, \
+            open(os.path.join(LINEAGE_DIR,
+                              "reroot_lineageAssignments.csv")) as g:
+        assert f.read() == g.read()
+
+
+def test_lineage_assignment_nexus_golden(tmp_path):
+    """--inputNexusTree path: annotation parsing + per-sample lineage
+    probability distributions (uncertainty second pass)."""
+    if not os.path.isfile(os.path.join(LINEAGE_DIR, "input.nexus")):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(
+        inputNexusTree=os.path.join(LINEAGE_DIR, "input.nexus"),
+        assignmentFileCSV=os.path.join(LINEAGE_DIR, "assign.csv"),
+        output=out, overwrite=True)
+    run_inference(cfg)
+    for part, gold in (("_lineageAssignments.csv",
+                        "nexus_lineageAssignments.csv"),
+                       ("_nexusTree.tree", "nexus_nexusTree.tree")):
+        with open(out + part) as f, \
+                open(os.path.join(LINEAGE_DIR, gold)) as g:
+            assert f.read() == g.read(), part
+
+
 GOLDEN = GOLDEN_DIR  # alias
 
 
