@@ -1211,10 +1211,21 @@ def run_spr_rounds(run, rounds: List[tuple]):
         rt.recalculate_all(run.root)
         pre_lk = rt.calculate_tree_likelihood(run.root)
         print(f"Likelihood before SPR moves: {pre_lk}", flush=True)
-        new_root, improvement = start_topology_updates(
-            rt, run.root, strict, fails, threshold, placement_thresh,
-            check_each_spr=cfg.debugging, abayes_on=abayes_on,
-            network_output=cfg.networkOutput)
+        parallelize = cfg.numCores > 1
+        if parallelize:
+            from .parallel_spr import (assign_core_numbers,
+                                       parallel_topology_update)
+            if n_round == 0:
+                assign_core_numbers(tree, run.root, cfg.numCores)
+            new_root, improvement = parallel_topology_update(
+                rt, run.root, (strict, fails, threshold, placement_thresh),
+                SprCounters(), cfg.numCores, abayes_on=abayes_on,
+                network_output=cfg.networkOutput)
+        else:
+            new_root, improvement = start_topology_updates(
+                rt, run.root, strict, fails, threshold, placement_thresh,
+                check_each_spr=cfg.debugging, abayes_on=abayes_on,
+                network_output=cfg.networkOutput)
         if new_root is not None:
             run.root = new_root
         run.timings["topology"] += _time.time() - start
@@ -1229,10 +1240,22 @@ def run_spr_rounds(run, rounds: List[tuple]):
         sub_round = 0
         while sub_round < 20:
             print(f"Topological subround {sub_round + 1}", flush=True)
-            new_root, improvement = start_topology_updates(
-                rt, run.root, strict, fails, threshold, placement_thresh,
-                check_each_spr=cfg.debugging, abayes_on=abayes_on,
-                network_output=cfg.networkOutput)
+            if parallelize:
+                from ..runtime.tree import count_dirty_nodes
+                num_dirty, num_nodes = count_dirty_nodes(tree, run.root)
+            if parallelize and num_dirty > 0.1 * num_nodes:
+                from .parallel_spr import parallel_topology_update
+                new_root, improvement = parallel_topology_update(
+                    rt, run.root,
+                    (strict, fails, threshold, placement_thresh),
+                    SprCounters(), cfg.numCores, abayes_on=abayes_on,
+                    network_output=cfg.networkOutput)
+            else:
+                new_root, improvement = start_topology_updates(
+                    rt, run.root, strict, fails, threshold,
+                    placement_thresh, check_each_spr=cfg.debugging,
+                    abayes_on=abayes_on,
+                    network_output=cfg.networkOutput)
             if new_root is not None:
                 run.root = new_root
             print(f"LK improvement apparently brought: {improvement}",

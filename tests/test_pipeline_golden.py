@@ -158,6 +158,26 @@ def test_lineage_assignment_nexus_golden(tmp_path):
             assert f.read() == g.read(), part
 
 
+def test_parallel_spr_golden(tmp_path):
+    """--numCores 3: search-parallel / apply-serial SPR rounds on a
+    deliberately random input tree (>100 proposed moves re-validated and
+    applied); outputs must match the reference's parallel mode."""
+    par = os.path.join(GOLDEN_DIR, "parallel")
+    if not os.path.isfile(os.path.join(par, "par3_tree.tree")):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE,
+                      inputTree=os.path.join(par, "random_input.tree"),
+                      largeUpdate=True, model="GTR", numCores=3,
+                      output=out, overwrite=True)
+    run_inference(cfg)
+    for part in ("_tree.tree", "_LK.txt", "_subs.txt",
+                 "_round1_tree.tree"):
+        with open(out + part) as f, \
+                open(os.path.join(par, "par3" + part)) as g:
+            assert f.read() == g.read(), part
+
+
 GOLDEN = GOLDEN_DIR  # alias
 
 
