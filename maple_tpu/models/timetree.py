@@ -1,0 +1,1039 @@
+"""Time-tree subsystem (``--datesFile``).
+
+Parallel likelihood machinery over discretized sampling-time intervals
+(``--intervalLength`` days): per-node time vectors ``(maxT,)`` /
+``(maxT, minT)`` / ``(maxT, minT, probV)`` with ``probV[i]`` the
+probability of interval ``maxT - i``; mutation-count transitions are
+Poisson(#mutations | Δt·mutRate) with a growing coefficient cache.
+
+Reference: getPoissonCoeff :413-438, getPartialVecTime :443-570,
+resolveTimeInconsistency :576-656, mergeVectorsTime :662-771,
+rootVectorTime :784-814, areVectorsDifferentTime :821-859,
+isMinorDate :864-922, sortSamplesByDate :939-956,
+appendProbNodeTime :960-1026, updateProbVectTerminalNodeTime
+:1032-1046, expectationMaximizationCalculationRatesTime :1049-1187,
+calculateTreeLikelihoodTime :1191-1236, reCalculateAllGenomeListsTime
+:1380-1531, date parsing :1534-1807.
+"""
+from __future__ import annotations
+
+from calendar import isleap
+from math import ceil, exp, floor, log
+from operator import itemgetter
+
+
+class TimeCtx:
+    """Mutation-rate state + Poisson coefficient cache.
+
+    The cache depends on mutRate, so it is reset whenever the rate is
+    re-estimated (matching the reference's module-level reset)."""
+
+    def __init__(self, lRef: int, mut_rate: float, interval_length: int,
+                 prob_threshold: float, min_mut_rate: float,
+                 initial_mut_rate: float):
+        self.lRef = lRef
+        self.mut_rate = mut_rate
+        self.interval_length = interval_length
+        self.thr = prob_threshold
+        self.thr2 = prob_threshold * prob_threshold
+        self.min_mut_rate = min_mut_rate
+        self.initial_mut_rate = initial_mut_rate
+        self.poisson = [[1.0]]
+
+    def set_mut_rate(self, mut_rate: float):
+        self.mut_rate = mut_rate
+        self.poisson = [[1.0]]
+
+    def poisson_coeff(self, b: int, t: int) -> float:
+        """P(b mutations | t intervals) with incremental cache extension
+        (reference getPoissonCoeff :413-438)."""
+        if t == 0:
+            return 0.0 if b > 0 else 1.0
+        poisson = self.poisson
+        mut_rate = self.mut_rate
+        try:
+            return poisson[t][b]
+        except IndexError:
+            if t >= len(poisson):
+                n = len(poisson)
+                for i in range(t + 1 - n):
+                    poisson.append([exp(-(n + i) * mut_rate)])
+            poi_t = poisson[t]
+            n = len(poi_t)
+            for i in range(b + 1 - n):
+                poi_t.append(poi_t[-1] * t * mut_rate / float(n + i))
+            return poisson[t][b]
+
+
+def get_partial_vec_time(ctx: TimeCtx, vect, tot_len, up_node=False,
+                         other_min_t=None, other_max_t=None, try_min=None):
+    """Move a time vector along a branch of genetic length ``tot_len``
+    (already in mutation units); returns an int maxT on incompatibility
+    (reference getPartialVecTime :443-570)."""
+    if vect is None:
+        return None
+    if len(vect) == 1:
+        min_t = max_t = vect[0]
+        prob_v = None
+    elif len(vect) == 2:
+        min_t = vect[1]
+        max_t = vect[0]
+        prob_v = None
+    else:
+        min_t = vect[1]
+        max_t = vect[0]
+        prob_v = vect[2]
+    pc = ctx.poisson_coeff
+    thr = ctx.thr
+    new_prob_v = []
+    if up_node:
+        if abs(round(tot_len) - tot_len) > thr:
+            tot_lens = [floor(tot_len), ceil(tot_len)]
+            tot_len_probs = [ceil(tot_len) - tot_len, tot_len - floor(tot_len)]
+            new_min_t = min_t + 1 if tot_lens[0] > 0 else min_t
+        else:
+            tot_lens = None
+            tot_len = round(tot_len)
+            new_min_t = min_t + 1 if tot_len else min_t
+        if other_max_t is not None and other_max_t < new_min_t:
+            print("Merging incompatible time vectors in getPartialVecTime")
+            return other_max_t
+        highest = 0.0
+        last = 1.0
+        cur = new_min_t
+        while (other_max_t is not None and cur <= other_max_t) \
+                or (other_max_t is None and last >= highest * thr):
+            last = 0.0
+            if prob_v:
+                if tot_lens:
+                    for t_up in range(min_t, min(cur, max_t) + 1):
+                        last += (pc(tot_lens[0], cur - t_up)
+                                 * tot_len_probs[0]
+                                 + pc(tot_lens[1], cur - t_up)
+                                 * tot_len_probs[1]) * prob_v[max_t - t_up]
+                else:
+                    for t_up in range(min_t, min(cur, max_t) + 1):
+                        last += pc(tot_len, cur - t_up) \
+                            * prob_v[max_t - t_up]
+            else:
+                if tot_lens:
+                    for t_up in range(min_t, min(cur, max_t) + 1):
+                        last += (pc(tot_lens[0], cur - t_up)
+                                 * tot_len_probs[0]
+                                 + pc(tot_lens[1], cur - t_up)
+                                 * tot_len_probs[1])
+                else:
+                    for t_up in range(min_t, min(cur, max_t) + 1):
+                        last += pc(tot_len, cur - t_up)
+            if last > highest:
+                highest = last
+            new_prob_v.append(last)
+            cur += 1
+        new_prob_v.reverse()
+        return (cur - 1, new_min_t, new_prob_v)
+    else:
+        if other_min_t is None:
+            other_min_t = float("-inf")
+        elif try_min is not None and other_min_t > (try_min - 1):
+            other_min_t = try_min - 1
+        if abs(round(tot_len) - tot_len) > thr:
+            tot_lens = [floor(tot_len), ceil(tot_len)]
+            tot_len_probs = [ceil(tot_len) - tot_len, tot_len - floor(tot_len)]
+            new_max_t = max_t - 1 if tot_lens[0] > 0 else max_t
+        else:
+            tot_lens = None
+            tot_len = round(tot_len)
+            new_max_t = max_t - 1 if tot_len else max_t
+        if other_max_t is not None and other_max_t < new_max_t:
+            new_max_t = other_max_t
+        if other_min_t > new_max_t:
+            print("Merging incompatible time vectors in getPartialVecTime 2")
+            print(vect)
+            return new_max_t
+        highest = 0.0
+        last = 1.0
+        cur = new_max_t
+        while (other_min_t != float("-inf") and cur >= other_min_t) \
+                or (try_min is not None and cur >= (try_min - 1)) \
+                or (other_min_t == float("-inf")
+                    and last >= highest * thr):
+            last = 0.0
+            if prob_v:
+                if tot_lens:
+                    for t_down in range(max(cur, min_t), max_t + 1):
+                        last += (pc(tot_lens[0], t_down - cur)
+                                 * tot_len_probs[0]
+                                 + pc(tot_lens[1], t_down - cur)
+                                 * tot_len_probs[1]) * prob_v[max_t - t_down]
+                else:
+                    for t_down in range(max(cur, min_t), max_t + 1):
+                        last += pc(tot_len, t_down - cur) \
+                            * prob_v[max_t - t_down]
+            else:
+                if tot_lens:
+                    for t_down in range(max(cur, min_t), max_t + 1):
+                        last += (pc(tot_lens[0], t_down - cur)
+                                 * tot_len_probs[0]
+                                 + pc(tot_lens[1], t_down - cur)
+                                 * tot_len_probs[1])
+                else:
+                    for t_down in range(max(cur, min_t), max_t + 1):
+                        last += pc(tot_len, t_down - cur)
+            if last > highest:
+                highest = last
+            new_prob_v.append(last)
+            cur -= 1
+        return (new_max_t, cur + 1, new_prob_v)
+
+
+def merge_vectors_time(ctx: TimeCtx, v1, bl1, v2, bl2, return_lk=False,
+                       is_up_down=False, try_min=None):
+    """Merge two time vectors separated by genetic branch lengths
+    (reference mergeVectorsTime :662-771).  Returns an int on
+    incompatibility (or -inf LK when return_lk)."""
+    bl1 = bl1 * ctx.lRef
+    bl2 = bl2 * ctx.lRef
+    if v1 is None:
+        if v2 is None:
+            return (None, 0.0) if return_lk else None
+        passed2 = get_partial_vec_time(ctx, v2, bl2, up_node=False,
+                                       try_min=try_min)
+        pv = passed2[2]
+        tot = sum(pv)
+        for i in range(len(pv)):
+            pv[i] = pv[i] / tot
+        if return_lk:
+            return (passed2[0], passed2[1], pv), log(tot)
+        return (passed2[0], passed2[1], pv)
+    if v2 is None:
+        passed1 = get_partial_vec_time(ctx, v1, bl1, up_node=is_up_down,
+                                       try_min=try_min)
+        pv = passed1[2]
+        tot = sum(pv)
+        for i in range(len(pv)):
+            pv[i] = pv[i] / tot
+        if return_lk:
+            return (passed1[0], passed1[1], pv), log(tot)
+        return (passed1[0], passed1[1], pv)
+
+    max_t2 = v2[0] - 1 if bl2 >= 1 else v2[0]
+    if is_up_down:
+        min_t1 = v1[0] if len(v1) == 1 else v1[1]
+        if bl1 >= 1:
+            min_t1 += 1
+        passed2 = get_partial_vec_time(ctx, v2, bl2, other_min_t=min_t1,
+                                       up_node=False, try_min=try_min)
+        if isinstance(passed2, int):
+            print("mergeVectorsTime returning " + str(passed2))
+            if return_lk:
+                return float("-inf")
+            return passed2
+        passed1 = get_partial_vec_time(ctx, v1, bl1, other_max_t=max_t2,
+                                       up_node=True, try_min=try_min)
+    else:
+        max_t1 = v1[0] - 1 if bl1 >= 1 else v1[0]
+        passed2 = get_partial_vec_time(ctx, v2, bl2, other_max_t=max_t1,
+                                       up_node=False, try_min=try_min)
+        passed1 = get_partial_vec_time(ctx, v1, bl1, other_max_t=max_t2,
+                                       up_node=False, try_min=try_min)
+    min_t1 = passed1[1]
+    max_t1 = passed1[0]
+    min_t2 = passed2[1]
+    max_t2 = passed2[0]
+    min_t = max(min_t1, min_t2)
+    max_t = min(max_t1, max_t2)
+    pv = []
+    for pos in range(max_t, min_t - 1, -1):
+        pv.append(passed1[2][max_t1 - pos] * passed2[2][max_t2 - pos])
+    max_value = max(pv)
+    if try_min is None:
+        while pv[-1] < max_value * ctx.thr:
+            pv.pop()
+            min_t += 1
+    if pv[0] < max_value * ctx.thr:
+        new_pv = []
+        reduce = True
+        for i in range(len(pv)):
+            if reduce and pv[i] < max_value * ctx.thr:
+                max_t -= 1
+            else:
+                reduce = False
+                new_pv.append(pv[i])
+        pv = new_pv
+    tot = sum(pv)
+    for i in range(len(pv)):
+        pv[i] = pv[i] / tot
+    if return_lk:
+        return (max_t, min_t, pv), log(tot)
+    return (max_t, min_t, pv)
+
+
+def find_prob_root_time(vect) -> float:
+    """Flat improper root time prior (reference findProbRootTime
+    :778-779)."""
+    return 0.0
+
+
+def root_vector_time(ctx: TimeCtx, vect, blen, try_min=None,
+                     return_lk=False):
+    """Upper time vector at the root (reference rootVectorTime
+    :784-814)."""
+    blen = blen * ctx.lRef
+    if vect is None:
+        return None
+    passed = get_partial_vec_time(ctx, vect, blen, up_node=False,
+                                  try_min=try_min)
+    pv = passed[2]
+    max_t = passed[0]
+    max_value = max(pv)
+    if pv[0] < max_value * ctx.thr:
+        new_pv = []
+        reduce = True
+        for i in range(len(pv)):
+            if reduce and pv[i] < max_value * ctx.thr:
+                max_t -= 1
+            else:
+                reduce = False
+                new_pv.append(pv[i])
+        pv = new_pv
+    tot = sum(pv)
+    for i in range(len(pv)):
+        pv[i] = pv[i] / tot
+    if return_lk:
+        return (max_t, passed[1], pv), log(tot)
+    return (max_t, passed[1], pv)
+
+
+def are_vectors_different_time(ctx: TimeCtx, v1, v2) -> bool:
+    """(reference areVectorsDifferentTime :821-859)."""
+    if v2 is None:
+        return v1 is not None
+    if v1 is None:
+        return True
+    if len(v1) != len(v2):
+        return True
+    if len(v1) == 1:
+        return v1[0] != v2[0]
+    if len(v1) == 2:
+        return v1[0] != v2[0] or v1[1] != v2[1]
+    thr2 = ctx.thr2
+    for i in range(max(v1[0], v2[0]), min(v1[1], v2[1]) - 1, -1):
+        value1 = v1[2][v1[0] - i] if v1[1] <= i <= v1[0] else None
+        value2 = v2[2][v2[0] - i] if v2[1] <= i <= v2[0] else None
+        if value1 is None:
+            if value2 >= thr2:
+                return True
+        elif value2 is None:
+            if value1 >= thr2:
+                return True
+        elif abs(value1 - value2) >= thr2:
+            return True
+    return False
+
+
+def is_minor_date(date1, date2, only_find_identical=False) -> int:
+    """0 = incomparable, 1 = first more informative / identical, 2 =
+    second more informative (reference isMinorDate :864-922)."""
+    found1 = False
+    found2 = False
+    if date2 is None:
+        if only_find_identical:
+            return 1 if date1 is None else 0
+        return 1
+    if date1 is None:
+        return 0 if only_find_identical else 2
+    max1 = date1[0]
+    max2 = date2[0]
+    min1 = date1[1] if len(date1) > 1 else max1
+    min2 = date2[1] if len(date2) > 1 else max2
+    if min1 != min2:
+        if only_find_identical:
+            return 0
+        if min1 < min2:
+            found2 = True
+        else:
+            found1 = True
+    if max1 != max2:
+        if only_find_identical:
+            return 0
+        if max1 > max2:
+            found2 = True
+        else:
+            found1 = True
+    if found1:
+        return 0 if found2 else 1
+    return 2 if found2 else 1
+
+
+def sort_samples_by_date(dates, data, samples=None,
+                         samples_in_initial_tree=frozenset(),
+                         forget_data=False):
+    """Sort by latest possible sampling date descending so that later
+    samples are placed later (reference sortSamplesByDate :939-956)."""
+    latest = []
+    rng = range(len(data)) if samples is None else samples
+    for i in rng:
+        if samples is None or i not in samples_in_initial_tree:
+            if i in dates and dates[i] is not None:
+                latest.append((dates[i][0], i))
+            else:
+                latest.append((float("inf"), i))
+        elif forget_data:
+            data[i] = None
+    print("Now doing sorting")
+    latest.sort(reverse=True, key=itemgetter(0))
+    return latest
+
+
+def append_prob_node_time(ctx: TimeCtx, vP, vC, tot_len) -> float:
+    """Time-likelihood cost of appending (reference appendProbNodeTime
+    :960-1026)."""
+    tot_len = tot_len * ctx.lRef
+    if vP is None or vC is None:
+        return 0.0
+    min_tc = vC[0] if len(vC) == 1 else vC[1]
+    min_tp = vP[1]
+    max_tp = vP[0]
+    prob_v = vP[2]
+    max_tc = vC[0]
+    pc = ctx.poisson_coeff
+    if abs(round(tot_len) - tot_len) > ctx.thr:
+        tot_lens = [floor(tot_len), ceil(tot_len)]
+        tot_len_probs = [ceil(tot_len) - tot_len, tot_len - floor(tot_len)]
+        new_min_t = max(min_tp + 1, min_tc) if tot_lens[0] > 0 \
+            else max(min_tp, min_tc)
+    else:
+        tot_lens = None
+        tot_len = round(tot_len)
+        new_min_t = max(min_tp + 1, min_tc) if tot_len \
+            else max(min_tp, min_tc)
+    if max_tc < new_min_t:
+        print("appendProbNodeTime() incompatible time vectors.")
+        return float("-inf")
+    cur = new_min_t
+    tot = 0.0
+    if tot_lens:
+        if len(vC) > 2:
+            while cur <= max_tc:
+                last = 0.0
+                for t_up in range(min_tp, min(cur, max_tp) + 1):
+                    last += (pc(tot_lens[0], cur - t_up) * tot_len_probs[0]
+                             + pc(tot_lens[1], cur - t_up)
+                             * tot_len_probs[1]) * prob_v[max_tp - t_up]
+                tot += vC[2][max_tc - cur] * last
+                cur += 1
+        else:
+            while cur <= max_tc:
+                for t_up in range(min_tp, min(cur, max_tp) + 1):
+                    tot += (pc(tot_lens[0], cur - t_up) * tot_len_probs[0]
+                            + pc(tot_lens[1], cur - t_up)
+                            * tot_len_probs[1]) * prob_v[max_tp - t_up]
+                cur += 1
+    else:
+        if len(vC) > 2:
+            while cur <= max_tc:
+                last = 0.0
+                for t_up in range(min_tp, min(cur, max_tp) + 1):
+                    last += pc(tot_len, cur - t_up) * prob_v[max_tp - t_up]
+                tot += vC[2][max_tc - cur] * last
+                cur += 1
+        else:
+            while cur <= max_tc:
+                for t_up in range(min_tp, min(cur, max_tp) + 1):
+                    tot += pc(tot_len, cur - t_up) * prob_v[max_tp - t_up]
+                cur += 1
+    return log(tot)
+
+
+def update_terminal_time(ctx: TimeCtx, tree, node, sample_time_lk,
+                         num_min_seqs, only_add_one=False):
+    """(reference updateProbVectTerminalNodeTime :1032-1046)."""
+    if only_add_one:
+        tree.probVectTime[node] = merge_vectors_time(
+            ctx, tree.probVectTime[node], 0.0, sample_time_lk, 0.0)
+    else:
+        if sample_time_lk is None:
+            tree.probVectTime[node] = None
+        else:
+            new_vect = sample_time_lk
+            for _ in range(num_min_seqs):
+                new_vect = merge_vectors_time(ctx, new_vect, 0.0,
+                                              sample_time_lk, 0.0)
+            tree.probVectTime[node] = new_vect
+
+
+def em_mut_rate(ctx: TimeCtx, tree, root):
+    """EM pass re-estimating the per-interval mutation rate (reference
+    expectationMaximizationCalculationRatesTime :1049-1187)."""
+    up = tree.up
+    children = tree.children
+    up_right = tree.probVectUpRightTime
+    up_left = tree.probVectUpLeftTime
+    pv_time = tree.probVectTime
+    dist = tree.dist
+    pc = ctx.poisson_coeff
+    waiting_times = 20.0
+    counts = ctx.initial_mut_rate * ctx.interval_length * waiting_times
+    node = root
+    last_node = None
+    direction = 0
+    while node is not None:
+        if direction == 0:
+            if up[node] is not None:
+                vP = up_right[up[node]] if node == children[up[node]][0] \
+                    else up_left[up[node]]
+                vC = pv_time[node]
+                if vP is not None and vC is not None:
+                    tot_len = dist[node] * ctx.lRef
+                    min_tc = vC[0] if len(vC) == 1 else vC[1]
+                    min_tp = vP[1]
+                    max_tp = vP[0]
+                    prob_v = vP[2]
+                    max_tc = vC[0]
+                    if abs(round(tot_len) - tot_len) > ctx.thr:
+                        tot_lens = [floor(tot_len), ceil(tot_len)]
+                        tlp = [ceil(tot_len) - tot_len,
+                               tot_len - floor(tot_len)]
+                        new_min_t = max(min_tp + 1, min_tc) \
+                            if tot_lens[0] > 0 else max(min_tp, min_tc)
+                    else:
+                        tot_lens = None
+                        tot_len = round(tot_len)
+                        new_min_t = max(min_tp + 1, min_tc) if tot_len \
+                            else max(min_tp, min_tc)
+                    if max_tc < new_min_t:
+                        raise RuntimeError(
+                            "expectationMaximizationCalculationRatesTime() "
+                            "incompatible time vectors.")
+                    tot = 0.0
+                    cur = new_min_t
+                    if tot_lens:
+                        if len(vC) > 2:
+                            while cur <= max_tc:
+                                last = 0.0
+                                for t_up in range(min_tp,
+                                                  min(cur, max_tp) + 1):
+                                    last += (pc(tot_lens[0], cur - t_up)
+                                             * tlp[0]
+                                             + pc(tot_lens[1], cur - t_up)
+                                             * tlp[1]) \
+                                        * prob_v[max_tp - t_up]
+                                tot += vC[2][max_tc - cur] * last
+                                cur += 1
+                        else:
+                            while cur <= max_tc:
+                                for t_up in range(min_tp,
+                                                  min(cur, max_tp) + 1):
+                                    tot += (pc(tot_lens[0], cur - t_up)
+                                            * tlp[0]
+                                            + pc(tot_lens[1], cur - t_up)
+                                            * tlp[1]) \
+                                        * prob_v[max_tp - t_up]
+                                cur += 1
+                    else:
+                        if len(vC) > 2:
+                            while cur <= max_tc:
+                                last = 0.0
+                                for t_up in range(min_tp,
+                                                  min(cur, max_tp) + 1):
+                                    last += pc(tot_len, cur - t_up) \
+                                        * prob_v[max_tp - t_up]
+                                tot += vC[2][max_tc - cur] * last
+                                cur += 1
+                        else:
+                            while cur <= max_tc:
+                                for t_up in range(min_tp,
+                                                  min(cur, max_tp) + 1):
+                                    tot += pc(tot_len, cur - t_up) \
+                                        * prob_v[max_tp - t_up]
+                                cur += 1
+                    cur = new_min_t
+                    if tot_lens:
+                        if len(vC) > 2:
+                            while cur <= max_tc:
+                                for t_up in range(min_tp,
+                                                  min(cur, max_tp) + 1):
+                                    for k in (0, 1):
+                                        last = pc(tot_lens[k], cur - t_up) \
+                                            * tlp[k] \
+                                            * prob_v[max_tp - t_up] \
+                                            * vC[2][max_tc - cur] / tot
+                                        waiting_times += last \
+                                            * (cur - t_up)
+                                        counts += last * tot_lens[k]
+                                cur += 1
+                        else:
+                            while cur <= max_tc:
+                                for t_up in range(min_tp,
+                                                  min(cur, max_tp) + 1):
+                                    for k in (0, 1):
+                                        last = pc(tot_lens[k], cur - t_up) \
+                                            * tlp[k] \
+                                            * prob_v[max_tp - t_up] / tot
+                                        waiting_times += last \
+                                            * (cur - t_up)
+                                        counts += last * tot_lens[k]
+                                cur += 1
+                    else:
+                        if len(vC) > 2:
+                            while cur <= max_tc:
+                                for t_up in range(min_tp,
+                                                  min(cur, max_tp) + 1):
+                                    last = pc(tot_len, cur - t_up) \
+                                        * prob_v[max_tp - t_up] \
+                                        * vC[2][max_tc - cur] / tot
+                                    waiting_times += last * (cur - t_up)
+                                    counts += last * tot_len
+                                cur += 1
+                        else:
+                            while cur <= max_tc:
+                                for t_up in range(min_tp,
+                                                  min(cur, max_tp) + 1):
+                                    last = pc(tot_len, cur - t_up) \
+                                        * prob_v[max_tp - t_up] / tot
+                                    waiting_times += last * (cur - t_up)
+                                    counts += last * tot_len
+                                cur += 1
+            if children[node]:
+                node = children[node][0]
+            else:
+                last_node = node
+                node = up[node]
+                direction = 1
+        else:
+            if last_node == children[node][0]:
+                node = children[node][1]
+                direction = 0
+            else:
+                last_node = node
+                node = up[node]
+                direction = 1
+    if counts / waiting_times < ctx.min_mut_rate:
+        print("WARNING Mutation rate estimate reached the input minimum "
+              "allowed " + str(ctx.min_mut_rate))
+        return counts, waiting_times, ctx.min_mut_rate
+    return counts, waiting_times, counts / waiting_times
+
+
+def calculate_tree_likelihood_time(ctx: TimeCtx, tree, root) -> float:
+    """(reference calculateTreeLikelihoodTime :1191-1236)."""
+    up = tree.up
+    children = tree.children
+    pv_time = tree.probVectTime
+    dist = tree.dist
+    node = root
+    last_node = None
+    direction = 0
+    total = 0.0
+    while node is not None:
+        if direction == 0:
+            if children[node]:
+                node = children[node][0]
+            else:
+                last_node = node
+                node = up[node]
+                direction = 1
+        else:
+            if last_node == children[node][0]:
+                node = children[node][1]
+                direction = 0
+            else:
+                _, lk = merge_vectors_time(
+                    ctx, pv_time[children[node][0]],
+                    dist[children[node][0]], pv_time[children[node][1]],
+                    dist[children[node][1]], return_lk=True)
+                total += lk
+                last_node = node
+                node = up[node]
+                direction = 1
+    total += find_prob_root_time(pv_time[root])
+    return total
+
+
+def resolve_time_inconsistency(ctx: TimeCtx, tree, node, new_min):
+    """Extend upper time vectors upward to accommodate an exceptionally
+    early lower vector (reference resolveTimeInconsistency :576-656)."""
+    print("Resolving Time inconsistency, newMin " + str(new_min)
+          + " node " + str(node))
+    pv_time = tree.probVectTime
+    up_right = tree.probVectUpRightTime
+    up_left = tree.probVectUpLeftTime
+    dist = tree.dist
+    up = tree.up
+    children = tree.children
+    nodes = [node]
+    while nodes:
+        cur = nodes[-1]
+        print(cur)
+        if dist[cur]:
+            new_min -= 1
+        p = up[cur]
+        if cur == children[p][0]:
+            sibling_vect = pv_time[children[p][1]]
+            sibling_dist = dist[children[p][1]]
+        else:
+            sibling_vect = pv_time[children[p][0]]
+            sibling_dist = dist[children[p][0]]
+        if up[p] is not None:
+            up_vect = up_right[up[p]] if p == children[up[p]][0] \
+                else up_left[up[p]]
+            if up_vect is not None and up_vect[1] > (new_min - 1):
+                nodes.append(p)
+            else:
+                new_up = merge_vectors_time(ctx, up_vect, dist[p],
+                                            sibling_vect, sibling_dist,
+                                            is_up_down=True,
+                                            try_min=new_min)
+                if cur == children[p][0]:
+                    up_right[p] = new_up
+                else:
+                    up_left[p] = new_up
+                nodes.pop()
+                break
+        else:
+            new_up = root_vector_time(ctx, sibling_vect, sibling_dist,
+                                      try_min=new_min)
+            if cur == children[p][0]:
+                up_right[p] = new_up
+            else:
+                up_left[p] = new_up
+            nodes.pop()
+            break
+    while nodes:
+        cur = nodes.pop()
+        p = up[cur]
+        if cur == children[p][0]:
+            sibling_vect = pv_time[children[p][1]]
+            sibling_dist = dist[children[p][1]]
+        else:
+            sibling_vect = pv_time[children[p][0]]
+            sibling_dist = dist[children[p][0]]
+        up_vect = up_right[up[p]] if p == children[up[p]][0] \
+            else up_left[up[p]]
+        new_up = merge_vectors_time(ctx, up_vect, dist[p], sibling_vect,
+                                    sibling_dist, is_up_down=True,
+                                    try_min=new_min)
+        if cur == children[p][0]:
+            up_right[p] = new_up
+        else:
+            up_left[p] = new_up
+
+
+def recalculate_all_time(ctx: TimeCtx, tree, root):
+    """Full recompute of all time vectors (reference
+    reCalculateAllGenomeListsTime :1380-1531)."""
+    up = tree.up
+    children = tree.children
+    minor = tree.minorSequences
+    dist = tree.dist
+    pv_time = tree.probVectTime
+    tot_up_time = tree.probVectTotUpTime
+    up_right = tree.probVectUpRightTime
+    up_left = tree.probVectUpLeftTime
+    date_data = tree.dateData
+    node = root
+    last_node = None
+    direction = 0
+    while node is not None:
+        if direction == 0:
+            if children[node]:
+                node = children[node][0]
+            else:
+                update_terminal_time(ctx, tree, node, date_data[node],
+                                     len(minor[node]))
+                last_node = node
+                node = up[node]
+                direction = 1
+        else:
+            if last_node == children[node][0]:
+                node = children[node][1]
+                direction = 0
+            else:
+                pv_time[node] = merge_vectors_time(
+                    ctx, pv_time[children[node][0]],
+                    dist[children[node][0]], pv_time[children[node][1]],
+                    dist[children[node][1]])
+                last_node = node
+                node = up[node]
+                direction = 1
+    node = root
+    if children[node]:
+        up_right[node] = root_vector_time(
+            ctx, pv_time[children[node][1]], dist[children[node][1]])
+        up_left[node] = root_vector_time(
+            ctx, pv_time[children[node][0]], dist[children[node][0]])
+        last_node = None
+        node = children[node][0]
+        direction = 0
+        while node is not None:
+            if direction == 0:
+                vect_up = up_right[up[node]] \
+                    if node == children[up[node]][0] else up_left[up[node]]
+                new_vect, new_prob = merge_vectors_time(
+                    ctx, vect_up, dist[node] / 2, pv_time[node],
+                    dist[node] / 2, is_up_down=True, return_lk=True)
+                if isinstance(new_vect, int):
+                    resolve_time_inconsistency(ctx, tree, node, new_vect)
+                    vect_up = up_right[up[node]] \
+                        if node == children[up[node]][0] \
+                        else up_left[up[node]]
+                    new_vect, new_prob = merge_vectors_time(
+                        ctx, vect_up, dist[node] / 2, pv_time[node],
+                        dist[node] / 2, is_up_down=True, return_lk=True)
+                new_prob -= append_prob_node_time(ctx, vect_up,
+                                                  pv_time[node],
+                                                  dist[node])
+                tot_up_time[node] = (new_vect, new_prob)
+                if children[node]:
+                    pv0 = pv_time[children[node][0]]
+                    pv1 = pv_time[children[node][1]]
+                    new_ur = merge_vectors_time(
+                        ctx, vect_up, dist[node], pv1,
+                        dist[children[node][1]], is_up_down=True)
+                    if isinstance(new_ur, int):
+                        resolve_time_inconsistency(ctx, tree, node, new_ur)
+                        vect_up = up_right[up[node]] \
+                            if node == children[up[node]][0] \
+                            else up_left[up[node]]
+                        new_ur = merge_vectors_time(
+                            ctx, vect_up, dist[node], pv1,
+                            dist[children[node][1]], is_up_down=True)
+                    up_right[node] = new_ur
+                    new_ul = merge_vectors_time(
+                        ctx, vect_up, dist[node], pv0,
+                        dist[children[node][0]], is_up_down=True)
+                    if isinstance(new_ul, int):
+                        resolve_time_inconsistency(ctx, tree, node, new_ul)
+                        vect_up = up_right[up[node]] \
+                            if node == children[up[node]][0] \
+                            else up_left[up[node]]
+                        new_ul = merge_vectors_time(
+                            ctx, vect_up, dist[node], pv0,
+                            dist[children[node][0]], is_up_down=True)
+                    up_left[node] = new_ul
+                    node = children[node][0]
+                else:
+                    last_node = node
+                    node = up[node]
+                    direction = 1
+            else:
+                if last_node == children[node][0]:
+                    node = children[node][1]
+                    direction = 0
+                else:
+                    last_node = node
+                    node = up[node]
+                    direction = 1
+
+
+MONTHS = {"01": 1, "02": 2, "03": 3, "04": 4, "05": 5, "06": 6, "07": 7,
+          "08": 8, "09": 9, "10": 10, "11": 11, "12": 12,
+          "1": 1, "2": 2, "3": 3, "4": 4, "5": 5, "6": 6, "7": 7, "8": 8,
+          "9": 9,
+          "january": 1, "february": 2, "march": 3, "april": 4, "may": 5,
+          "june": 6, "july": 7, "august": 8, "september": 9, "october": 10,
+          "november": 11, "december": 12,
+          "jan": 1, "feb": 2, "mar": 3, "apr": 4, "jun": 6, "jul": 7,
+          "aug": 8, "sep": 9, "oct": 10, "nov": 11, "dec": 12}
+# note: "19" maps to 9 in the reference's day table (:1645) — kept
+DAYS = {**{f"{i:02d}": i for i in range(1, 32)},
+        **{str(i): i for i in range(1, 10)}, "19": 9}
+MONTH_DAYS = [[0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334, 365],
+              [0, 31, 60, 91, 121, 152, 182, 213, 244, 274, 305, 335, 366]]
+
+
+def _parse_date_string(date_str, name, min_year, max_year):
+    """One date cell → (max,) or (max, min) in fractional years
+    (reference :1661-1752)."""
+    if (not date_str) or date_str == "." or date_str.lower() in (
+            "unknown", "not applicable", "not provided", "not collected",
+            "missing"):
+        return None
+    try:
+        date = int(date_str)
+        out = (float(date), float(date + 1))
+        if (min_year is not None and date < min_year) \
+                or (max_year is not None and date > max_year):
+            print("Sampling date outside of sampling range, treated as an "
+                  "error and ignored:")
+            return None
+        return out
+    except ValueError:
+        pass
+    try:
+        v = float(date_str)
+        if (min_year is not None and v < min_year) \
+                or (max_year is not None and (v - 1) > max_year):
+            print("Sampling date outside of sampling range, treated as an "
+                  "error and ignored:")
+            return None
+        return (v,)
+    except ValueError:
+        pass
+    for sep in ("-", " ", "\t", "\\", "/", "."):
+        if sep in date_str:
+            break
+    datelist = date_str.split(sep)
+    if len(datelist) > 3 or len(datelist) < 2:
+        print("0 Unrecognized date format: " + date_str
+              + " ignoring this date for sample " + name
+              + " and treating it as unknown date.")
+        return None
+    try:
+        if len(datelist) == 2:
+            year = int(datelist[0])
+            if year > 100:
+                month = MONTHS[datelist[1].lower()]
+            else:
+                year = int(datelist[1])
+                month = MONTHS[datelist[0].lower()]
+            leap = 1 if isleap(year) else 0
+            denom = 366.0 if leap else 365.0
+            date = (year + MONTH_DAYS[leap][month - 1] / denom,
+                    year + (MONTH_DAYS[leap][month] - 1) / denom)
+        else:
+            year = int(datelist[0])
+            if year > 100:
+                month = MONTHS[datelist[1].lower()]
+                day = DAYS[datelist[2]]
+            else:
+                year = int(datelist[2])
+                month = MONTHS[datelist[1].lower()]
+                day = DAYS[datelist[0]]
+            leap = 1 if isleap(year) else 0
+            denom = 366.0 if leap else 365.0
+            date = (year + (MONTH_DAYS[leap][month - 1] + day - 1) / denom,)
+        if (min_year is not None and year < min_year) \
+                or (max_year is not None and year > max_year):
+            print("Sampling date outside of sampling range, treated as an "
+                  "error and ignored:")
+            return None
+        return date
+    except (ValueError, KeyError):
+        print(("1" if len(datelist) == 2 else "2")
+              + " Unrecognized date format: " + date_str
+              + " ignoring this date for sample " + name
+              + " and treating it as unknown date.")
+        return None
+
+
+def read_dates(path, strain_name="strain", date_name="date",
+               min_sampling_year=None, max_sampling_year=None,
+               interval_length=7):
+    """Parse the dates metadata file into interval-number tuples keyed by
+    sample name; returns (dates, min_year, min_day) (reference
+    :1534-1807)."""
+    print("Reading input dates")
+    full_sep = "," if path.endswith(".csv") else "\t"
+    with open(path) as f:
+        lines = f.read().split("\n")
+    header = lines[0].split(full_sep)
+    if len(header) < 2:
+        raise ValueError("at least two columns are needed in the time "
+                         "metadata file")
+    columns = [c.lower() for c in header]
+    index_date = index_name = None
+    pot_date = pot_name = None
+    date_col = date_name.lower()
+    name_col = strain_name.lower()
+    for i, c in enumerate(columns):
+        if c == date_col:
+            index_date = i
+            break
+        elif date_col in c:
+            pot_date = i
+    if index_date is None:
+        index_date = pot_date
+    if index_date is None:
+        for i, c in enumerate(columns):
+            if c in ("date", "time"):
+                index_date = i
+                break
+    for i, c in enumerate(columns):
+        if c == name_col:
+            index_name = i
+            break
+        elif name_col in c:
+            pot_name = i
+    if index_name is None:
+        index_name = pot_name
+    name_candidates = ("name", "strain", "accession", "id", "sample",
+                       "names", "strains", "ids", "accessions", "samples")
+    if index_name is None:
+        for i, c in enumerate(columns):
+            if c in name_candidates:
+                index_name = i
+                break
+        if index_name is None:
+            for i, c in enumerate(columns):
+                if any(n in c for n in name_candidates):
+                    index_name = i
+                    break
+    start_row = 1
+    if index_name is None:
+        if index_date is None:
+            print("Suitable column names not found in time metadata. I "
+                  "will assume that the first column contains sample "
+                  "names, the second dates, and that column names are "
+                  "missing")
+            index_name = 0
+            index_date = 1
+            start_row = 0
+        else:
+            raise ValueError("name column not found in dates file")
+    min_length = max(index_name, index_date) + 1
+    dates = {}
+    min_date = float("inf")
+    max_date = 0.0
+    for line in lines[start_row:]:
+        if line == "":
+            break
+        parts = line.split(full_sep)
+        if len(parts) < min_length:
+            print("Found fewer entries in a date metadata file row than "
+                  "needed. Terminating reading the metadata file. Row: \n"
+                  + line)
+            break
+        date = _parse_date_string(parts[index_date], parts[index_name],
+                                  min_sampling_year, max_sampling_year)
+        if date:
+            if len(date) > 1:
+                min_date = min(min_date, date[0])
+                max_date = max(max_date, date[1])
+            else:
+                min_date = min(min_date, date[0])
+                max_date = max(max_date, date[0])
+        dates[parts[index_name]] = date
+    min_year = floor(min_date)
+    denom0 = 366 if isleap(min_year) else 365
+    min_day = round((min_date - min_year) * denom0)
+    carry_over = {min_year: 0}
+    max_year_v = floor(max_date)
+    acc = 0
+    for i in range(max_year_v - min_year):
+        acc += 366 if isleap(min_year + i) else 365
+        carry_over[min_year + i + 1] = acc
+    for name in dates:
+        if dates[name]:
+            if len(dates[name]) == 2:
+                new_dates = []
+                for i in range(2):
+                    date = dates[name][i]
+                    year = floor(date)
+                    days = round((date - year)
+                                 * (366 if isleap(min_year) else 365))
+                    days += carry_over[year]
+                    days -= min_day
+                    new_dates.append(floor(days / interval_length))
+                dates[name] = (new_dates[1], new_dates[0])
+            else:
+                date = dates[name][0]
+                year = floor(date)
+                days = round((date - year)
+                             * (366 if isleap(min_year) else 365))
+                days += carry_over[year]
+                days -= min_day
+                dates[name] = (floor(days / interval_length),)
+    print("Finished reading time metadata. Earliest day is "
+          + str(min_day) + " of year " + str(min_year))
+    return dates, min_year, min_day
