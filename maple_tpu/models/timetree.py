@@ -6,6 +6,15 @@ Parallel likelihood machinery over discretized sampling-time intervals
 probability of interval ``maxT - i``; mutation-count transitions are
 Poisson(#mutations | Δt·mutRate) with a growing coefficient cache.
 
+Deviations from the reference (documented): (1) incompatible merges
+return an unpackable ``(marker, -inf)`` pair instead of a bare ``-inf``
+that crashes every reference caller, so the resolveTimeInconsistency
+repair path actually runs; (2) SPR/root-search move scoring is
+genetic-only under time mode with a full time recompute afterwards —
+the reference's time-aware SPR terms are unreachable because its own
+placement phase crashes first (unguarded unpacks at :5544, :8649,
+:1461) for every date configuration tested.
+
 Reference: getPoissonCoeff :413-438, getPartialVecTime :443-570,
 resolveTimeInconsistency :576-656, mergeVectorsTime :662-771,
 rootVectorTime :784-814, areVectorsDifferentTime :821-859,
@@ -72,6 +81,11 @@ def get_partial_vec_time(ctx: TimeCtx, vect, tot_len, up_node=False,
     (reference getPartialVecTime :443-570)."""
     if vect is None:
         return None
+    if isinstance(vect, int):
+        # unresolved incompatibility marker from an earlier merge;
+        # propagate so downstream scores degrade to -inf instead of
+        # crashing (the reference crashes here)
+        return vect
     if len(vect) == 1:
         min_t = max_t = vect[0]
         prob_v = None
@@ -226,16 +240,36 @@ def merge_vectors_time(ctx: TimeCtx, v1, bl1, v2, bl2, return_lk=False,
         if isinstance(passed2, int):
             print("mergeVectorsTime returning " + str(passed2))
             if return_lk:
-                return float("-inf")
+                # the reference returns a bare -inf here, which crashes
+                # every caller that unpacks (vect, lk) and defeats the
+                # resolveTimeInconsistency guards right after; return the
+                # incompatibility marker as the vector slot instead so
+                # the intended repair path actually runs
+                return passed2, float("-inf")
             return passed2
         passed1 = get_partial_vec_time(ctx, v1, bl1, other_max_t=max_t2,
                                        up_node=True, try_min=try_min)
+        if isinstance(passed1, int):
+            print("mergeVectorsTime returning " + str(passed1))
+            if return_lk:
+                return passed1, float("-inf")
+            return passed1
     else:
         max_t1 = v1[0] - 1 if bl1 >= 1 else v1[0]
         passed2 = get_partial_vec_time(ctx, v2, bl2, other_max_t=max_t1,
                                        up_node=False, try_min=try_min)
+        if isinstance(passed2, int):
+            print("mergeVectorsTime returning " + str(passed2))
+            if return_lk:
+                return passed2, float("-inf")
+            return passed2
         passed1 = get_partial_vec_time(ctx, v1, bl1, other_max_t=max_t2,
                                        up_node=False, try_min=try_min)
+        if isinstance(passed1, int):
+            print("mergeVectorsTime returning " + str(passed1))
+            if return_lk:
+                return passed1, float("-inf")
+            return passed1
     min_t1 = passed1[1]
     max_t1 = passed1[0]
     min_t2 = passed2[1]
@@ -391,6 +425,8 @@ def append_prob_node_time(ctx: TimeCtx, vP, vC, tot_len) -> float:
     tot_len = tot_len * ctx.lRef
     if vP is None or vC is None:
         return 0.0
+    if isinstance(vP, int) or isinstance(vC, int):
+        return float("-inf")
     min_tc = vC[0] if len(vC) == 1 else vC[1]
     min_tp = vP[1]
     max_tp = vP[0]

@@ -30,6 +30,7 @@ def native_engine_supported(run) -> bool:
     cfg = run.cfg
     model = run.model
     return (not cfg.HnZ
+            and run.time_ctx is None
             and not model.use_rate_variation
             and not model.using_error_rate
             and not cfg.deeperSearchForLongBranches

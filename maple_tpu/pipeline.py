@@ -40,14 +40,14 @@ class Run:
     # ------------------------------------------------------------------
     def load(self):
         cfg = self.cfg
+        from .refdata import reset_ambiguities
+        reset_ambiguities()
         if cfg.reference:
             ref = read_reference_fasta(cfg.reference)
             data = read_maple_alignment(cfg.input, extract_reference=False,
                                         ref=ref)
         else:
-            from .refdata import reset_ambiguities
-        reset_ambiguities()
-        ref, data = read_maple_alignment(cfg.input)
+            ref, data = read_maple_alignment(cfg.input)
         self.data = data
         self.refd = RefData.build(ref, model=cfg.model)
         self.dc = DerivedConfig.build(cfg, self.refd.lRef)
@@ -58,6 +58,22 @@ class Run:
         if cfg.inputRates:
             self.read_input_rates(cfg.inputRates)
         self.init_error_tables(activate=False)
+        self.time_ctx = None
+        self.dates = None
+        if cfg.datesFile:
+            from .models.timetree import TimeCtx, read_dates
+            self.dates, self.min_year, self.min_day = read_dates(
+                cfg.datesFile, strain_name=cfg.strainName,
+                date_name=cfg.dateName,
+                min_sampling_year=cfg.minSamplingYear,
+                max_sampling_year=cfg.maxSamplingYear,
+                interval_length=cfg.intervalLength)
+            # internal rates are per interval (reference :182-185)
+            self.time_ctx = TimeCtx(
+                self.refd.lRef, cfg.mutRate * cfg.intervalLength,
+                cfg.intervalLength, cfg.timeProbThreshold,
+                cfg.minMutRate * cfg.intervalLength, cfg.mutRate)
+            self.time_ctx.dates = self.dates
         print(f"Length of reference genome: {self.refd.lRef}; "
               f"{len(data)} samples")
 
@@ -137,22 +153,38 @@ class Run:
         input tree when one was loaded."""
         cfg = self.cfg
         dc = self.dc
+        dtt = self.time_ctx is not None
         if hasattr(self, "rt"):
             # online mode: place only samples absent from the input tree
-            distances = self.sorted_distances(
-                samples_in_tree=self.samples_in_tree)
+            if dtt:
+                from .models.timetree import sort_samples_by_date
+                print("Sorting samples based on dates", flush=True)
+                distances = sort_samples_by_date(
+                    self.dates, self.data, samples=list(self.data.keys()),
+                    samples_in_initial_tree=self.samples_in_tree)
+            else:
+                distances = self.sorted_distances(
+                    samples_in_tree=self.samples_in_tree)
             tree = self.tree
             t1 = self.root
             num_samples = len(self.names_in_tree)
         else:
-            distances = self.sorted_distances()
+            if dtt:
+                from .models.timetree import sort_samples_by_date
+                print("Sorting samples based on dates", flush=True)
+                distances = sort_samples_by_date(self.dates, self.data,
+                                                 samples=list(
+                                                     self.data.keys()))
+            else:
+                distances = self.sorted_distances()
             first_key, first_sample = distances.pop()
             self.names_in_tree.append(first_sample)
-            tree = PhyloTree(use_hnz=bool(cfg.HnZ))
+            tree = PhyloTree(use_hnz=bool(cfg.HnZ), use_time=dtt)
             tree.add_node()
             tree.name[-1] = 0
             self.tree = tree
             self.rt = TreeRuntime(tree, self.refd, self.model, dc, cfg)
+            self.rt.time = self.time_ctx
             t1 = 0
             if self.rt.kern.name == "native" \
                     and native_engine_supported(self):
@@ -161,14 +193,29 @@ class Run:
                 return
             tree.probVect[0] = self.rt.terminal_vector(
                 self.data[first_sample])
+            if dtt:
+                tree.probVectTime[0] = self.dates.get(first_sample)
+                tree.dateData[0] = self.dates.get(first_sample)
             self.data[first_sample] = None
             num_samples = 1
         if cfg.doNotPlaceNewSamples:
             distances = []
+        missing_date_warned = False
+        last_update_num_samples_time = num_samples
         while distances:
             _, sample = distances.pop()
             self.names_in_tree.append(sample)
             new_partials = self.rt.terminal_vector(self.data[sample])
+            new_partials_time = None
+            if dtt:
+                if sample in self.dates:
+                    new_partials_time = self.dates[sample]
+                else:
+                    if not missing_date_warned:
+                        print("WARNING Some samples have no date data "
+                              f"(e.g. {sample}), they will be considered "
+                              "as having no date information.")
+                        missing_date_warned = True
             self.data[sample] = None
             if (num_samples < cfg.minNumSamplesForRateVar
                     or not self.model.use_rate_variation) \
@@ -187,17 +234,29 @@ class Run:
                 self.rt.recalculate_all(t1)
                 optimize_branch_lengths(self.rt, t1)
                 self.rt.recalculate_all(t1)
+            if (dtt and num_samples > cfg.minNumSamplesForMutRate
+                    and num_samples > 2 * last_update_num_samples_time):
+                from .models import timetree as tt
+                last_update_num_samples_time = num_samples
+                tt.recalculate_all_time(self.time_ctx, tree, t1)
+                _c, _w, new_rate = tt.em_mut_rate(self.time_ctx, tree, t1)
+                self.time_ctx.set_mut_rate(new_rate)
+                tt.recalculate_all_time(self.time_ctx, tree, t1)
+                print(" EM to update mutRate during initial placement "
+                      f"terminated, new mutRate {new_rate}")
             start = time.time()
             best_node, best_score, best_blens, best_vect = \
                 find_best_parent_for_new_sample(
-                    self.rt, t1, new_partials, num_samples, self.stats)
+                    self.rt, t1, new_partials, num_samples, self.stats,
+                    diffs_time=new_partials_time)
             self.timings["finding"] += time.time() - start
             if best_blens is not None:
                 start = time.time()
                 new_root = place_sample_on_tree(
                     self.rt, best_node, best_vect, num_samples, best_score,
                     best_blens[0], best_blens[1], best_blens[2],
-                    self.model.pseudo_counts, self.stats)
+                    self.model.pseudo_counts, self.stats,
+                    new_partials_time=new_partials_time)
                 if new_root is not None:
                     t1 = new_root
                 self.timings["placing"] += time.time() - start
@@ -417,6 +476,8 @@ class Run:
         if cfg.HnZ:
             from .runtime.tree import calculate_ndesc0
             calculate_ndesc0(self.tree, t1, self.dc.effectivelyNon0BLen)
+        if self.time_ctx is not None:
+            self.run_time_em("post-initial-tree")
 
     # ------------------------------------------------------------------
     def write_tree(self, suffix: str, root: Optional[int] = None,
@@ -450,9 +511,47 @@ class Run:
 
     def write_lk(self, suffix="_LK.txt"):
         total = self.rt.calculate_tree_likelihood(self.root)
+        if self.time_ctx is not None:
+            from .models.timetree import (calculate_tree_likelihood_time,
+                                          recalculate_all_time)
+            # topology phases score genetically and leave time vectors
+            # stale; refresh before reporting (see models/timetree.py)
+            recalculate_all_time(self.time_ctx, self.tree, self.root)
+            time_lk = calculate_tree_likelihood_time(
+                self.time_ctx, self.tree, self.root)
+            print(f"Time LK: {time_lk}")
+            total += time_lk
         with open(self.cfg.output + suffix, "w") as f:
             f.write(str(total) + "\n")
         return total
+
+    def run_time_em(self, label: str):
+        """Iterated mutation-rate EM to convergence (reference :11664-11683,
+        :11919-11940)."""
+        from .models import timetree as tt
+        T = self.time_ctx
+        tree = self.tree
+        t1 = self.root
+        tt.recalculate_all_time(T, tree, t1)
+        old_lk = tt.calculate_tree_likelihood_time(T, tree, t1)
+        print(f"pre-EM mutation rate {T.mut_rate} time LK before "
+              f"{label}: {old_lk}")
+        _c, _w, rate = tt.em_mut_rate(T, tree, t1)
+        T.set_mut_rate(rate)
+        tt.recalculate_all_time(T, tree, t1)
+        new_lk = tt.calculate_tree_likelihood_time(T, tree, t1)
+        print(f"EM {label} terminated, using mutation rate {rate} "
+              f"time LK: {new_lk}")
+        num_steps = 0
+        while new_lk - old_lk > 0.1 and num_steps < 20:
+            _c, _w, rate = tt.em_mut_rate(T, tree, t1)
+            T.set_mut_rate(rate)
+            tt.recalculate_all_time(T, tree, t1)
+            old_lk = new_lk
+            new_lk = tt.calculate_tree_likelihood_time(T, tree, t1)
+            num_steps += 1
+        print(f"New time LK step {num_steps} mutRate {T.mut_rate}: "
+              f"{new_lk}")
 
     # ------------------------------------------------------------------
     def setup_input_tree(self):

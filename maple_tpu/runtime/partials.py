@@ -38,6 +38,7 @@ class TreeRuntime:
         self.kern = make_backend(
             self, backend or getattr(cfg, "kernel_backend", "python"))
         self.use_local_reference = not cfg.noLocalRef
+        self.time = None           # TimeCtx when --datesFile is active
         self.num_refs = 0          # MAT local references created
         self.num_minors_removed = 0
         self.num_nodes_stats = [0, 0, 0, 0, 0, 0]  # nodes, nucs, Rs, Ns, Os, MATmuts
@@ -78,6 +79,58 @@ class TreeRuntime:
         if muts:
             return self.kern.pass_through_branch(vec, muts, dir_is_up=True)
         return vec
+
+    @property
+    def do_time_tree(self) -> bool:
+        return self.time is not None
+
+    def _vect_up_time(self, node):
+        tree = self.tree
+        parent = tree.up[node]
+        return tree.probVectUpRightTime[parent] \
+            if node == tree.children[parent][0] \
+            else tree.probVectUpLeftTime[parent]
+
+    def _tot_up_time(self, node, vect_up_up_time):
+        """Recompute probVectTotUpTime[node] = (vector, LK-correction);
+        resolves time inconsistencies by extending ancestors (reference
+        updatePartials :5531-5554).  Returns the possibly-refreshed
+        parent-side time vector."""
+        from ..models import timetree as tt
+        tree = self.tree
+        T = self.time
+        d = tree.dist[node]
+        new_vect, prob = tt.merge_vectors_time(
+            T, vect_up_up_time, d / 2, tree.probVectTime[node], d / 2,
+            is_up_down=True, return_lk=True)
+        if isinstance(new_vect, int):
+            tt.resolve_time_inconsistency(T, tree, node, new_vect)
+            vect_up_up_time = self._vect_up_time(node)
+            new_vect, prob = tt.merge_vectors_time(
+                T, vect_up_up_time, d / 2, tree.probVectTime[node], d / 2,
+                is_up_down=True, return_lk=True)
+        prob -= tt.append_prob_node_time(T, vect_up_up_time,
+                                         tree.probVectTime[node], d)
+        tree.probVectTotUpTime[node] = (new_vect, prob)
+        return vect_up_up_time
+
+    def _merge_up_time(self, node, vect_up_up_time, child_vect_time,
+                       child_dist):
+        """Upper-time merge with inconsistency resolution (reference
+        updatePartials :5619-5635)."""
+        from ..models import timetree as tt
+        tree = self.tree
+        T = self.time
+        new_vect = tt.merge_vectors_time(
+            T, vect_up_up_time, tree.dist[node], child_vect_time,
+            child_dist, is_up_down=True)
+        if isinstance(new_vect, int):
+            tt.resolve_time_inconsistency(T, tree, node, new_vect)
+            vect_up_up_time = self._vect_up_time(node)
+            new_vect = tt.merge_vectors_time(
+                T, vect_up_up_time, tree.dist[node], child_vect_time,
+                child_dist, is_up_down=True)
+        return new_vect, vect_up_up_time
 
     # ------------------------------------------------------------------
     def terminal_vector(self, diffs, node: Optional[int] = None):
@@ -190,8 +243,8 @@ class TreeRuntime:
         tree.dirty[node] = True
         tree.dirty[c_node] = True
         if add_to_list:
-            node_list.append((c_node, 2, True, False))
-            node_list.append((node, c_num, True, False))
+            node_list.append((c_node, 2, True, self.do_time_tree))
+            node_list.append((node, c_num, True, self.do_time_tree))
 
     def update_ndesc0_changing_dist(self, node: int, new_dist):
         """HnZ bookkeeping when a branch length crosses the effectively-zero
@@ -214,7 +267,8 @@ class TreeRuntime:
     def update_partials(self, node_list: List[tuple]):
         """Dirty-propagation work-list engine.  Each item is
         (node, direction, lk_dirty, time_dirty) with direction 0/1 = from
-        that child, 2 = from parent (reference updatePartials :5479-5817)."""
+        that child, 2 = from parent (reference updatePartials :5479-5817;
+        time-vector propagation :5531-5554, :5602-5641, :5745-5800)."""
         tree = self.tree
         kern = self.kern
         dist = tree.dist
@@ -224,23 +278,34 @@ class TreeRuntime:
         probVectUpRight = tree.probVectUpRight
         probVectUpLeft = tree.probVectUpLeft
         probVectTotUp = tree.probVectTotUp
+        dtt = self.do_time_tree
+        if dtt:
+            from ..models import timetree as tt
+            T = self.time
+            probVectTime = tree.probVectTime
+            probVectUpRightTime = tree.probVectUpRightTime
+            probVectUpLeftTime = tree.probVectUpLeftTime
         while node_list:
             updated_blen = False
             made_change = False
-            node, direction, lk_dirty, _time_dirty = node_list.pop()
+            node, direction, lk_dirty, time_dirty = node_list.pop()
             tree.dirty[node] = True
             vect_up_up = None
+            vect_up_up_time = None
             child_num_up = None
             if up[node] is not None:
                 child_num_up = tree.child_index(node)
                 vect_up_up = probVectUpRight[up[node]] if child_num_up == 0 \
                     else probVectUpLeft[up[node]]
+                if dtt:
+                    vect_up_up_time = probVectUpRightTime[up[node]] \
+                        if child_num_up == 0 else probVectUpLeftTime[up[node]]
                 if tree.mutations[node] and lk_dirty:
                     vect_up_up = self.pass_down(vect_up_up, node)
             is_tip = tree.is_tip(node)
             if direction == 2:
                 # change coming from the parent
-                if dist[node]:
+                if dist[node] or dtt:
                     if lk_dirty:
                         new_tot = kern.merge_vectors( vect_up_up, dist[node] / 2, False,
                             probVect[node], dist[node] / 2, is_tip,
@@ -248,13 +313,19 @@ class TreeRuntime:
                         if new_tot is None:
                             self.update_blen(node)
                             node_list.append((up[node], child_num_up, True,
-                                              False))
+                                              dtt))
                             new_tot = kern.merge_vectors( vect_up_up, dist[node] / 2, False,
                                 probVect[node], dist[node] / 2, is_tip,
                                 is_up_down=True)
                             made_change = True
+                            if dtt:
+                                vect_up_up_time = self._tot_up_time(
+                                    node, vect_up_up_time)
                         probVectTotUp[node] = new_tot
                         self.shorten(probVectTotUp[node])
+                    if dtt and time_dirty:
+                        vect_up_up_time = self._tot_up_time(
+                            node, vect_up_up_time)
                 else:
                     probVectTotUp[node] = None
 
@@ -284,7 +355,7 @@ class TreeRuntime:
                                         child1_vect, dist1, is_tip1,
                                         is_up_down=True)
                                     node_list.append((up[node], child_num_up,
-                                                      True, False))
+                                                      True, dtt))
                                     made_change = True
                             else:
                                 raise RuntimeError(
@@ -313,7 +384,7 @@ class TreeRuntime:
                                             is_tip0, is_up_down=True)
                                         node_list.append(
                                             (up[node], child_num_up, True,
-                                             False))
+                                             dtt))
                                         made_change = True
                                 else:
                                     raise RuntimeError(
@@ -321,6 +392,30 @@ class TreeRuntime:
                                         "distances in update_partials "
                                         "(from parent, child0)")
                     if not updated_blen:
+                        up_right_changed_time = up_left_changed_time = False
+                        if dtt:
+                            if made_change:
+                                vect_up_up_time = self._tot_up_time(
+                                    node, vect_up_up_time)
+                            if time_dirty or made_change:
+                                new_ur_time, vect_up_up_time = \
+                                    self._merge_up_time(
+                                        node, vect_up_up_time,
+                                        probVectTime[c1], dist1)
+                                new_ul_time, vect_up_up_time = \
+                                    self._merge_up_time(
+                                        node, vect_up_up_time,
+                                        probVectTime[c0], dist0)
+                                if tt.are_vectors_different_time(
+                                        T, probVectUpRightTime[node],
+                                        new_ur_time):
+                                    up_right_changed_time = True
+                                    probVectUpRightTime[node] = new_ur_time
+                                if tt.are_vectors_different_time(
+                                        T, probVectUpLeftTime[node],
+                                        new_ul_time):
+                                    up_left_changed_time = True
+                                    probVectUpLeftTime[node] = new_ul_time
                         up_right_changed = up_left_changed = False
                         if lk_dirty:
                             if made_change or kern.are_vectors_different( probVectUpRight[node], new_up_right):
@@ -331,10 +426,12 @@ class TreeRuntime:
                                 probVectUpLeft[node] = new_up_left
                                 self.shorten(probVectUpLeft[node])
                                 up_left_changed = True
-                        if up_right_changed:
-                            node_list.append((c0, 2, True, False))
-                        if up_left_changed:
-                            node_list.append((c1, 2, True, False))
+                        if up_right_changed or up_right_changed_time:
+                            node_list.append((c0, 2, up_right_changed,
+                                              up_right_changed_time))
+                        if up_left_changed or up_left_changed_time:
+                            node_list.append((c1, 2, up_left_changed,
+                                              up_left_changed_time))
             else:
                 # change coming from child number `direction`
                 child_num = direction
@@ -367,7 +464,7 @@ class TreeRuntime:
                                 probVect[node] = kern.merge_vectors( other_child_vect, other_dist,
                                     other_is_tip, prob_vect_down, child_dist,
                                     c_is_tip)
-                                node_list.append((child, 2, True, False))
+                                node_list.append((child, 2, True, dtt))
                                 made_change = True
                         else:
                             raise RuntimeError(
@@ -378,7 +475,7 @@ class TreeRuntime:
                         probVect[node] = new_vect
                         self.shorten(probVect[node])
 
-                    if (not updated_blen) and dist[node] \
+                    if (not updated_blen) and (dist[node] or dtt) \
                             and up[node] is not None \
                             and vect_up_up is not None:
                         new_tot = kern.merge_vectors( vect_up_up, dist[node] / 2, False,
@@ -389,7 +486,7 @@ class TreeRuntime:
                             probVect[node] = kern.merge_vectors( other_child_vect, other_dist,
                                 other_is_tip, prob_vect_down, child_dist,
                                 c_is_tip)
-                            node_list.append((child, 2, True, False))
+                            node_list.append((child, 2, True, dtt))
                             probVectTotUp[node] = kern.merge_vectors( vect_up_up, dist[node] / 2, False,
                                 probVect[node], dist[node] / 2, False,
                                 is_up_down=True)
@@ -420,7 +517,7 @@ class TreeRuntime:
                                     probVectTotUp[node] = kern.merge_vectors( vect_up_up, dist[node] / 2,
                                         False, probVect[node], dist[node] / 2,
                                         False, is_up_down=True)
-                                    node_list.append((child, 2, True, False))
+                                    node_list.append((child, 2, True, dtt))
                                     made_change = True
                                     new_up_vect = kern.merge_vectors( vect_up_up, dist[node], False,
                                         prob_vect_down, child_dist, c_is_tip,
@@ -430,6 +527,36 @@ class TreeRuntime:
                                     "impossible merge with non-zero distances"
                                     " in update_partials (newUpVect)")
                 if not updated_blen:
+                    up_changed_time = down_changed_time = False
+                    if dtt and (time_dirty or made_change):
+                        other_child_vect_time = probVectTime[other]
+                        prob_vect_down_time = probVectTime[child]
+                        other_vect_up_time = probVectUpRightTime[node] \
+                            if child_num else probVectUpLeftTime[node]
+                        old_prob_vect_time = probVectTime[node]
+                        probVectTime[node] = tt.merge_vectors_time(
+                            T, other_child_vect_time, other_dist,
+                            prob_vect_down_time, child_dist)
+                        if up[node] is not None:
+                            vect_up_up_time = self._tot_up_time(
+                                node, vect_up_up_time)
+                            new_up_vect_time, vect_up_up_time = \
+                                self._merge_up_time(node, vect_up_up_time,
+                                                    prob_vect_down_time,
+                                                    child_dist)
+                        else:
+                            new_up_vect_time = tt.root_vector_time(
+                                T, prob_vect_down_time, child_dist)
+                        if tt.are_vectors_different_time(
+                                T, other_vect_up_time, new_up_vect_time):
+                            up_changed_time = True
+                        if tt.are_vectors_different_time(
+                                T, probVectTime[node], old_prob_vect_time):
+                            down_changed_time = True
+                        if child_num:
+                            probVectUpRightTime[node] = new_up_vect_time
+                        else:
+                            probVectUpLeftTime[node] = new_up_vect_time
                     up_changed = down_changed = False
                     if lk_dirty:
                         if other_vect_up is not None:
@@ -443,11 +570,13 @@ class TreeRuntime:
                                     self.shorten(probVectUpLeft[node])
                         if made_change or kern.are_vectors_different( probVect[node], old_prob_vect):
                             down_changed = True
-                    if up[node] is not None and down_changed:
+                    if up[node] is not None \
+                            and (down_changed or down_changed_time):
                         node_list.append((up[node], tree.child_index(node),
-                                          True, False))
-                    if up_changed:
-                        node_list.append((other, 2, True, False))
+                                          down_changed, down_changed_time))
+                    if up_changed or up_changed_time:
+                        node_list.append((other, 2, up_changed,
+                                          up_changed_time))
 
     # ------------------------------------------------------------------
     # MAT machinery
@@ -686,6 +815,14 @@ class TreeRuntime:
                             f"sample {key!r} has no sequence data")
                     probVect[node] = self.terminal_vector(data[key],
                                                           node=node)
+                    if self.do_time_tree:
+                        dates = self.time.dates
+                        if key in dates:
+                            tree.dateData[node] = dates[key]
+                        else:
+                            print("No date for sample " + str(key)
+                                  + ", treating it as an unknown date.")
+                            tree.dateData[node] = None
                     # try collapsing minor sequences from an input tree
                     node = self._collapse_minor_on_setup(node)
                 if (not self.cfg.onlyNambiguities) \
@@ -780,9 +917,9 @@ class TreeRuntime:
                 vect_up = tree.probVectUpRight[up[node]] if \
                     node_child_num == 0 else tree.probVectUpLeft[up[node]]
                 vect_up = self.pass_down(vect_up, node)
-                if dist[node]:
+                if dist[node] or self.do_time_tree:
                     is_tip = tree.is_tip(node)
-                    if count_pseudo_counts:
+                    if dist[node] and count_pseudo_counts:
                         kern.update_pseudo_counts( vect_up,
                                                probVect[node],
                                                pseudo_mut_counts)
@@ -810,13 +947,14 @@ class TreeRuntime:
                                             v0, dist[c0], is_tip0,
                                             is_up_down=True)
                                 self.update_blen(c1)
-                                tot_node_list.append((node, 1, True, False))
+                                tot_node_list.append((node, 1, True, self.do_time_tree))
                             else:
                                 tree.probVectTotUp[node] = kern.merge_vectors( vect_up, dist[node] / 2, False,
                                     probVect[node], dist[node] / 2, False,
                                     is_up_down=True)
                                 tot_node_list.append(
-                                    (up[node], node_child_num, True, False))
+                                    (up[node], node_child_num, True,
+                                     self.do_time_tree))
                             tree.probVectUpRight[node] = kern.merge_vectors( vect_up, dist[node], False, v1,
                                 dist[c1], is_tip1, is_up_down=True)
                         else:
@@ -834,14 +972,15 @@ class TreeRuntime:
                             if not dist[c0]:
                                 self.update_blen(node)
                                 tot_node_list.append(
-                                    (up[node], node_child_num, True, False))
+                                    (up[node], node_child_num, True,
+                                     self.do_time_tree))
                                 tree.probVectTotUp[node] = kern.merge_vectors( vect_up, dist[node] / 2, False,
                                     probVect[node], dist[node] / 2,
                                     tree.is_tip(node), is_up_down=True)
                                 tree.probVectUpRight[node] = kern.merge_vectors( vect_up, dist[node], False, v1,
                                     dist[c1], is_tip1, is_up_down=True)
                             else:
-                                tot_node_list.append((node, 0, True, False))
+                                tot_node_list.append((node, 0, True, self.do_time_tree))
                             tree.probVectUpLeft[node] = kern.merge_vectors( vect_up, dist[node], False, v0,
                                 dist[c0], is_tip0, is_up_down=True)
                         else:
@@ -901,9 +1040,16 @@ class TreeRuntime:
             comparison = self.kern.is_minor_sequence(
                 tree.probVect[node], tree.probVect[sibling],
                 only_find_identical=only_identical)
-            if comparison == 1:
+            comparison2 = 0
+            if self.do_time_tree:
+                from ..models.timetree import is_minor_date
+                comparison2 = is_minor_date(
+                    tree.dateData[node], tree.dateData[sibling],
+                    only_find_identical=only_identical)
+            dtt = self.do_time_tree
+            if comparison == 1 and ((not dtt) or comparison2 == 1):
                 major, minor_n = node, sibling
-            elif comparison == 2:
+            elif comparison == 2 and ((not dtt) or comparison2 == 2):
                 major, minor_n = sibling, node
             else:
                 return node

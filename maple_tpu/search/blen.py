@@ -26,6 +26,11 @@ def optimize_branch_lengths(rt: TreeRuntime, root: int, testing: bool = False,
     use_hnz = tree.use_hnz
     eff0 = dc.effectivelyNon0BLen
     lRef = rt.refd.lRef
+    dtt = rt.do_time_tree
+    if dtt:
+        from ..models import timetree as tt
+        T = rt.time
+        probVectTime = tree.probVectTime
     total_improvement = 0.0
     updates = 0
     if not children[root]:
@@ -47,6 +52,12 @@ def optimize_branch_lengths(rt: TreeRuntime, root: int, testing: bool = False,
             bl2 /= lRef
             root_vector, cost = kern.merge_vectors(v1, bl1, tip1, v2, bl2, tip2, return_lk=True)
             cost += rt.find_prob_root(root_vector, node=root)
+            if dtt:
+                rvt, cost_time = tt.merge_vectors_time(
+                    T, probVectTime[child1], bl1, probVectTime[child2],
+                    bl2, return_lk=True)
+                cost_time += tt.find_prob_root_time(rvt)
+                cost += cost_time
             if use_hnz:
                 if bl1 < eff0:
                     cost += get_hnz(cfg.HnZ, tree.nDesc0[child1] + 1) \
@@ -62,14 +73,14 @@ def optimize_branch_lengths(rt: TreeRuntime, root: int, testing: bool = False,
             rt.update_ndesc0_changing_dist(child1, best_bl1)
         dist[child1] = best_bl1
         if not fast_pass:
-            rt.update_partials([(child1, 2, True, False),
-                                (root, 0, True, False)])
+            rt.update_partials([(child1, 2, True, dtt),
+                                (root, 0, True, dtt)])
         if use_hnz:
             rt.update_ndesc0_changing_dist(child2, best_bl2)
         dist[child2] = best_bl2
         if not fast_pass:
-            rt.update_partials([(child2, 2, True, False),
-                                (root, 0, True, False)])
+            rt.update_partials([(child2, 2, True, dtt),
+                                (root, 0, True, dtt)])
 
     nodes = []
     if children[children[root][0]]:
@@ -87,7 +98,7 @@ def optimize_branch_lengths(rt: TreeRuntime, root: int, testing: bool = False,
             is_tip = tree.is_tip(node)
             best_length = kern.estimate_branch_length(up_vect, probVect[node], from_tip_c=is_tip)
             if best_length or dist[node]:
-                if testing or use_hnz:
+                if testing or use_hnz or dtt:
                     current_cost = kern.append_prob_node(up_vect, probVect[node], is_tip, dist[node])
                     new_cost = kern.append_prob_node(up_vect, probVect[node], is_tip, best_length)
                     if use_hnz:
@@ -125,7 +136,7 @@ def optimize_branch_lengths(rt: TreeRuntime, root: int, testing: bool = False,
                         if cost0 > new_cost:
                             best_length = 0.0
                             new_cost = cost0
-                if use_hnz and current_cost > new_cost:
+                if (use_hnz or dtt) and current_cost > new_cost:
                     best_length = dist[node]
                     new_cost = current_cost
                 if best_length or dist[node]:
@@ -137,9 +148,9 @@ def optimize_branch_lengths(rt: TreeRuntime, root: int, testing: bool = False,
                         dist[node] = best_length
                         updates += 1
                         if not fast_pass:
-                            rt.update_partials([(node, 2, True, False),
+                            rt.update_partials([(node, 2, True, dtt),
                                                 (up[node], child, True,
-                                                 False)])
+                                                 dtt)])
                     else:
                         dirty[node] = False
                 else:

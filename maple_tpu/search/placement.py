@@ -36,7 +36,7 @@ class PlacementStats:
 def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,
                                     sample, stats: PlacementStats,
                                     compute_placement_support_only=False,
-                                    batcher=None):
+                                    batcher=None, diffs_time=None):
     """Search the whole tree for the best placement of a new sample.
 
     Returns (best_node, best_score, best_branch_lengths, best_diffs) — with
@@ -67,6 +67,14 @@ def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,
     threshold_opt = dc.thresholdLogLKoptimization
     threshold_consecutive = dc.thresholdLogLKconsecutivePlacement
 
+    dtt = rt.do_time_tree
+    if dtt:
+        from ..models import timetree as tt
+        T = rt.time
+        probVectTime = tree.probVectTime
+        probVectTotUpTime = tree.probVectTotUpTime
+        probVectUpRightTime = tree.probVectUpRightTime
+        probVectUpLeftTime = tree.probVectUpLeftTime
     best_nodes = []
     best_node = root
     best_branch_lengths = (False, False, one_mut)
@@ -79,7 +87,13 @@ def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,
         True when absorbed (reference :7934-8010)."""
         comparison = kern.is_minor_sequence(probVect[node], diffs_at,
             only_find_identical=only_identical)
-        if comparison == 1 and not compute_placement_support_only:
+        comparison2 = 0
+        if dtt:
+            comparison2 = tt.is_minor_date(
+                probVectTime[node], diffs_time,
+                only_find_identical=only_identical)
+        if comparison == 1 and ((not dtt) or comparison2 == 1) \
+                and not compute_placement_support_only:
             tree.minorSequences[node].append(sample)
             if use_hnz:
                 tree.nDesc0[node] += 1
@@ -92,12 +106,17 @@ def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,
             if (not cfg.onlyNambiguities) and rt.model.using_error_rate:
                 rt.update_terminal_vector_errors(
                     probVect[node], len(tree.minorSequences[node]))
-                if up[node] is not None:
-                    rt.update_partials(
-                        [(node, 2, True, False),
-                         (up[node], tree.child_index(node), True, False)])
+            if dtt:
+                tt.update_terminal_time(T, tree, node, diffs_time,
+                                        len(tree.minorSequences[node]),
+                                        only_add_one=True)
+            if (rt.model.using_error_rate or dtt) \
+                    and up[node] is not None:
+                rt.update_partials(
+                    [(node, 2, True, False),
+                     (up[node], tree.child_index(node), True, False)])
             return True
-        if comparison == 2:
+        if comparison == 2 and ((not dtt) or comparison2 == 2):
             stats.total_missed_minors += 1
         return False
 
@@ -107,6 +126,11 @@ def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,
 
     root_vect = rt.root_vector(probVect[root], False, False, root)
     best_lk_diff = kern.append_prob_node(root_vect, diffs, True, one_mut)
+    if dtt:
+        _rv_time, rv_time_cost = tt.merge_vectors_time(
+            T, probVectTime[root], 0.0, diffs_time, one_mut,
+            return_lk=True)
+        best_lk_diff += rv_time_cost
     if use_hnz:
         best_lk_diff += get_hnz(cfg.HnZ, tree.nDesc0[root] + 1) \
             - get_hnz(cfg.HnZ, tree.nDesc0[root])
@@ -124,7 +148,7 @@ def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,
             if try_absorb_minor(t1, diffs_at):
                 return t1, 1.0, None, diffs_at
 
-        if dist[t1] > eff0 and up[t1] is not None:
+        if (dist[t1] > eff0 or dtt) and up[t1] is not None:
             # score a mid-branch placement above t1
             if cfg.deeperSearchForLongBranches \
                     and dist[t1] > dc.BLenThresholdDeeperSearch:
@@ -143,6 +167,17 @@ def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,
                     is_tip, is_up_down=True)
                 lk_diff = kern.append_prob_node(new_mid, diffs_at, True,
                                              best_appending)
+                if dtt:
+                    up_vect_time = probVectUpRightTime[up[t1]] \
+                        if t1 == children[up[t1]][0] \
+                        else probVectUpLeftTime[up[t1]]
+                    nmt = tt.merge_vectors_time(
+                        T, up_vect_time, best_top, probVectTime[t1],
+                        best_bottom, is_up_down=True, return_lk=True)
+                    if isinstance(nmt[0], int):
+                        lk_diff += float("-inf")
+                    else:
+                        lk_diff += nmt[1]
                 if use_hnz:
                     lk_diff += _hnz_mid_branch_term(
                         rt, t1, best_top, best_bottom)
@@ -152,6 +187,10 @@ def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,
                 best_bottom = dist[t1] / 2
                 best_top = dist[t1] / 2
                 best_appending = one_mut
+                if dtt:
+                    lk_diff += probVectTotUpTime[t1][1]
+                    lk_diff += tt.append_prob_node_time(
+                        T, probVectTotUpTime[t1][0], diffs_time, one_mut)
                 if use_hnz:
                     if dist[t1] <= eff0:
                         p0 = up[t1]
@@ -216,6 +255,21 @@ def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,
             is_tip, is_up_down=True)
         appending_cost = kern.append_prob_node(new_mid, diffs_at, True,
                                             best_appending)
+        if dtt:
+            up_vect_time = probVectUpRightTime[up[node]] \
+                if node == children[up[node]][0] \
+                else probVectUpLeftTime[up[node]]
+            nmt = tt.merge_vectors_time(
+                T, up_vect_time, best_top, probVectTime[node], best_bottom,
+                is_up_down=True, return_lk=True)
+            if isinstance(nmt[0], int):
+                appending_cost += float("-inf")
+            else:
+                appending_cost += tt.append_prob_node_time(
+                    T, nmt[0], diffs_time, best_appending)
+                appending_cost += nmt[1]
+                appending_cost -= tt.append_prob_node_time(
+                    T, up_vect_time, probVectTime[node], dist[node])
         # account for the change in the appended-on branch's own likelihood
         initial_cost = kern.append_prob_node(up_vect, probVect[node],
                                           is_tip, dist[node])
@@ -397,7 +451,8 @@ class _SupportState:
 def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
                          new_child_lk, best_up_length, best_down_length,
                          best_appending_length, pseudo_mut_counts,
-                         stats: PlacementStats) -> Optional[int]:
+                         stats: PlacementStats,
+                         new_partials_time=None) -> Optional[int]:
     """Apply a placement: new internal node + leaf, or a new root; updates
     nDesc/MAT and fires update_partials (reference placeSampleOnTree
     :8370-8710).  Returns the new root id if the root changed."""
@@ -411,6 +466,15 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
     probVect = tree.probVect
     eff0 = dc.effectivelyNon0BLen
     use_hnz = tree.use_hnz
+    dtt = rt.do_time_tree
+    if dtt:
+        from ..models import timetree as tt
+        T = rt.time
+        probVectTime = tree.probVectTime
+        probVectTotUpTime = tree.probVectTotUpTime
+        probVectUpRightTime = tree.probVectUpRightTime
+        probVectUpLeftTime = tree.probVectUpLeftTime
+        dateData = tree.dateData
     try_new_root = False
     if new_child_lk < -0.01:
         stats.sum_child_lks += new_child_lk
@@ -425,10 +489,18 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
         root = node
         new_child_lk = kern.append_prob_node(tot_root, new_partials, True,
                                           best_appending_length)
+        if dtt:
+            _trt, trt_cost = tt.merge_vectors_time(
+                T, probVectTime[node], 0.0, new_partials_time,
+                best_appending_length, return_lk=True)
+            new_child_lk += trt_cost
     else:
         child = tree.child_index(node)
         vect_up = tree.probVectUpRight[up[node]] if child == 0 \
             else tree.probVectUpLeft[up[node]]
+        if dtt:
+            vect_up_time = probVectUpRightTime[up[node]] if child == 0 \
+                else probVectUpLeftTime[up[node]]
         if tree.mutations[node]:
             vect_up = rt.pass_down(vect_up, node)
         if not best_up_length:
@@ -445,8 +517,8 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
                         rt.update_ndesc0_changing_dist(node,
                                                        best_down_length)
                     dist[node] = best_down_length
-                    rt.update_partials([(node, 2, True, False),
-                                        (up[node], child, True, False)])
+                    rt.update_partials([(node, 2, True, dtt),
+                                        (up[node], child, True, dtt)])
             if try_new_root:
                 p_node = up[node]
                 root_new_partials = new_partials
@@ -463,6 +535,8 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
         # consider making (root, new sample) children of a brand-new root
         node = root
         prob_old_root = rt.find_prob_root(probVect[node], node=node)
+        if dtt:
+            prob_old_root += tt.find_prob_root_time(probVectTime[node])
         root_up_left = rt.root_vector(probVect[node],
                                       best_appending_length / 2, is_tip,
                                       node)
@@ -490,6 +564,14 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
         prob_root = kern.append_prob_node(root_up_left, root_new_partials,
                                        True, best_right)
         prob_root += rt.find_prob_root(prob_vect_root, node=node)
+        if dtt:
+            prob_vect_root_time, prob_root_time = tt.merge_vectors_time(
+                T, probVectTime[node], best_left, new_partials_time,
+                best_right, return_lk=True)
+            prob_root += prob_root_time
+            prob_root += tt.find_prob_root_time(prob_vect_root_time)
+            root_up_right_time = tt.root_vector_time(
+                T, new_partials_time, best_right)
         if use_hnz:
             prob_root += get_hnz(cfg.HnZ, 2) - get_hnz(cfg.HnZ, 1)
         parent_lk_diff = prob_root - prob_old_root
@@ -501,6 +583,12 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
                 best_right, True)
             root_up_right = rt.root_vector(root_new_partials, best_right,
                                            True, node)
+            if dtt:
+                prob_vect_root_time = tt.merge_vectors_time(
+                    T, probVectTime[node], best_left, new_partials_time,
+                    best_right)
+                root_up_right_time = tt.root_vector_time(
+                    T, new_partials_time, best_right)
         new_root = tree.add_node()
         if prob_vect_root is None:
             raise RuntimeError("new root probVect is None in placement")
@@ -511,6 +599,11 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
         tree.probVectUpLeft[new_root] = rt.root_vector(
             probVect[node], best_left, is_tip, node)
         rt.shorten(tree.probVectUpLeft[new_root])
+        if dtt:
+            probVectTime[new_root] = prob_vect_root_time
+            probVectUpRightTime[new_root] = root_up_right_time
+            probVectUpLeftTime[new_root] = tt.root_vector_time(
+                T, probVectTime[node], best_left)
         tree.mutations[new_root] = tree.mutations[node]
         tree.mutations[node] = []
         up[node] = new_root
@@ -533,11 +626,28 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
         children[new_root].append(new_node)
         rt.shorten(root_new_partials)
         probVect[new_node] = root_new_partials
-        if best_right:
+        if best_right or dtt:
             tree.probVectTotUp[new_node] = kern.merge_vectors(tree.probVectUpLeft[new_root], best_right / 2, False,
                 root_new_partials, best_right / 2, True, is_up_down=True)
             rt.shorten(tree.probVectTotUp[new_node])
-        rt.update_partials([(node, 2, True, False)])
+        if dtt:
+            probVectTime[new_node] = new_partials_time
+            dateData[new_node] = new_partials_time
+            new_tot, new_tot_prob = tt.merge_vectors_time(
+                T, probVectUpLeftTime[new_root], best_right / 2,
+                new_partials_time, best_right / 2, is_up_down=True,
+                return_lk=True)
+            if isinstance(new_tot, int):
+                tt.resolve_time_inconsistency(T, tree, new_node, new_tot)
+                new_tot, new_tot_prob = tt.merge_vectors_time(
+                    T, probVectUpLeftTime[new_root], best_right / 2,
+                    new_partials_time, best_right / 2, is_up_down=True,
+                    return_lk=True)
+            new_tot_prob -= tt.append_prob_node_time(
+                T, probVectUpLeftTime[new_root], new_partials_time,
+                best_right)
+            probVectTotUpTime[new_node] = (new_tot, new_tot_prob)
+        rt.update_partials([(node, 2, True, dtt)])
         if (not tree.mutations[new_root]) \
                 and tree.nDesc[new_root] >= cfg.maxNumDescendantsForMATClade \
                 and rt.kern.num_non4(probVect[new_root]) > cfg.minNumNon4 \
@@ -605,6 +715,9 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
     if pass_up_mutations:
         probVect[new_node] = rt.pass_up(probVect[new_node], node)
     rt.shorten(probVect[new_node])
+    if dtt:
+        probVectTime[new_node] = new_partials_time
+        dateData[new_node] = new_partials_time
     probVect[new_internal] = kern.merge_vectors(probVect[node], best_down_length, is_tip, new_partials,
         best_appending_length, True)
     if pass_up_mutations:
@@ -626,7 +739,66 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
             or tree.probVectUpRight[new_internal] is None \
             or tree.probVectUpLeft[new_internal] is None:
         raise RuntimeError("None genome list created in placement")
-    if best_up_length:
+    if dtt:
+        probVectTime[new_internal] = tt.merge_vectors_time(
+            T, probVectTime[node], best_down_length, new_partials_time,
+            best_appending_length)
+        probVectUpRightTime[new_internal] = tt.merge_vectors_time(
+            T, vect_up_time, best_up_length, new_partials_time,
+            best_appending_length, is_up_down=True)
+        if isinstance(probVectUpRightTime[new_internal], int):
+            tt.resolve_time_inconsistency(
+                T, tree, new_internal, probVectUpRightTime[new_internal])
+            vect_up_time = probVectUpRightTime[up[node]] \
+                if node == children[up[node]][0] \
+                else probVectUpLeftTime[up[node]]
+            probVectUpRightTime[new_internal] = tt.merge_vectors_time(
+                T, vect_up_time, best_up_length, new_partials_time,
+                best_appending_length, is_up_down=True)
+        probVectUpLeftTime[new_internal] = tt.merge_vectors_time(
+            T, vect_up_time, best_up_length, probVectTime[node],
+            best_down_length, is_up_down=True)
+        if isinstance(probVectUpLeftTime[new_internal], int):
+            tt.resolve_time_inconsistency(
+                T, tree, new_internal, probVectUpLeftTime[new_internal])
+            vect_up_time = probVectUpRightTime[up[node]] \
+                if node == children[up[node]][0] \
+                else probVectUpLeftTime[up[node]]
+            probVectUpLeftTime[new_internal] = tt.merge_vectors_time(
+                T, vect_up_time, best_up_length, probVectTime[node],
+                best_down_length, is_up_down=True)
+        new_tot, new_tot_prob = tt.merge_vectors_time(
+            T, vect_up_time, best_up_length / 2,
+            probVectTime[new_internal], best_up_length / 2,
+            is_up_down=True, return_lk=True)
+        if isinstance(new_tot, int):
+            tt.resolve_time_inconsistency(T, tree, new_internal, new_tot)
+            vect_up_time = probVectUpRightTime[up[node]] \
+                if node == children[up[node]][0] \
+                else probVectUpLeftTime[up[node]]
+            new_tot, new_tot_prob = tt.merge_vectors_time(
+                T, vect_up_time, best_up_length / 2,
+                probVectTime[new_internal], best_up_length / 2,
+                is_up_down=True, return_lk=True)
+        new_tot_prob -= tt.append_prob_node_time(
+            T, vect_up_time, probVectTime[new_internal], best_up_length)
+        probVectTotUpTime[new_internal] = (new_tot, new_tot_prob)
+        new_tot, new_tot_prob = tt.merge_vectors_time(
+            T, probVectUpLeftTime[new_internal],
+            best_appending_length / 2, new_partials_time,
+            best_appending_length / 2, is_up_down=True, return_lk=True)
+        if isinstance(new_tot, int):
+            tt.resolve_time_inconsistency(T, tree, new_node, new_tot)
+            new_tot, new_tot_prob = tt.merge_vectors_time(
+                T, probVectUpLeftTime[new_internal],
+                best_appending_length / 2, new_partials_time,
+                best_appending_length / 2, is_up_down=True,
+                return_lk=True)
+        new_tot_prob -= tt.append_prob_node_time(
+            T, probVectUpLeftTime[new_internal], new_partials_time,
+            best_appending_length)
+        probVectTotUpTime[new_node] = (new_tot, new_tot_prob)
+    if best_up_length or dtt:
         tree.probVectTotUp[new_internal] = kern.merge_vectors(vect_up, best_up_length / 2, False, probVect[new_internal],
             best_up_length / 2, False, is_up_down=True)
         if pass_up_mutations:
@@ -635,7 +807,7 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
         rt.shorten(tree.probVectTotUp[new_internal])
     else:
         tree.probVectTotUp[new_internal] = None
-    if best_appending_length:
+    if best_appending_length or dtt:
         tree.probVectTotUp[new_node] = kern.merge_vectors(tree.probVectUpLeft[new_internal],
             best_appending_length / 2, False, new_partials,
             best_appending_length / 2, True, is_up_down=True)
@@ -643,11 +815,12 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
             tree.probVectTotUp[new_node] = rt.pass_up(
                 tree.probVectTotUp[new_node], node)
         rt.shorten(tree.probVectTotUp[new_node])
-        kern.update_pseudo_counts(tree.probVectUpLeft[new_internal],
-                               new_partials, pseudo_mut_counts)
+        if best_appending_length:
+            kern.update_pseudo_counts(tree.probVectUpLeft[new_internal],
+                                      new_partials, pseudo_mut_counts)
     else:
         tree.probVectTotUp[new_node] = None
-    if not best_down_length:
+    if (not best_down_length) and (not dtt):
         tree.probVectTotUp[node] = None
 
     if descendants_to_pass:
@@ -665,8 +838,8 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
             if p_node is None:
                 break
             tree.nDesc[p_node] += descendants_to_pass
-    rt.update_partials([(node, 2, True, False),
-                        (up[new_internal], child, True, False)])
+    rt.update_partials([(node, 2, True, dtt),
+                        (up[new_internal], child, True, dtt)])
     return None
 
 
