@@ -28,6 +28,86 @@ from .search.placement import (PlacementStats, find_best_parent_for_new_sample,
                                place_sample_on_tree)
 
 
+class TraceState:
+    """Opt-in intermediate-tree/LK traces written after every N applied
+    SPR moves (reference :3128-3152, :9255-9270, :12004-12014)."""
+
+    def __init__(self, cfg, names_in_tree):
+        self.every_trees = cfg.writeTreesToFileEveryTheseSteps
+        self.every_lks = cfg.writeLKsToFileEveryTheseSteps
+        self.binary = not cfg.nonBinaryTree
+        self.names_in_tree = names_in_tree
+        self.changes = 0
+        self.trees_file = None
+        self.lks_file = None
+        if self.every_trees > 0:
+            path = cfg.output + "_intermediateTrees.tree"
+            if os.path.isfile(path) and not cfg.overwrite:
+                raise FileExistsError(f"{path} exists; use --overwrite")
+            self.trees_file = open(path, "w")
+        if self.every_lks > 0:
+            path = cfg.output + "_intermediateLKs.txt"
+            if os.path.isfile(path) and not cfg.overwrite:
+                raise FileExistsError(f"{path} exists; use --overwrite")
+            self.lks_file = open(path, "w")
+
+    def _root_from(self, rt, node):
+        while rt.tree.up[node] is not None:
+            node = rt.tree.up[node]
+        return node
+
+    def _write(self, rt, root, label):
+        if self.trees_file is not None:
+            s = create_newick(rt.tree, root, binary=self.binary,
+                              names_in_tree=self.names_in_tree)
+            self.trees_file.write(label + "\n" + s + "\n")
+        if self.lks_file is not None:
+            total = rt.calculate_tree_likelihood(root)
+            if rt.do_time_tree:
+                from .models.timetree import calculate_tree_likelihood_time
+                total += calculate_tree_likelihood_time(rt.time, rt.tree,
+                                                        root)
+            self.lks_file.write(label + ", LK: " + str(total) + "\n")
+
+    def record_move(self, rt, node):
+        self.changes += 1
+        if self.every_trees > 0 and self.changes % self.every_trees == 0 \
+                and self.trees_file is not None:
+            root = self._root_from(rt, node)
+            s = create_newick(rt.tree, root, binary=self.binary,
+                              names_in_tree=self.names_in_tree)
+            self.trees_file.write(f"Topology {self.changes}\n" + s + "\n")
+        if self.every_lks > 0 and self.changes % self.every_lks == 0 \
+                and self.lks_file is not None:
+            root = self._root_from(rt, node)
+            total = rt.calculate_tree_likelihood(root)
+            if rt.do_time_tree:
+                from .models.timetree import calculate_tree_likelihood_time
+                total += calculate_tree_likelihood_time(rt.time, rt.tree,
+                                                        root)
+            self.lks_file.write(f"Topology {self.changes}, LK: "
+                                + str(total) + "\n")
+
+    def initial_snapshot(self, rt, root):
+        if self.trees_file is not None:
+            s = create_newick(rt.tree, root, binary=self.binary,
+                              names_in_tree=self.names_in_tree)
+            self.trees_file.write("Topology 0\n" + s + "\n")
+        if self.lks_file is not None:
+            total = rt.calculate_tree_likelihood(root)
+            if rt.do_time_tree:
+                from .models.timetree import calculate_tree_likelihood_time
+                total += calculate_tree_likelihood_time(rt.time, rt.tree,
+                                                        root)
+            self.lks_file.write("Topology 0, LK: " + str(total) + "\n")
+
+    def close(self):
+        if self.trees_file is not None:
+            self.trees_file.close()
+        if self.lks_file is not None:
+            self.lks_file.close()
+
+
 class Run:
     """One inference run: all state bundled (no module globals)."""
 
@@ -681,6 +761,11 @@ class Run:
                 self.root = new_t1
                 self._after_reroot()
 
+        if cfg.writeTreesToFileEveryTheseSteps > 0 \
+                or cfg.writeLKsToFileEveryTheseSteps > 0:
+            self.rt.trace = TraceState(cfg, self.names_in_tree)
+            self.rt.trace.initial_snapshot(self.rt, self.root)
+
         give_internal_node_names(self.tree, self.root,
                                  names_in_tree=self.names_in_tree,
                                  replace_names=False)
@@ -704,6 +789,9 @@ class Run:
             run_spr_rounds(self, rounds)
         else:
             self.write_outputs()
+        trace = getattr(self.rt, "trace", None)
+        if trace is not None:
+            trace.close()
         print("Number of final references in the MAT: "
               + str(self.rt.num_refs), flush=True)
         print("Time spent finding placement nodes: "

@@ -965,6 +965,9 @@ def cut_and_paste_node(rt: TreeRuntime, node: int, best_node: int,
                             (up[sibling], child_p, True, False)])
     new_root = place_subtree_on_tree(rt, best_node, passed_prob_vect, node,
                                      best_lk, best_branch_lengths)
+    trace = getattr(rt, "trace", None)
+    if trace is not None:
+        trace.record_move(rt, sibling)
     if up[sibling] is None:
         if new_root is not None:
             return new_root

@@ -178,6 +178,46 @@ def test_parallel_spr_golden(tmp_path):
             assert f.read() == g.read(), part
 
 
+@pytest.mark.parametrize("flag,golden", [
+    ({"HnZ": 2}, "example_hnz2"),
+    ({"deeperSearchForLongBranches": True}, "example_deeper"),
+])
+def test_flag_variants_golden(tmp_path, flag, golden):
+    """HnZ topology prior and deeper-long-branch search byte parity."""
+    gp = os.path.join(GOLDEN_DIR, golden)
+    if not os.path.isfile(gp + "_tree.tree"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR",
+                      overwrite=True, **flag)
+    run_inference(cfg)
+    _compare(out, gp)
+
+
+def test_intermediate_traces_golden(tmp_path):
+    """--writeTreesToFileEveryTheseSteps / --writeLKsToFileEveryTheseSteps
+    opt-in traces written after every N applied SPR moves."""
+    par = os.path.join(GOLDEN_DIR, "parallel")
+    if not os.path.isfile(os.path.join(par,
+                                       "traces_intermediateTrees.tree")):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE,
+                      inputTree=os.path.join(par, "random_input.tree"),
+                      largeUpdate=True, model="GTR",
+                      writeTreesToFileEveryTheseSteps=5,
+                      writeLKsToFileEveryTheseSteps=5,
+                      output=out, overwrite=True)
+    run_inference(cfg)
+    for part, gold in (("_intermediateTrees.tree",
+                        "traces_intermediateTrees.tree"),
+                       ("_intermediateLKs.txt",
+                        "traces_intermediateLKs.txt")):
+        with open(out + part) as f, \
+                open(os.path.join(par, gold)) as g:
+            assert f.read() == g.read(), part
+
+
 GOLDEN = GOLDEN_DIR  # alias
 
 
