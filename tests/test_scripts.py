@@ -39,3 +39,15 @@ def test_mask_maple_file(tmp_path, reduce_flag, golden):
          "--input", os.path.join(FIX, "created.maple"),
          "--output", str(out), "--overwrite", *reduce_flag)
     assert out.read_text() == open(os.path.join(FIX, golden)).read()
+
+
+def test_analyse_mnms(tmp_path):
+    tsv = os.path.join(HERE, "goldens", "example_sprta_metaData.tsv")
+    if not os.path.isfile(tsv):
+        pytest.skip("SPRTA golden missing")
+    out = tmp_path / "mnms.tsv"
+    _run("analyse_mnms.py", "--inputTSV", tsv, "--thresholdProb", "0.5",
+         "--output", str(out))
+    body = out.read_text()
+    assert body.startswith("MNM\tsize\toccurrences")
+    assert "G28280C-A28281T-T28282A" in body  # known B.1.1.7 MNM
