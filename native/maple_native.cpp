@@ -692,6 +692,15 @@ static double append_prob_node_t(const Store &S, const Vec &vP,
     if (uer && tip_c) lk += S.tot_error;
     const double NEG_INF = -std::numeric_limits<double>::infinity();
     while (true) {
+        // fast path: runs where both sides track the reference advance
+        // the cursors without touching likelihood state
+        while (e1->type == TYPE_R && e2->type == TYPE_R) {
+            int end1 = e1->val, end2 = e2->val;
+            pos = end1 < end2 ? end1 : end2;
+            if (pos == S.lRef) return lk + std::log(tot_factor);
+            if (end1 == pos) e1 = &vP[++i1];
+            if (end2 == pos) e2 = &vC[++i2];
+        }
         int c1 = e1->type, c2 = e2->type;
         if (c2 == TYPE_N) {
             if (c1 == TYPE_R || c1 == TYPE_N) {
@@ -1588,8 +1597,9 @@ int64_t vec_create(Store *s, int n, const int8_t *types,
 }
 
 void vec_release(Store *s, int64_t id) {
+    // keep capacity: released slots are recycled by alloc(), so steady
+    // state runs with zero per-merge heap traffic
     s->v(id).clear();
-    s->v(id).shrink_to_fit();
     s->free_slots.push_back(id);
 }
 
@@ -1775,7 +1785,6 @@ struct Engine {
     void end_call() {
         for (int64_t id : owned) {
             S->v(id).clear();
-            S->v(id).shrink_to_fit();
             S->free_slots.push_back(id);
         }
         owned.clear();
