@@ -61,7 +61,7 @@ class DeviceTreePool:
                     # express in global frame for frame-free device scoring
                     continue
                 anchors.append(node)
-                vecs.append(v)
+                vecs.append(rt.kern.export(v))
         self.anchor_ids = anchors
         if not anchors:
             self.pool = None
@@ -146,7 +146,7 @@ class BatchedPlacer:
             return root
         dm = self._device_model()
         self.warm_up()
-        queries = [q for _, q in samples]
+        queries = [rt.kern.export(q) for _, q in samples]
         if any(len(q) > self.q_budget for q in queries):
             while any(len(q) > self.q_budget for q in queries):
                 self.q_budget *= 2
