@@ -286,10 +286,15 @@ def _output_lineage_assignments(run):
     print(f"Output lineage placements at "
           f"{cfg.output}_metaData_lineagePlacements.tsv.", flush=True)
 
+    from ..io.newick import AnnotationOptions
+    annotated = create_newick(
+        tree, root, binary=not cfg.nonBinaryTree,
+        names_in_tree=names_in_tree,
+        annotations=AnnotationOptions(performLineageAssignment=True))
+    write_nexus(cfg.output + "_lineageAssignment.tree", annotated,
+                names_in_tree)
     newick = create_newick(tree, root, binary=not cfg.nonBinaryTree,
                            names_in_tree=names_in_tree)
-    write_nexus(cfg.output + "_lineageAssignment.tree", newick,
-                names_in_tree)
     with open(cfg.output + "_updatedBlengths.tree", "w") as f:
         f.write(newick)
 

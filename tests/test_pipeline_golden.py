@@ -218,6 +218,28 @@ def test_intermediate_traces_golden(tmp_path):
             assert f.read() == g.read(), part
 
 
+def test_lineage_refs_golden(tmp_path):
+    """--lineageRefs: place lineage reference genomes, assign subtrees,
+    write annotated nexus + TSVs (reference :11188-11635)."""
+    lr = os.path.join(GOLDEN_DIR, "lineagerefs")
+    if not os.path.isfile(os.path.join(lr, "refs.maple")):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE,
+                      inputTree=os.path.join(GOLDEN_DIR,
+                                             "example_gtr_tree.tree"),
+                      lineageRefs=os.path.join(lr, "refs.maple"),
+                      output=out, overwrite=True)
+    run_inference(cfg)
+    for part in ("_lineageAssignment.tree",
+                 "_metaData_lineageAssignment.tsv",
+                 "_metaData_lineagePlacements.tsv",
+                 "_updatedBlengths.tree"):
+        with open(out + part) as f, \
+                open(os.path.join(lr, "lr" + part)) as g:
+            assert f.read() == g.read(), part
+
+
 GOLDEN = GOLDEN_DIR  # alias
 
 
