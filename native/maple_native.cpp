@@ -692,9 +692,12 @@ static double append_prob_node_t(const Store &S, const Vec &vP,
     if (uer && tip_c) lk += S.tot_error;
     const double NEG_INF = -std::numeric_limits<double>::infinity();
     while (true) {
-        // fast path: runs where both sides track the reference advance
-        // the cursors without touching likelihood state
-        while (e1->type == TYPE_R && e2->type == TYPE_R) {
+        // fast path: R/N runs on both sides contribute nothing to the
+        // likelihood — advance the cursors without touching state.
+        // (cases c2==N and c1==N in the general loop below are pure
+        // cursor moves for run-typed partners.)
+        while ((unsigned)(e1->type - TYPE_R) <= 1u
+               && (unsigned)(e2->type - TYPE_R) <= 1u) {
             int end1 = e1->val, end2 = e2->val;
             pos = end1 < end2 ? end1 : end2;
             if (pos == S.lRef) return lk + std::log(tot_factor);
