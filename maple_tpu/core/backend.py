@@ -93,9 +93,16 @@ class NV:
 
     def __del__(self):
         try:
-            self.store.release(self.vid)
+            if self.vid >= 0:
+                self.store.release(self.vid)
         except Exception:
             pass
+
+    def disarm(self) -> int:
+        """Transfer ownership of the underlying vector (e.g. to the C++
+        engine); returns the vid and neutralizes this handle."""
+        vid, self.vid = self.vid, -1
+        return vid
 
     def __repr__(self):
         return f"NV({self.vid}, n={self.store.lib.vec_size(self.store.h, self.vid)})"

@@ -127,6 +127,17 @@ def _load():
     lib.engine_export_minor.argtypes = [C.c_void_p, C.c_int32,
                                         p(C.c_int32)]
     lib.engine_export_muts.argtypes = [C.c_void_p, C.c_int32, p(C.c_int32)]
+    lib.engine_import.argtypes = [
+        C.c_void_p, C.c_int32, p(C.c_int32), p(C.c_int32), p(C.c_int32),
+        p(d), p(C.c_int32), p(C.c_uint8), p(C.c_int32), p(C.c_int64),
+        p(C.c_int64), p(C.c_int64), p(C.c_int64), p(C.c_int32),
+        p(C.c_int32), p(C.c_int32), C.c_int32]
+    lib.engine_set_spr_params.argtypes = [C.c_void_p, d, d, d, C.c_int]
+    lib.engine_spr_pass.restype = C.c_int
+    lib.engine_spr_pass.argtypes = [C.c_void_p, C.c_int, C.c_int, d,
+                                    p(C.c_int32), p(d), p(C.c_long),
+                                    p(C.c_long)]
+    lib.engine_export_replacements.argtypes = [C.c_void_p, p(C.c_int32)]
     _lib = lib
     return _lib
 

@@ -180,3 +180,167 @@ class NativePlacementEngine:
         lib.engine_free(h)
         self.h = None
         return root
+
+
+def native_spr_supported(rt, abayes_on, network_output, check_each_spr):
+    cfg = rt.cfg
+    return (isinstance(rt.kern, NativeBackend)
+            and not abayes_on and not network_output
+            and not check_each_spr
+            and not rt.tree.use_hnz
+            and not rt.do_time_tree
+            and not cfg.deeperSearchForLongBranches
+            and not cfg.doNotImproveTopology
+            and getattr(rt, "trace", None) is None)
+
+
+def run_native_spr_pass(rt, root, strict_stop, allowed_fails,
+                        threshold_log_lk, threshold_topology_placement):
+    """Run one full startTopologyUpdates sweep inside the C++ engine
+    (native/maple_native.cpp engine_spr_pass).  The session tree's vector
+    handles transfer ownership to the engine and come back re-wrapped.
+    Returns (new_root_or_None, improvement, topo_updates, blen_updates)
+    or None if the tree state is unsuitable (caller falls back)."""
+    store = rt.kern.store
+    lib = store.lib
+    tree = rt.tree
+    n = len(tree.up)
+    store.sync_model(rt.model)
+
+    i32, i64, f64, u8 = np.int32, np.int64, np.float64, np.uint8
+    up = np.asarray([u if u is not None else -1 for u in tree.up], i32)
+    c0 = np.empty(n, i32)
+    c1 = np.empty(n, i32)
+    for i, ch in enumerate(tree.children):
+        if ch:
+            c0[i], c1[i] = ch[0], ch[1]
+        else:
+            c0[i] = c1[i] = -1
+    dist = np.asarray([float(d) if d else 0.0 for d in tree.dist], f64)
+    ndesc = np.asarray(tree.nDesc, i32)
+    dirty = np.asarray([1 if d else 0 for d in tree.dirty], u8)
+    repl = np.asarray(tree.replacements, i32)
+    seen = set()
+
+    def vids(arr):
+        out = np.empty(n, i64)
+        for i, v in enumerate(arr):
+            if v is None:
+                out[i] = -1
+            else:
+                if v.vid in seen:
+                    return None  # aliased handle: unsafe to transfer
+                seen.add(v.vid)
+                out[i] = v.vid
+        return out
+
+    pv = vids(tree.probVect)
+    upr = vids(tree.probVectUpRight)
+    upl = vids(tree.probVectUpLeft)
+    totup = vids(tree.probVectTotUp)
+    if pv is None or upr is None or upl is None or totup is None:
+        return None
+    minor_counts = np.asarray([len(m) for m in tree.minorSequences], i32)
+    n_muts = np.asarray([len(m) for m in tree.mutations], i32)
+    flat = []
+    for m in tree.mutations:
+        for t in m:
+            flat.extend(t)
+    muts_flat = np.asarray(flat if flat else [0], i32)
+
+    # ownership transfers to the engine now
+    for arr in (tree.probVect, tree.probVectUpRight, tree.probVectUpLeft,
+                tree.probVectTotUp):
+        for v in arr:
+            if v is not None:
+                v.disarm()
+
+    def P(a, t):
+        return a.ctypes.data_as(C.POINTER(t))
+
+    dc = rt.dc
+    h = C.c_void_p(lib.engine_create(
+        store.h, -1, 0, 1, 0, 0.0, 0.0, 0.0, dc.oneMutBLen,
+        dc.effectivelyNon0BLen, 0, 1 if rt.use_local_reference else 0,
+        rt.cfg.maxNumDescendantsForMATClade, rt.cfg.minNumNon4))
+    lib.engine_import(h, n, P(up, C.c_int32), P(c0, C.c_int32),
+                      P(c1, C.c_int32), P(dist, C.c_double),
+                      P(ndesc, C.c_int32), P(dirty, C.c_uint8),
+                      P(repl, C.c_int32), P(pv, C.c_int64),
+                      P(upr, C.c_int64), P(upl, C.c_int64),
+                      P(totup, C.c_int64), P(minor_counts, C.c_int32),
+                      P(n_muts, C.c_int32), P(muts_flat, C.c_int32), root)
+    lib.engine_set_spr_params(
+        h, dc.thresholdLogLKoptimizationTopology,
+        threshold_topology_placement, rt.cfg.defaultBLen,
+        rt.cfg.maxReplacements)
+    new_root = np.zeros(1, i32)
+    improvement = np.zeros(1, f64)
+    topo = np.zeros(1, np.int64)
+    blen = np.zeros(1, np.int64)
+    rc = lib.engine_spr_pass(h, 1 if strict_stop else 0, allowed_fails,
+                             threshold_log_lk, P(new_root, C.c_int32),
+                             P(improvement, C.c_double),
+                             topo.ctypes.data_as(C.POINTER(C.c_long)),
+                             blen.ctypes.data_as(C.POINTER(C.c_long)))
+    if rc != 0:
+        msg = lib.engine_error(h).decode()
+        lib.engine_free(h)
+        raise RuntimeError(f"native SPR engine: {msg}")
+
+    # export the (same-size) tree back
+    e_up = np.empty(n, i32)
+    e_c0 = np.empty(n, i32)
+    e_c1 = np.empty(n, i32)
+    e_dist = np.empty(n, f64)
+    e_name = np.empty(n, i32)
+    e_nd = np.empty(n, i32)
+    e_dirty = np.empty(n, u8)
+    e_pv = np.empty(n, i64)
+    e_upr = np.empty(n, i64)
+    e_upl = np.empty(n, i64)
+    e_tot = np.empty(n, i64)
+    e_minor = np.empty(n, i32)
+    e_nm = np.empty(n, i32)
+    lib.engine_export_nodes(
+        h, P(e_up, C.c_int32), P(e_c0, C.c_int32), P(e_c1, C.c_int32),
+        P(e_dist, C.c_double), P(e_name, C.c_int32), P(e_nd, C.c_int32),
+        P(e_dirty, C.c_uint8), P(e_pv, C.c_int64), P(e_upr, C.c_int64),
+        P(e_upl, C.c_int64), P(e_tot, C.c_int64), P(e_minor, C.c_int32),
+        P(e_nm, C.c_int32))
+    e_repl = np.empty(n, i32)
+    lib.engine_export_replacements(h, P(e_repl, C.c_int32))
+    tree.up = [u if u >= 0 else None for u in e_up.tolist()]
+    tree.children = [[] if a < 0 else [a, b]
+                     for a, b in zip(e_c0.tolist(), e_c1.tolist())]
+    tree.dist = e_dist.tolist()
+    tree.nDesc = e_nd.tolist()
+    tree.dirty = [bool(x) for x in e_dirty.tolist()]
+    tree.replacements = e_repl.tolist()
+    for node in range(n):
+        cnt = int(e_nm[node])
+        if cnt != len(tree.mutations[node]):
+            pass
+        if cnt:
+            buf = np.empty(cnt * 3, i32)
+            lib.engine_export_muts(h, node, P(buf, C.c_int32))
+            flat2 = buf.tolist()
+            tree.mutations[node] = [tuple(flat2[k:k + 3])
+                                    for k in range(0, len(flat2), 3)]
+        else:
+            tree.mutations[node] = []
+
+    def wrap(arr):
+        return [NV(store, int(v)) if v >= 0 else None for v in arr]
+
+    tree.probVect = wrap(e_pv)
+    tree.probVectUpRight = wrap(e_upr)
+    tree.probVectUpLeft = wrap(e_upl)
+    tree.probVectTotUp = wrap(e_tot)
+    sbuf = np.zeros(7, f64)
+    lib.engine_stats(h, P(sbuf, C.c_double))
+    rt.num_refs += int(sbuf[6])
+    nr = int(new_root[0])
+    lib.engine_free(h)
+    return (nr if nr >= 0 else None, float(improvement[0]),
+            int(topo[0]), int(blen[0]))

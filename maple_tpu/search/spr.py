@@ -1135,6 +1135,15 @@ def start_topology_updates(rt: TreeRuntime, node: int, strict_stop,
     """Sweep all dirty nodes attempting one SPR each (reference
     startTopologyUpdates :9489-9573)."""
     tree = rt.tree
+    from ..native.engine import native_spr_supported, run_native_spr_pass
+    if native_spr_supported(rt, abayes_on, network_output, check_each_spr):
+        res = run_native_spr_pass(rt, node, strict_stop, allowed_fails,
+                                  threshold_log_lk,
+                                  threshold_topology_placement)
+        if res is not None:
+            new_root, improvement, topo, blen = res
+            print(f"Topology updates {topo} ; bLen updates {blen}")
+            return new_root, improvement
     counters = SprCounters()
     nodes_to_visit = [node]
     total_improvement = 0.0

@@ -1748,6 +1748,12 @@ struct Engine {
     double threshold_log_lk = 0, threshold_opt = 0, threshold_consec = 0;
     double one_mut = 0, eff0 = 0;
     int max_ndesc_clade = 0, min_num_non4 = 0;
+    // SPR-phase parameters (set by engine_import)
+    double threshold_opt_topology = 0;
+    double threshold_topology_placement = 0;
+    double default_blen = 0;
+    int max_replacements = 0;
+    std::vector<int32_t> replacements;
     // accumulators / stats
     double counts[16] = {};
     int num_refs = 0;
@@ -1765,6 +1771,7 @@ struct Engine {
         up.push_back(-1); c0.push_back(-1); c1.push_back(-1);
         dist.push_back(0.0); name.push_back(-1); nDesc.push_back(0);
         dirty.push_back(1);
+        replacements.push_back(0);
         minorSeqs.emplace_back(); muts.emplace_back();
         pv.push_back(-1); upR.push_back(-1); upL.push_back(-1);
         totUp.push_back(-1);
@@ -2696,6 +2703,914 @@ static int E_place_sample(Engine *E, int node, int64_t new_partials,
     return -1;
 }
 
+
+// ======================================================================
+// Native SPR engine: the full sequential topology-improvement sweep
+// (startTopologyUpdates -> traverseTreeForTopologyUpdate ->
+// findBestParentTopology -> cutAndPasteNode -> placeSubtreeOnTree) over
+// store-owned vectors.  Port of maple_tpu/search/spr.py (reference
+// findBestParentTopology :6817-7724, placeSubtreeOnTree :8896-9187,
+// cutAndPasteNode :9188-9277, traverseTreeForTopologyUpdate :9287-9464,
+// startTopologyUpdates :9489-9573).  Default path only: no HnZ, no
+// SPRTA, no time trees, no deeper-long-branch search (the Python driver
+// gates on this).
+// ======================================================================
+
+// partials.py traverse_tree_to_update_mutation_list :502-545
+static void E_update_mutation_list(Engine *E, int appended, int node) {
+    auto &up = E->up;
+    auto &muts = E->muts;
+    int depth_app = 0;
+    int p = up[appended];
+    while (p >= 0) { p = up[p]; depth_app++; }
+    int depth = 0;
+    p = up[node];
+    while (p >= 0) { p = up[p]; depth++; }
+    std::vector<int> node_list = {node};
+    int p_node = node;
+    int p_app = appended;
+    while (depth_app > depth) { p_app = up[p_app]; depth_app--; }
+    while (depth_app < depth) {
+        p_node = up[p_node];
+        node_list.push_back(p_node);
+        depth--;
+    }
+    while (p_app != p_node) {
+        p_node = up[p_node];
+        node_list.push_back(p_node);
+        p_app = up[p_app];
+    }
+    node_list.pop_back();
+    p_app = up[appended];
+    while (p_app != p_node) {
+        if (!muts[p_app].empty())
+            muts[appended] = E_merge_mutation_lists(muts[p_app],
+                                                    muts[appended], false);
+        p_app = up[p_app];
+    }
+    while (!node_list.empty()) {
+        int n = node_list.back();
+        node_list.pop_back();
+        if (!muts[n].empty())
+            muts[appended] = E_merge_mutation_lists(muts[n],
+                                                    muts[appended], true);
+    }
+}
+
+// spr.py evaluate_placement :25-48
+struct EvalResult { double cost, bottom, top, appending; bool ok; };
+
+static EvalResult E_evaluate_placement(Engine *E, int64_t mid_tot,
+                                       int64_t down_vect, int64_t up_vect,
+                                       double distance, int64_t removed,
+                                       bool is_removed_tip,
+                                       bool from_tip1) {
+    EvalResult R{0, 0, 0, 0, true};
+    R.appending = E_blen(E, mid_tot, removed, is_removed_tip);
+    int64_t mid_lower = E_merge(E, down_vect, distance / 2, from_tip1,
+                                removed, R.appending, is_removed_tip,
+                                false);
+    if (mid_lower < 0) { R.ok = false; return R; }
+    R.top = E_blen(E, up_vect, mid_lower, false);
+    int64_t mid_top = E_merge(E, up_vect, R.top, false, removed,
+                              R.appending, is_removed_tip, true);
+    if (mid_top < 0) {
+        R.top = E->default_blen * 0.1;
+        mid_top = E_merge(E, up_vect, R.top, false, removed, R.appending,
+                          is_removed_tip, true);
+        if (mid_top < 0) { R.ok = false; return R; }
+    }
+    R.bottom = E_blen(E, mid_top, down_vect, from_tip1);
+    int64_t new_mid = E_merge(E, up_vect, R.top, false, down_vect,
+                              R.bottom, from_tip1, true);
+    if (new_mid < 0) { R.ok = false; return R; }
+    R.cost = E_append(E, new_mid, removed, is_removed_tip, R.appending);
+    return R;
+}
+
+struct TopoCand {
+    int32_t t1;
+    double score;
+    uint8_t fresh;          // carries its own vectors (needs_updating)
+    int64_t up_vect;        // fresh: passed/up vector
+    int64_t down_vect;      // fresh: lower/mid-bottom vector
+    double distance;
+    int64_t mid_tot;
+    int64_t removed;
+};
+
+struct TopoResult {
+    int32_t best_node;
+    double best_score;
+    double top, bottom, appending;
+    int64_t removed;
+};
+
+// spr.py find_best_parent_topology :51-541 (no HnZ/abayes/deeper)
+static bool E_find_best_parent_topology(Engine *E, int node, int child,
+                                        double best_lk_diff,
+                                        double removed_blen,
+                                        bool strict_stop, int allowed_fails,
+                                        double threshold_log_lk,
+                                        TopoResult *out) {
+    auto &up = E->up;
+    auto &dist = E->dist;
+    auto &muts = E->muts;
+    double eff0 = E->eff0;
+    double threshold_opt = E->threshold_opt_topology;
+    double threshold_consec = E->threshold_consec;
+    int pruned = E->child(node, child);
+    int best_node = E->child(node, 1 - child);
+    std::vector<TopoCand> best_nodes;
+    int64_t removed_rel = E_pass_up(E, E->pv[pruned], pruned);
+    int64_t best_removed = E_pass_down(E, removed_rel, best_node);
+    bool is_removed_tip = E->is_tip(pruned);
+    double original_lk = best_lk_diff;
+    int original_placement = best_node;
+    int64_t original_removed = best_removed;
+    double orig_top, orig_bottom;
+
+    struct CrawlItem {
+        int32_t t1; int32_t direction;
+        uint8_t fresh;
+        int64_t passed; double distance;
+        double last_lk; int32_t failed;
+        int64_t removed_rel;
+    };
+    std::vector<CrawlItem> stack;
+
+    if (up[node] >= 0) {
+        int child_up = (E->c0[up[node]] == node) ? 1 : 2;
+        int64_t vect_up_up = child_up == 1 ? E->upR[up[node]]
+                                           : E->upL[up[node]];
+        int64_t prob_vect1 = E_pass_up(E, E->pv[best_node], best_node);
+        int64_t removed_rel1 = removed_rel;
+        if (!muts[node].empty()) {
+            prob_vect1 = E_pass_up(E, prob_vect1, node);
+            removed_rel1 = E_pass_up(E, removed_rel, node);
+        }
+        stack.push_back({(int32_t)up[node], (int32_t)child_up, 1,
+                         prob_vect1, dist[best_node] + dist[node],
+                         best_lk_diff, 0, removed_rel1});
+        int64_t vect_down = vect_up_up;
+        if (!muts[node].empty())
+            vect_down = E_pass_down(E, vect_down, node);
+        removed_rel1 = removed_rel;
+        if (!muts[best_node].empty()) {
+            vect_down = E_pass_down(E, vect_down, best_node);
+            removed_rel1 = E_pass_down(E, removed_rel, best_node);
+        }
+        stack.push_back({(int32_t)best_node, 0, 1, vect_down,
+                         dist[best_node] + dist[node], best_lk_diff, 0,
+                         removed_rel1});
+        orig_top = dist[node];
+        orig_bottom = dist[best_node];
+    } else {
+        if (!E->is_leaf(best_node)) {
+            int child1 = E->c0[best_node], child2 = E->c1[best_node];
+            int64_t vect_up1 = E_pass_up(E, E->pv[child2], child2);
+            vect_up1 = E_root_vector(E, vect_up1, dist[child2],
+                                     E->is_tip(child2), node);
+            int64_t removed_rel1 = best_removed;
+            if (!muts[child1].empty()) {
+                removed_rel1 = E_pass_down(E, best_removed, child1);
+                vect_up1 = E_pass_down(E, vect_up1, child1);
+            }
+            stack.push_back({(int32_t)child1, 0, 1, vect_up1, dist[child1],
+                             best_lk_diff, 0, removed_rel1});
+            int64_t vect_up2 = E_pass_up(E, E->pv[child1], child1);
+            vect_up2 = E_root_vector(E, vect_up2, dist[child1],
+                                     E->is_tip(child1), node);
+            int64_t removed_rel2 = best_removed;
+            if (!muts[child2].empty()) {
+                removed_rel2 = E_pass_down(E, best_removed, child2);
+                vect_up2 = E_pass_down(E, vect_up2, child2);
+            }
+            stack.push_back({(int32_t)child2, 0, 1, vect_up2, dist[child2],
+                             best_lk_diff, 0, removed_rel2});
+        }
+        orig_top = 0.0;
+        orig_bottom = dist[best_node];
+    }
+    double best_top = orig_top;
+    double best_bottom = orig_bottom;
+    double best_appending = removed_blen;
+
+    while (!stack.empty()) {
+        CrawlItem it = stack.back();
+        stack.pop_back();
+        int t1 = it.t1;
+        int direction = it.direction;
+        bool needs_updating = it.fresh != 0;
+        int64_t passed = it.passed;
+        double distance = it.distance;
+        double last_lk = it.last_lk;
+        int failed = it.failed;
+        int64_t removed_here = it.removed_rel;
+        double mid_prob;
+
+        if (direction == 0) {
+            if (!(up[t1] == node || up[t1] < 0)
+                    && (dist[t1] > eff0 || up[up[t1]] < 0)) {
+                int64_t mid_tot;
+                if (needs_updating) {
+                    bool is_tip = E->is_tip(t1);
+                    mid_tot = E_merge(E, passed, distance / 2, false,
+                                      E->pv[t1], distance / 2, is_tip,
+                                      true);
+                    if (mid_tot < 0) continue;
+                    if (!E_different(E, mid_tot, E->totUp[t1]))
+                        needs_updating = false;
+                } else {
+                    mid_tot = E->totUp[t1];
+                    distance = dist[t1];
+                }
+                if (mid_tot < 0) continue;
+                mid_prob = E_append(E, mid_tot, removed_here,
+                                    is_removed_tip, removed_blen);
+                if (mid_prob > best_lk_diff - threshold_opt) {
+                    if (needs_updating)
+                        best_nodes.push_back({(int32_t)t1, mid_prob, 1,
+                                              passed, E->pv[t1], distance,
+                                              mid_tot, removed_here});
+                    else
+                        best_nodes.push_back({(int32_t)t1, mid_prob, 0, -1,
+                                              -1, 0.0, -1, removed_here});
+                }
+                if (mid_prob > best_lk_diff) {
+                    best_lk_diff = mid_prob;
+                    failed = 0;
+                    E_shorten(E, removed_here);
+                } else if (mid_prob < last_lk - threshold_consec) {
+                    failed++;
+                }
+            } else {
+                mid_prob = last_lk;
+            }
+            bool traverse;
+            if (strict_stop)
+                traverse = failed <= allowed_fails
+                    && mid_prob > best_lk_diff - threshold_log_lk
+                    && !E->is_leaf(t1);
+            else
+                traverse = (failed <= allowed_fails
+                            || mid_prob > best_lk_diff - threshold_log_lk)
+                    && !E->is_leaf(t1);
+            if (traverse) {
+                for (int ci = 0; ci < 2; ci++) {
+                    int child1 = E->child(t1, ci);
+                    int other = E->child(t1, 1 - ci);
+                    int64_t vect_next;
+                    if (needs_updating) {
+                        int64_t other_vect = E_pass_up(E, E->pv[other],
+                                                       other);
+                        vect_next = E_merge(E, passed, distance, false,
+                                            other_vect, dist[other],
+                                            E->is_tip(other), true);
+                    } else {
+                        vect_next = ci == 0 ? E->upR[t1] : E->upL[t1];
+                    }
+                    if (vect_next < 0) continue;
+                    int64_t removed_rel1 = removed_here;
+                    if (!muts[child1].empty())
+                        removed_rel1 = E_pass_down(E, removed_here,
+                                                   child1);
+                    if (needs_updating) {
+                        if (!muts[child1].empty())
+                            vect_next = E_pass_down(E, vect_next, child1);
+                        stack.push_back({(int32_t)child1, 0, 1, vect_next,
+                                         dist[child1], mid_prob,
+                                         (int32_t)failed, removed_rel1});
+                    } else {
+                        stack.push_back({(int32_t)child1, 0, 0, -1, 0.0,
+                                         mid_prob, (int32_t)failed,
+                                         removed_rel1});
+                    }
+                }
+            }
+        } else {
+            int other_child = E->child(t1, 2 - direction);
+            int64_t mid_bottom = -1;
+            int64_t vect_up = -1;
+            if (up[t1] >= 0 && (dist[t1] > eff0 || up[up[t1]] < 0)) {
+                int64_t mid_tot;
+                if (needs_updating) {
+                    int64_t other_vect = E_pass_up(E, E->pv[other_child],
+                                                   other_child);
+                    mid_bottom = E_merge(E, passed, distance, false,
+                                         other_vect, dist[other_child],
+                                         E->is_tip(other_child), false);
+                    if (mid_bottom < 0) continue;
+                    vect_up = E->vect_up_for(t1);
+                    if (!muts[t1].empty())
+                        vect_up = E_pass_down(E, vect_up, t1);
+                    mid_tot = E_merge(E, vect_up, dist[t1] / 2, false,
+                                      mid_bottom, dist[t1] / 2, false,
+                                      true);
+                    if (E->totUp[t1] < 0) {
+                        E->install(&E->totUp[t1], E_merge(E, vect_up,
+                            dist[t1] / 2, false, E->pv[t1], dist[t1] / 2,
+                            false, true));
+                    }
+                    if (mid_tot < 0) continue;
+                    if (!E_different(E, mid_tot, E->totUp[t1]))
+                        needs_updating = false;
+                } else {
+                    mid_tot = E->totUp[t1];
+                }
+                if (mid_tot < 0) continue;
+                mid_prob = E_append(E, mid_tot, removed_here,
+                                    is_removed_tip, removed_blen);
+                if (mid_prob >= best_lk_diff - threshold_opt) {
+                    if (needs_updating)
+                        best_nodes.push_back({(int32_t)t1, mid_prob, 1,
+                                              vect_up, mid_bottom,
+                                              dist[t1], mid_tot,
+                                              removed_here});
+                    else
+                        best_nodes.push_back({(int32_t)t1, mid_prob, 0, -1,
+                                              -1, 0.0, -1, removed_here});
+                }
+                if (mid_prob > best_lk_diff) {
+                    best_lk_diff = mid_prob;
+                    failed = 0;
+                } else if (mid_prob < last_lk - threshold_consec) {
+                    failed++;
+                }
+            } else {
+                mid_prob = last_lk;
+            }
+            bool keep;
+            if (strict_stop)
+                keep = failed <= allowed_fails
+                    && mid_prob > best_lk_diff - threshold_log_lk;
+            else
+                keep = failed <= allowed_fails
+                    || mid_prob > best_lk_diff - threshold_log_lk;
+            if (keep) {
+                if (up[t1] >= 0) {
+                    int up_child = (t1 == E->c0[up[t1]]) ? 0 : 1;
+                    int64_t vect_up2;
+                    if (needs_updating) {
+                        int64_t vect_up_up = up_child == 0
+                            ? E->upR[up[t1]] : E->upL[up[t1]];
+                        if (!muts[t1].empty())
+                            vect_up_up = E_pass_down(E, vect_up_up, t1);
+                        vect_up2 = E_merge(E, vect_up_up, dist[t1], false,
+                                           passed, distance, false, true);
+                    } else {
+                        vect_up2 = direction == 1 ? E->upL[t1]
+                                                  : E->upR[t1];
+                    }
+                    if (vect_up2 >= 0) {
+                        int64_t removed_rel1 = removed_here;
+                        if (!muts[other_child].empty())
+                            removed_rel1 = E_pass_down(E, removed_here,
+                                                       other_child);
+                        if (needs_updating) {
+                            if (!muts[other_child].empty())
+                                vect_up2 = E_pass_down(E, vect_up2,
+                                                       other_child);
+                            stack.push_back({(int32_t)other_child, 0, 1,
+                                             vect_up2, dist[other_child],
+                                             mid_prob, (int32_t)failed,
+                                             removed_rel1});
+                        } else {
+                            stack.push_back({(int32_t)other_child, 0, 0,
+                                             -1, 0.0, mid_prob,
+                                             (int32_t)failed,
+                                             removed_rel1});
+                        }
+                    }
+                    // continue crawling up
+                    bool dropped = false;
+                    if (needs_updating && mid_bottom < 0) {
+                        int64_t other_vect = E_pass_up(
+                            E, E->pv[other_child], other_child);
+                        mid_bottom = E_merge(E, passed, distance, false,
+                                             other_vect,
+                                             dist[other_child],
+                                             E->is_tip(other_child),
+                                             false);
+                        if (mid_bottom < 0) dropped = true;
+                    }
+                    if (!dropped) {
+                        int64_t removed_rel1 = removed_here;
+                        if (!muts[t1].empty())
+                            removed_rel1 = E_pass_up(E, removed_here, t1);
+                        if (needs_updating) {
+                            if (!muts[t1].empty())
+                                mid_bottom = E_pass_up(E, mid_bottom, t1);
+                            stack.push_back({(int32_t)up[t1],
+                                             (int32_t)(up_child + 1), 1,
+                                             mid_bottom, dist[t1],
+                                             mid_prob, (int32_t)failed,
+                                             removed_rel1});
+                        } else {
+                            stack.push_back({(int32_t)up[t1],
+                                             (int32_t)(up_child + 1), 0,
+                                             -1, 0.0, mid_prob,
+                                             (int32_t)failed,
+                                             removed_rel1});
+                        }
+                    }
+                } else {
+                    int64_t vect_up2 = -1;
+                    if (needs_updating) {
+                        vect_up2 = E_root_vector(E, passed, distance,
+                                                 false, t1);
+                        if (!muts[other_child].empty())
+                            vect_up2 = E_pass_down(E, vect_up2,
+                                                   other_child);
+                    }
+                    int64_t removed_rel1 = removed_here;
+                    if (!muts[other_child].empty())
+                        removed_rel1 = E_pass_down(E, removed_here,
+                                                   other_child);
+                    if (needs_updating) {
+                        stack.push_back({(int32_t)other_child, 0, 1,
+                                         vect_up2, dist[other_child],
+                                         mid_prob, (int32_t)failed,
+                                         removed_rel1});
+                    } else {
+                        stack.push_back({(int32_t)other_child, 0, 0, -1,
+                                         0.0, mid_prob, (int32_t)failed,
+                                         removed_rel1});
+                    }
+                }
+            }
+        }
+    }
+
+    // fine optimization of candidates
+    double best_score = original_lk;
+    if (best_nodes.empty()) {
+        out->best_node = original_placement;
+        out->best_score = original_lk;
+        out->top = orig_top;
+        out->bottom = orig_bottom;
+        out->appending = removed_blen;
+        out->removed = original_removed;
+        return true;
+    }
+    int best_node_fine = best_node;
+    for (const TopoCand &bc : best_nodes) {
+        if (bc.score < original_lk - threshold_opt) continue;
+        int t1 = bc.t1;
+        int64_t up_vect, down_vect, mid_tot;
+        double distance;
+        if (!bc.fresh) {
+            up_vect = E->vect_up_for(t1);
+            if (!muts[t1].empty())
+                up_vect = E_pass_down(E, up_vect, t1);
+            down_vect = E->pv[t1];
+            distance = dist[t1];
+            mid_tot = E->totUp[t1];
+        } else {
+            up_vect = bc.up_vect;
+            down_vect = bc.down_vect;
+            distance = bc.distance;
+            mid_tot = bc.mid_tot;
+        }
+        bool from_tip1 = E->is_tip(t1);
+        EvalResult ev = E_evaluate_placement(E, mid_tot, down_vect,
+                                             up_vect, distance,
+                                             bc.removed, is_removed_tip,
+                                             from_tip1);
+        if (!ev.ok) {
+            E->error = "impossible merge in SPR fine phase";
+            return false;
+        }
+        double initial_cost = E_append(E, up_vect, down_vect, from_tip1,
+                                       distance);
+        double new_partial_cost = E_append(E, up_vect, down_vect,
+                                           from_tip1, ev.bottom + ev.top);
+        double optimized = ev.cost + new_partial_cost - initial_cost;
+        if (optimized >= best_score) {
+            best_node_fine = t1;
+            best_score = optimized;
+            best_top = ev.top;
+            best_bottom = ev.bottom;
+            best_appending = ev.appending;
+            best_removed = bc.removed;
+        }
+    }
+    out->best_node = best_node_fine;
+    out->best_score = best_score;
+    out->top = best_top;
+    out->bottom = best_bottom;
+    out->appending = best_appending;
+    out->removed = best_removed;
+    return true;
+}
+
+// spr.py place_subtree_on_tree :682-916 (no HnZ)
+static int E_place_subtree(Engine *E, int node, int64_t new_partials,
+                           int appended, double new_child_lk,
+                           double best_up, double best_down,
+                           double best_appending) {
+    auto &up = E->up;
+    auto &dist = E->dist;
+    auto &muts = E->muts;
+    bool try_new_root = false;
+    int child = E->child_index(node);
+    int64_t vect_up = child == 0 ? E->upR[up[node]] : E->upL[up[node]];
+    int root = -1;
+    int64_t root_new_partials = -1;
+    if (best_up == 0.0) {
+        int p_node = up[node];
+        while (dist[p_node] == 0.0 && up[p_node] >= 0)
+            p_node = up[p_node];
+        if (up[p_node] < 0) {
+            root = p_node;
+            try_new_root = true;
+            if (best_down == 0.0 || best_down > 1.01 * dist[node]
+                    || best_down < 0.99 * dist[node]) {
+                dist[node] = best_down;
+                std::vector<WorkItem> wl;
+                wl.push_back({(int32_t)node, 2, 1});
+                wl.push_back({(int32_t)up[node], (int32_t)child, 1});
+                if (!E_update_partials(E, std::move(wl))) return -2;
+            }
+        }
+        if (try_new_root) {
+            int p2 = up[node];
+            root_new_partials = new_partials;
+            if (!muts[node].empty())
+                root_new_partials = E_pass_up(E, new_partials, node);
+            while (dist[p2] == 0.0 && up[p2] >= 0) {
+                if (!muts[p2].empty())
+                    root_new_partials = E_pass_up(E, root_new_partials,
+                                                  p2);
+                p2 = up[p2];
+            }
+        }
+    }
+    bool appended_is_tip = E->is_tip(appended);
+
+    if (try_new_root) {
+        node = root;
+        bool is_tip = E->is_tip(node);
+        double prob_old_root = E_find_prob_root(E, E->pv[node], node);
+        int64_t root_up_left = E_root_vector(E, E->pv[node],
+            best_appending / 2, is_tip, node);
+        double best_right = E_blen(E, root_up_left, root_new_partials,
+                                   appended_is_tip);
+        int64_t root_up_right = E_root_vector(E, root_new_partials,
+                                              best_right, appended_is_tip,
+                                              node);
+        double best_left = E_blen(E, root_up_right, E->pv[node], is_tip);
+        root_up_left = E_root_vector(E, E->pv[node], best_left, is_tip,
+                                     node);
+        best_right = E_blen(E, root_up_left, root_new_partials,
+                            appended_is_tip);
+        root_up_right = E_root_vector(E, root_new_partials, best_right,
+                                      appended_is_tip, node);
+        best_left = E_blen(E, root_up_right, E->pv[node], is_tip);
+        int64_t prob_vect_root = E_merge(E, E->pv[node], best_left, is_tip,
+            root_new_partials, best_right, appended_is_tip, false);
+        double prob_root = E_append(E, root_up_left, root_new_partials,
+                                    appended_is_tip, best_right);
+        prob_root += E_find_prob_root(E, prob_vect_root, node);
+        double parent_lk_diff = prob_root - prob_old_root;
+        if (parent_lk_diff <= new_child_lk) {
+            best_right = best_appending;
+            best_left = 0.0;
+            prob_vect_root = E_merge(E, E->pv[node], best_left, is_tip,
+                root_new_partials, best_right, appended_is_tip, false);
+            root_up_right = E_root_vector(E, root_new_partials, best_right,
+                                          appended_is_tip, node);
+        }
+        if (!muts[appended].empty()) E->num_refs--;
+        E_update_mutation_list(E, appended, node);
+        if (!muts[appended].empty()) E->num_refs++;
+        int new_root = up[appended];
+        up[new_root] = -1;
+        E->dirty[new_root] = 1;
+        dist[new_root] = E->default_blen;
+        E->replacements[new_root]++;
+        if (prob_vect_root < 0) {
+            E->error = "new root probVect None in place_subtree";
+            return -2;
+        }
+        E_shorten(E, prob_vect_root);
+        E->install(&E->pv[new_root], prob_vect_root);
+        E_shorten(E, root_up_right);
+        E->install(&E->upR[new_root], root_up_right);
+        E->install(&E->upL[new_root], E_root_vector(E, E->pv[node],
+            best_left, is_tip, node));
+        E_shorten(E, E->upL[new_root]);
+        E->muts[new_root] = std::move(E->muts[node]);
+        E->muts[node].clear();
+        up[node] = new_root;
+        dist[node] = best_left;
+        E->c0[new_root] = node;
+        E->c1[new_root] = appended;
+        dist[appended] = best_right;
+        E->replacements[appended]++;
+        std::vector<WorkItem> wl;
+        wl.push_back({(int32_t)node, 2, 1});
+        wl.push_back({(int32_t)appended, 2, 1});
+        if (!E_update_partials(E, std::move(wl))) return -2;
+        return new_root;
+    }
+
+    // ordinary re-attachment below `node`
+    if (!muts[node].empty())
+        vect_up = E_pass_down(E, vect_up, node);
+    bool is_tip = E->is_tip(node);
+    if (!muts[appended].empty()) E->num_refs--;
+    E_update_mutation_list(E, appended, node);
+    if (!muts[appended].empty()) E->num_refs++;
+    int new_internal = up[appended];
+    E->muts[new_internal] = std::move(E->muts[node]);
+    E->muts[node].clear();
+    E->dirty[new_internal] = 1;
+    E->replacements[new_internal]++;
+    if (child == 0) E->c0[up[node]] = new_internal;
+    else E->c1[up[node]] = new_internal;
+    up[new_internal] = up[node];
+    E->c0[new_internal] = node;
+    up[node] = new_internal;
+    E->replacements[appended]++;
+    E->c1[new_internal] = appended;
+
+    auto merge_lower = [&]() {
+        return E_merge(E, E->pv[node], best_down, is_tip, new_partials,
+                       best_appending, appended_is_tip, false);
+    };
+    auto merge_up_right = [&]() {
+        return E_merge(E, vect_up, best_up, false, new_partials,
+                       best_appending, appended_is_tip, true);
+    };
+    auto merge_up_left = [&]() {
+        return E_merge(E, vect_up, best_up, false, E->pv[node], best_down,
+                       is_tip, true);
+    };
+
+    int64_t lower = merge_lower();
+    if (lower < 0) {
+        int64_t ul = merge_up_left();
+        if (ul < 0) {
+            int64_t ur = merge_up_right();
+            E->install(&E->upR[new_internal], ur);
+            best_down = E_blen(E, E->upR[new_internal], E->pv[node],
+                               is_tip);
+            ul = merge_up_left();
+            E->install(&E->upL[new_internal], ul);
+            best_appending = E_blen(E, E->upL[new_internal], new_partials,
+                                    appended_is_tip);
+        } else {
+            E->install(&E->upL[new_internal], ul);
+            best_appending = E_blen(E, E->upL[new_internal], new_partials,
+                                    appended_is_tip);
+            int64_t ur = merge_up_right();
+            E->install(&E->upR[new_internal], ur);
+            best_down = E_blen(E, E->upR[new_internal], E->pv[node],
+                               is_tip);
+        }
+        lower = merge_lower();
+        if (lower < 0) {
+            best_appending = E->one_mut / 5;
+            best_down = E->one_mut / 5;
+            lower = merge_lower();
+            if (lower < 0) {
+                E->error = "unresolvable lower merge in place_subtree";
+                return -2;
+            }
+        }
+    }
+    E->install(&E->pv[new_internal], lower);
+    E_shorten(E, E->pv[new_internal]);
+    int64_t ur = merge_up_right();
+    if (ur < 0) {
+        best_up = E_blen(E, vect_up, E->pv[new_internal], false);
+        E->install(&E->upL[new_internal], merge_up_left());
+        best_appending = E_blen(E, E->upL[new_internal], new_partials,
+                                appended_is_tip);
+        ur = merge_up_right();
+        if (ur < 0) {
+            best_up = E->one_mut / 5;
+            best_appending = E->one_mut / 5;
+            ur = merge_up_right();
+            if (ur < 0) {
+                E->error = "unresolvable upRight merge in place_subtree";
+                return -2;
+            }
+        }
+        E->install(&E->pv[new_internal], merge_lower());
+    }
+    E->install(&E->upR[new_internal], ur);
+    E_shorten(E, E->upR[new_internal]);
+    int64_t ul = merge_up_left();
+    if (ul < 0) {
+        best_up = E_blen(E, vect_up, E->pv[new_internal], false);
+        best_down = E_blen(E, E->upR[new_internal], E->pv[node], is_tip);
+        ul = merge_up_left();
+        if (ul < 0) {
+            best_up = E->one_mut / 5;
+            best_down = E->one_mut / 5;
+            ul = merge_up_left();
+            if (ul < 0) {
+                E->error = "unresolvable upLeft merge in place_subtree";
+                return -2;
+            }
+        }
+        E->install(&E->pv[new_internal], merge_lower());
+        E->install(&E->upR[new_internal], merge_up_right());
+    }
+    E->install(&E->upL[new_internal], ul);
+    E_shorten(E, E->upL[new_internal]);
+    dist[appended] = best_appending;
+    dist[new_internal] = best_up;
+    dist[node] = best_down;
+    if (best_appending == 0.0)
+        E->install(&E->totUp[appended], -1);
+    if (best_up != 0.0) {
+        E->install(&E->totUp[new_internal], E_merge(E, vect_up,
+            best_up / 2, false, E->pv[new_internal], best_up / 2, false,
+            true));
+        E_shorten(E, E->totUp[new_internal]);
+    }
+    if (best_down == 0.0)
+        E->install(&E->totUp[node], -1);
+    std::vector<WorkItem> wl;
+    wl.push_back({(int32_t)node, 2, 1});
+    wl.push_back({(int32_t)up[new_internal], (int32_t)child, 1});
+    wl.push_back({(int32_t)appended, 2, 1});
+    if (!E_update_partials(E, std::move(wl))) return -2;
+    return -1;
+}
+
+// spr.py cut_and_paste_node :919-975 (no HnZ/trace)
+static int E_cut_and_paste(Engine *E, int node, int best_node,
+                           double top, double bottom, double appending,
+                           double best_lk, int64_t passed_vect) {
+    auto &up = E->up;
+    auto &dist = E->dist;
+    int parent = up[node];
+    int sibling = (node == E->c0[parent]) ? E->c1[parent] : E->c0[parent];
+    int child_p = -1;
+    if (up[parent] >= 0) {
+        child_p = (parent == E->c0[up[parent]]) ? 0 : 1;
+        if (child_p == 0) E->c0[up[parent]] = sibling;
+        else E->c1[up[parent]] = sibling;
+    }
+    up[sibling] = up[parent];
+    dist[sibling] = dist[sibling] + dist[parent];
+    if (!E->muts[parent].empty())
+        E->muts[sibling] = E_merge_mutation_lists(E->muts[parent],
+                                                  E->muts[sibling], false);
+    if (up[sibling] < 0) {
+        dist[sibling] = 1.0;
+        if (!E->is_leaf(sibling)) {
+            int sc0 = E->c0[sibling], sc1 = E->c1[sibling];
+            E->install(&E->upR[sibling], E_root_vector(E,
+                E_pass_up(E, E->pv[sc1], sc1), dist[sc1],
+                E->is_tip(sc1), sibling));
+            E->install(&E->upL[sibling], E_root_vector(E,
+                E_pass_up(E, E->pv[sc0], sc0), dist[sc0],
+                E->is_tip(sc0), sibling));
+            std::vector<WorkItem> wl;
+            wl.push_back({(int32_t)sc0, 2, 1});
+            wl.push_back({(int32_t)sc1, 2, 1});
+            if (!E_update_partials(E, std::move(wl))) return -2;
+        }
+    } else {
+        std::vector<WorkItem> wl;
+        wl.push_back({(int32_t)sibling, 2, 1});
+        wl.push_back({(int32_t)up[sibling], (int32_t)child_p, 1});
+        if (!E_update_partials(E, std::move(wl))) return -2;
+    }
+    int new_root = E_place_subtree(E, best_node, passed_vect, node,
+                                   best_lk, top, bottom, appending);
+    if (new_root == -2) return -2;
+    if (up[sibling] < 0) {
+        if (new_root >= 0) return new_root;
+        return sibling;
+    }
+    return new_root;
+}
+
+// spr.py traverse_tree_for_topology_update :984-1127 (no HnZ/abayes)
+// returns 0 ok / -1 error; outputs via pointers
+static int E_traverse_topology(Engine *E, int node, bool strict_stop,
+                               int allowed_fails, double threshold_log_lk,
+                               int *new_root_out, double *improvement_out,
+                               long *topo_updates, long *blen_updates) {
+    auto &up = E->up;
+    auto &dist = E->dist;
+    double eff0 = E->eff0;
+    double threshold_topology_placement = E->threshold_topology_placement;
+    *new_root_out = -1;
+    *improvement_out = 0.0;
+    if (up[node] < 0) return 0;
+    int parent = up[node];
+    int child = E->child_index(node);
+    int64_t vect_up = child == 0 ? E->upR[parent] : E->upL[parent];
+    if (!E->muts[node].empty())
+        vect_up = E_pass_down(E, vect_up, node);
+    double best_curren_blen = dist[node];
+    bool is_tip = E->is_tip(node);
+    double original_lk = E_append(E, vect_up, E->pv[node], is_tip,
+                                  best_curren_blen);
+    double best_current_lk = original_lk;
+    bool blen_changed = false;
+    if (original_lk < threshold_topology_placement
+            && up[up[node]] >= 0) {
+        best_curren_blen = E_blen(E, vect_up, E->pv[node], is_tip);
+        if (best_curren_blen != 0.0 || dist[node] != 0.0) {
+            if (best_curren_blen == 0.0 || dist[node] == 0.0
+                    || dist[node] / best_curren_blen > 1.01
+                    || dist[node] / best_curren_blen < 0.99)
+                blen_changed = true;
+            best_current_lk = E_append(E, vect_up, E->pv[node], is_tip,
+                                       best_curren_blen);
+            if (best_current_lk < original_lk) {
+                best_curren_blen = dist[node];
+                best_current_lk = original_lk;
+                blen_changed = false;
+            }
+            if (best_current_lk
+                    == -std::numeric_limits<double>::infinity()) {
+                E->error = "infinite cost in SPR current placement";
+                return -1;
+            }
+        }
+    }
+    bool topology_updated = false;
+    if (best_current_lk < threshold_topology_placement
+            || dist[node] != 0.0) {
+        TopoResult R;
+        if (!E_find_best_parent_topology(E, parent, child,
+                                         best_current_lk,
+                                         best_curren_blen, strict_stop,
+                                         allowed_fails, threshold_log_lk,
+                                         &R))
+            return -1;
+        if (R.best_score == std::numeric_limits<double>::infinity()) {
+            E->error = "infinite improvement in SPR search";
+            return -1;
+        }
+        if (R.best_score < -1e50) {
+            E->error = "likelihood cost extremely heavy; wrong reference?";
+            return -1;
+        }
+        if (R.best_score + threshold_topology_placement
+                > best_current_lk) {
+            topology_updated = true;
+            int top_node = up[node];
+            if (R.best_node == top_node) topology_updated = false;
+            while (dist[top_node] == 0.0 && up[top_node] >= 0)
+                top_node = up[top_node];
+            if (R.best_node == top_node && R.bottom == 0.0)
+                topology_updated = false;
+            parent = up[node];
+            int sibling = (node == E->c0[parent]) ? E->c1[parent]
+                                                  : E->c0[parent];
+            if (R.best_node == sibling) topology_updated = false;
+            if (up[R.best_node] == sibling && R.top == 0.0)
+                topology_updated = false;
+            if (topology_updated) {
+                (*topo_updates)++;
+                double improvement = R.best_score - original_lk;
+                if (original_lk
+                        == -std::numeric_limits<double>::infinity())
+                    improvement = R.best_score - best_current_lk;
+                if (improvement
+                        == std::numeric_limits<double>::infinity()) {
+                    E->error = "infinite topology improvement";
+                    return -1;
+                }
+                *improvement_out = improvement;
+                int nr = E_cut_and_paste(E, node, R.best_node, R.top,
+                                         R.bottom, R.appending,
+                                         R.best_score, R.removed);
+                if (nr == -2) return -1;
+                *new_root_out = nr;
+                blen_changed = false;
+            }
+        }
+    }
+    if (!topology_updated && blen_changed) {
+        (*blen_updates)++;
+        dist[node] = best_curren_blen;
+        std::vector<WorkItem> wl;
+        wl.push_back({(int32_t)node, 2, 1});
+        wl.push_back({(int32_t)up[node], (int32_t)child, 1});
+        if (!E_update_partials(E, std::move(wl))) return -1;
+        double improvement = best_current_lk - original_lk;
+        if (original_lk == -std::numeric_limits<double>::infinity())
+            improvement = 0;
+        if (improvement == std::numeric_limits<double>::infinity()) {
+            E->error = "infinite branch length improvement";
+            return -1;
+        }
+        *improvement_out = improvement;
+    }
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -2796,6 +3711,100 @@ void engine_export_minor(Engine *E, int32_t node, int32_t *out) {
 void engine_export_muts(Engine *E, int32_t node, int32_t *out) {
     for (size_t i = 0; i < E->muts[node].size(); i++)
         out[i] = E->muts[node][i];
+}
+
+
+// ---- SPR-phase entry points ----
+
+// (Re)build the engine tree from the session tree; vector ids transfer
+// ownership to the engine.
+void engine_import(Engine *E, int32_t n, const int32_t *up,
+                   const int32_t *c0, const int32_t *c1,
+                   const double *dist, const int32_t *ndesc,
+                   const uint8_t *dirty, const int32_t *repl,
+                   const int64_t *pv, const int64_t *upr,
+                   const int64_t *upl, const int64_t *totup,
+                   const int32_t *minor_counts, const int32_t *n_muts,
+                   const int32_t *muts_flat, int32_t root) {
+    E->up.assign(up, up + n);
+    E->c0.assign(c0, c0 + n);
+    E->c1.assign(c1, c1 + n);
+    E->dist.assign(dist, dist + n);
+    E->nDesc.assign(ndesc, ndesc + n);
+    E->dirty.assign(dirty, dirty + n);
+    E->replacements.assign(repl, repl + n);
+    E->pv.assign(pv, pv + n);
+    E->upR.assign(upr, upr + n);
+    E->upL.assign(upl, upl + n);
+    E->totUp.assign(totup, totup + n);
+    E->name.assign(n, -1);
+    E->minorSeqs.assign(n, {});
+    E->muts.assign(n, {});
+    const int32_t *m = muts_flat;
+    for (int i = 0; i < n; i++) {
+        if (minor_counts[i])
+            E->minorSeqs[i].assign((size_t)minor_counts[i], -1);
+        if (n_muts[i]) {
+            E->muts[i].assign(m, m + 3 * n_muts[i]);
+            m += 3 * n_muts[i];
+        }
+    }
+    E->root = root;
+}
+
+void engine_set_spr_params(Engine *E, double threshold_opt_topology,
+                           double threshold_topology_placement,
+                           double default_blen, int max_replacements) {
+    E->threshold_opt_topology = threshold_opt_topology;
+    E->threshold_topology_placement = threshold_topology_placement;
+    E->default_blen = default_blen;
+    E->max_replacements = max_replacements;
+}
+
+// startTopologyUpdates (:9489-9573): preorder sweep over dirty nodes.
+// Returns 0 ok / -1 error; outputs new root (or -1), total improvement,
+// and counters.
+int engine_spr_pass(Engine *E, int strict_stop, int allowed_fails,
+                    double threshold_log_lk, int32_t *new_root_out,
+                    double *improvement_out, long *topo_updates_out,
+                    long *blen_updates_out) {
+    long topo = 0, blen = 0;
+    double total = 0.0;
+    int32_t new_root = -1;
+    std::vector<int32_t> stack = {E->root};
+    while (!stack.empty()) {
+        int n = stack.back();
+        stack.pop_back();
+        if (!E->is_leaf(n)) {
+            stack.push_back(E->c0[n]);
+            stack.push_back(E->c1[n]);
+        }
+        if (E->dirty[n] && E->replacements[n] <= E->max_replacements) {
+            E->dirty[n] = 0;
+            int nr;
+            double improvement;
+            int rc = E_traverse_topology(E, n, strict_stop != 0,
+                                         allowed_fails, threshold_log_lk,
+                                         &nr, &improvement, &topo, &blen);
+            E->end_call();
+            if (rc != 0) return -1;
+            total += improvement;
+            if (nr >= 0) {
+                new_root = nr;
+                E->root = nr;
+            }
+        }
+    }
+    *new_root_out = new_root;
+    *improvement_out = total;
+    *topo_updates_out = topo;
+    *blen_updates_out = blen;
+    return 0;
+}
+
+void engine_export_replacements(Engine *E, int32_t *out) {
+    for (size_t i = 0; i < E->replacements.size(); i++)
+        out[i] = E->replacements[i];
 }
 
 }  // extern "C"
