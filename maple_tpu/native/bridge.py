@@ -77,6 +77,8 @@ def _load():
     lib.vec_size.argtypes = [C.c_void_p, C.c_int64]
     lib.vec_export.argtypes = [C.c_void_p, C.c_int64, p(C.c_int8),
                                p(C.c_int32), p(d), p(d), p(C.c_uint8), p(d)]
+    lib.vec_patch_probs.argtypes = [C.c_void_p, C.c_int, p(C.c_int64),
+                                    p(C.c_int32), p(d)]
     lib.k_merge.restype = C.c_int64
     lib.k_merge.argtypes = [C.c_void_p, C.c_int64, d, C.c_int, C.c_int64, d,
                             C.c_int, C.c_int, C.c_int]
@@ -300,6 +302,20 @@ class NativeStore:
     def release(self, vid: int):
         if self.h is not None:
             self.lib.vec_release(self.h, vid)
+
+    def patch_probs(self, vid_idx_pairs, probs4):
+        """Overwrite the O-prob 4-vector of entry idx in vector vid for each
+        (vid, idx) pair — the native mirror of the reference's shared
+        tip-ambiguity-list aliasing (reference :3959)."""
+        n = len(vid_idx_pairs)
+        if n == 0:
+            return
+        vids = np.fromiter((p_[0] for p_ in vid_idx_pairs), np.int64, n)
+        idxs = np.fromiter((p_[1] for p_ in vid_idx_pairs), np.int32, n)
+        pr = np.asarray(probs4, dtype=np.float64)
+        self.lib.vec_patch_probs(self.h, n, _as_ptr(vids, C.c_int64),
+                                 _as_ptr(idxs, C.c_int32),
+                                 _as_ptr(pr, C.c_double))
 
     # ------------------------------------------------------------------
     def merge(self, v1, bl1, tip1, v2, bl2, tip2, is_up_down=False,

@@ -191,6 +191,33 @@ class Run:
                     or cfg.estimateErrorRate
                     or cfg.estimateSiteSpecificErrorRate)
 
+    def _restore_native_backend(self):
+        """Return to the native kernels after the error-model activation
+        window.  Between activation and the first full recompute, cached
+        internal vectors hold pre-activation tuple layouts that the kernels
+        reinterpret positionally (stale-tuple semantics, see the reference's
+        len()-based flag tests e.g. :4496-4859) — that window runs on the
+        Python kernels.  Once recalculate_all has rebuilt every internal
+        vector, the layouts are steady-state and the native store represents
+        them exactly; tips keep tuple-form vectors so shared-ambiguity
+        aliasing keeps working (TreeRuntime.refresh_terminal_errors)."""
+        rt = self.rt
+        if rt.kern.name != "python" or self.cfg.kernel_backend != "native":
+            return
+        if self.time_ctx is not None:
+            return  # time-tree phases stay on the tuple path
+        if not getattr(self.cfg, "native_error_model", False):
+            # The reference aliases tip ambiguity lists THROUGH merge
+            # outputs: internal cached vectors built early in a recompute
+            # keep referencing a shared tip list and drift when later tip
+            # refreshes mutate it mid-pass (e.g. N-passthrough entries,
+            # reference mergeVectors :4496-4859).  The native store holds
+            # value copies, so returning to it requires alias-tag
+            # propagation through the C++ kernels; until that lands the
+            # error-model phases stay on the Python kernels.
+            return
+        rt.convert_backend("native", keep_tip_tuples=True)
+
     def init_error_tables(self, activate: bool):
         """Install initial error-rate tables per flags (reference
         :11102-11137); activation (usingErrorRate) is controlled
@@ -486,18 +513,26 @@ class Run:
             # :11779-11811)
             lk = rt.calculate_tree_likelihood(t1)
             print(f"Tree LK before error rates EM: {lk}")
-            if rt.kern.name == "native":
-                # the C++ entry encoding cannot represent the reference's
-                # stale flag-less tuples that exist between error-model
-                # activation and the next full recompute; error-model
-                # phases run on the Python kernels for byte parity
-                rt.convert_backend("python")
-                from .core.genomelist import reshare_tip_ambiguities
-                reshare_tip_ambiguities(self.tree)
-            self.model.using_error_rate = True
-            self.model.version += 1
+            if not self.model.using_error_rate:
+                # activation: cached vectors still carry pre-activation
+                # tuple layouts that the kernels reinterpret positionally
+                # (stale-tuple semantics) — that window runs on the
+                # Python kernels; online mode may have activated already
+                # during setup_input_tree, in which case vectors are
+                # steady-state and no conversion is needed
+                if rt.kern.name == "native":
+                    rt.convert_backend("python")
+                    from .core.genomelist import reshare_tip_ambiguities
+                    reshare_tip_ambiguities(self.tree)
+                self.model.using_error_rate = True
+                self.model.version += 1
             self.run_em_step()
             rt.recalculate_all(t1)
+            # the stale window is over: every internal vector now has
+            # steady-state error-model entry layouts, so the run can
+            # return to the native kernels (tips keep their tuple form to
+            # preserve the reference's shared-ambiguity aliasing :3959)
+            self._restore_native_backend()
             lk = rt.calculate_tree_likelihood(t1)
             print(f"Tree LK after first errors EM: {lk}")
             if not cfg.doNotOptimiseBLengths:
@@ -582,11 +617,16 @@ class Run:
                 f.write("\n\nSite rates:\n")
                 for i in range(self.refd.lRef):
                     f.write(f"{i + 1}\t{self.model.site_rates[i]}\n")
-            if cfg.estimateSiteSpecificErrorRate:
+            if cfg.estimateSiteSpecificErrorRate \
+                    and self.model.error_rates is not None:
                 f.write("\n\nSite error rates:\n")
                 for i in range(self.refd.lRef):
                     f.write(f"{i + 1}\t{self.model.error_rates[i]}\n")
             elif cfg.estimateErrorRate:
+                # also reached when --estimateErrors is combined with
+                # --estimateErrorRate: global-rate EM leaves the per-site
+                # table unset; the reference crashes here (:12500,
+                # unguarded errorRates[i]) — deliberate repair
                 f.write(f"\n\nError rate: {self.model.error_rate}\n")
 
     def write_lk(self, suffix="_LK.txt"):
@@ -659,15 +699,6 @@ class Run:
             from .runtime.tree import calculate_ndesc0
             calculate_ndesc0(tree, root, self.dc.effectivelyNon0BLen)
         num_samples = len(names_in_tree)
-        if self.error_model_requested() and (
-                num_samples > cfg.minNumSamplesForErrorModel
-                or not cfg.largeUpdate):
-            if self.rt.kern.name == "native":
-                self.rt.convert_backend("python")
-                from .core.genomelist import reshare_tip_ambiguities
-                reshare_tip_ambiguities(self.tree)
-            self.model.using_error_rate = True
-            self.model.version += 1
         if not cfg.inputRates:
             self.rt.recalculate_all(
                 root, count_pseudo_counts=True,
@@ -680,7 +711,21 @@ class Run:
             self.rt.recalculate_all(root, data=self.data,
                                     names=names_in_tree, first_setup=True)
         print("Genome lists for initial tree calculated.")
-        # initial EM on the input tree (reference :11042-11079)
+        # Error-model activation happens AFTER the genome lists are built
+        # (reference :10997-10999): tips are constructed error-model-off
+        # (with shared-ambiguity aliasing), and the initial EM below reads
+        # those pre-activation vectors under error-model semantics — the
+        # "stale window", run on the Python kernels.
+        if self.error_model_requested() and (
+                num_samples > cfg.minNumSamplesForErrorModel
+                or not cfg.largeUpdate):
+            if self.rt.kern.name == "native":
+                self.rt.convert_backend("python")
+                from .core.genomelist import reshare_tip_ambiguities
+                reshare_tip_ambiguities(self.tree)
+            self.model.using_error_rate = True
+            self.model.version += 1
+        # initial EM on the input tree (reference :11039-11079)
         if num_samples > 1 and (
                 cfg.model != "JC"
                 or (num_samples >= cfg.minNumSamplesForRateVar
@@ -689,6 +734,9 @@ class Run:
                     and self.model.using_error_rate)):
             self.run_em_step()
             self.rt.recalculate_all(root)
+            # stale window over: internal vectors now carry steady-state
+            # error-model layouts
+            self._restore_native_backend()
             lk = self.rt.calculate_tree_likelihood(root)
             print(f"LK after first EM: {lk}")
             if self.model.using_error_rate and (
@@ -697,14 +745,19 @@ class Run:
                 old_lk = float("-inf")
                 steps = 0
                 while lk - old_lk > 1.0 and steps < 20:
+                    improvement = 0
                     if not cfg.doNotOptimiseBLengths:
                         set_all_dirty(self.tree, root)
-                        optimize_branch_lengths(self.rt, root)
+                        improvement = optimize_branch_lengths(self.rt, root)
                     self.rt.recalculate_all(root)
+                    lk_branch = self.rt.calculate_tree_likelihood(root)
+                    print(f"Updated {improvement} branch lengths leading "
+                          f"to LK {lk_branch}")
                     self.run_em_step()
                     self.rt.recalculate_all(root)
                     old_lk = lk
                     lk = self.rt.calculate_tree_likelihood(root)
+                    print(f"New LK step {steps}: {lk}")
                     steps += 1
 
     # ------------------------------------------------------------------

@@ -41,6 +41,13 @@ class TreeRuntime:
         self.time = None           # TimeCtx when --datesFile is active
         self.num_refs = 0          # MAT local references created
         self.num_minors_removed = 0
+        # Native error-model support: authoritative tuple-form tip vectors
+        # (preserving the reference's shared-ambiguity-list aliasing,
+        # :3959) with native mirror handles in tree.probVect; see
+        # refresh_terminal_errors.  Populated by
+        # convert_backend(keep_tip_tuples=True).
+        self.tip_tuples = {}
+        self._alias_groups = {}
         self.num_nodes_stats = [0, 0, 0, 0, 0, 0]  # nodes, nucs, Rs, Ns, Os, MATmuts
 
     # ------------------------------------------------------------------
@@ -52,20 +59,50 @@ class TreeRuntime:
     def shorten(self, vec):
         self.kern.shorten(vec)
 
-    def convert_backend(self, backend: str):
-        """Switch kernel backend, converting every tree vector in place."""
+    def convert_backend(self, backend: str, keep_tip_tuples: bool = False):
+        """Switch kernel backend, converting every tree vector in place.
+
+        With ``keep_tip_tuples`` (python -> native under the error model),
+        tips also keep their tuple-form vectors as the authoritative copy:
+        the reference aliases one mutable probability list per ambiguity
+        code across tips (:3959), and error-model refreshes must keep
+        propagating through that aliasing even though the kernel operands
+        are native mirrors (see refresh_terminal_errors)."""
         from ..core.backend import make_backend
         old = self.kern
         new = make_backend(self, backend)
         if old.name == new.name:
             return
         tree = self.tree
+        old_tip_tuples = self.tip_tuples
+        self.tip_tuples = {}
+        self._alias_groups = {}
+        if keep_tip_tuples and new.name == "native":
+            for node in range(len(tree.up)):
+                if tree.children[node]:
+                    continue
+                v = tree.probVect[node]
+                if isinstance(v, list):
+                    self.tip_tuples[node] = v
         for arr in (tree.probVect, tree.probVectUpRight,
                     tree.probVectUpLeft, tree.probVectTotUp):
             for i, v in enumerate(arr):
                 if v is not None:
                     arr[i] = new.import_tuples(old.export(v))
+        if old_tip_tuples and new.name == "python":
+            # native -> python with tracked tips: restore the authoritative
+            # tuple vectors (mirror exports would break list aliasing)
+            for node, tup in old_tip_tuples.items():
+                if tree.probVect[node] is not None:
+                    tree.probVect[node] = tup
         self.kern = new
+        if self.tip_tuples:
+            groups = {}
+            for node, vec in self.tip_tuples.items():
+                for e in vec:
+                    if e[0] == TYPE_O and isinstance(e[-1], list):
+                        groups.setdefault(id(e[-1]), set()).add(node)
+            self._alias_groups = groups
 
     def pass_down(self, vec, node):
         """Translate a genome list down through node's MAT branch."""
@@ -153,9 +190,48 @@ class TreeRuntime:
     def refresh_terminal_errors(self, node: int):
         """Refresh O entries of a tip's genome list after error-rate changes
         and store it back (reference updateProbVectTerminalNode
-        :3968-4006)."""
+        :3968-4006).
+
+        On the native backend with tracked tip tuples, the refresh mutates
+        the tuple form (whose O lists may be shared across tips, reference
+        :3959 — last write wins), re-imports this tip's mirror, and patches
+        the shared values into every other aliased tip's native mirror so
+        mid-recompute reads see exactly what the reference's aliasing
+        produces."""
         v = self.tree.probVect[node]
         if v is None:
+            return
+        tup = self.tip_tuples.get(node)
+        if tup is not None and self.kern.name == "native":
+            touched = []
+            seen_ids = set()
+            for e in tup:
+                if e[0] == TYPE_O and isinstance(e[-1], list) \
+                        and id(e[-1]) not in seen_ids:
+                    seen_ids.add(id(e[-1]))
+                    touched.append((e[-1], tuple(e[-1])))
+            self.update_terminal_vector_errors(
+                tup, len(self.tree.minorSequences[node]))
+            self.tree.probVect[node] = self.kern.import_tuples(tup)
+            for lst, before in touched:
+                if tuple(lst) == before:
+                    continue
+                group = self._alias_groups.get(id(lst), ())
+                pairs = []
+                for other in group:
+                    if other == node:
+                        continue
+                    ov = self.tip_tuples.get(other)
+                    if ov is None:
+                        continue
+                    nv = self.tree.probVect[other]
+                    if nv is None:
+                        continue
+                    for k, e in enumerate(ov):
+                        if e[0] == TYPE_O and e[-1] is lst:
+                            pairs.append((nv.vid, k))
+                if pairs:
+                    self.kern.store.patch_probs(pairs, lst)
             return
         tuples = self.kern.export(v)
         self.update_terminal_vector_errors(
@@ -702,7 +778,20 @@ class TreeRuntime:
             arr[n] = kern.pass_through_branch(arr[n], muts)
             self.shorten(arr[n])
 
-        repass(tree.probVect, node)
+        def repass_lower(n):
+            # tracked tips re-frame their tuple form (the tuple-path
+            # pass-through keeps O-list identity, preserving the shared
+            # ambiguity aliasing) and rebuild the native mirror from it
+            tup = self.tip_tuples.get(n)
+            if tup is not None:
+                new_tup = gl.pass_through_branch(self.refd.lRef, tup, muts)
+                gl.shorten(new_tup, self.dc.thresholdProb)
+                self.tip_tuples[n] = new_tup
+                tree.probVect[n] = kern.import_tuples(new_tup)
+            else:
+                repass(tree.probVect, n)
+
+        repass_lower(node)
         if tree.dist[node] and tree.up[node] is not None:
             repass(tree.probVectTotUp, node)
         repass(tree.probVectUpRight, node)
@@ -714,7 +803,7 @@ class TreeRuntime:
                 tree.mutations[n] = self.merge_mutation_lists(
                     muts, tree.mutations[n], downward=True)
             else:
-                repass(tree.probVect, n)
+                repass_lower(n)
                 if tree.dist[n]:
                     repass(tree.probVectTotUp, n)
                 if tree.children[n]:
@@ -1057,6 +1146,7 @@ class TreeRuntime:
             tree.minorSequences[major].append(tree.name[minor_n])
             tree.minorSequences[major].extend(tree.minorSequences[minor_n])
             tree.probVect[minor_n] = None
+            self.tip_tuples.pop(minor_n, None)
             parent = tree.up[major]
             tree.up[major] = tree.up[parent]
             tree.dist[major] = tree.dist[parent]

@@ -104,8 +104,9 @@ def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,
                         tree.nDesc0[p0] += 1
             stats.num_minors_found += 1
             if (not cfg.onlyNambiguities) and rt.model.using_error_rate:
-                rt.update_terminal_vector_errors(
-                    probVect[node], len(tree.minorSequences[node]))
+                # refresh routes through the runtime so native mirrors and
+                # shared-ambiguity aliasing stay consistent (:3959)
+                rt.refresh_terminal_errors(node)
             if dtt:
                 tt.update_terminal_time(T, tree, node, diffs_time,
                                         len(tree.minorSequences[node]),

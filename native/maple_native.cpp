@@ -1621,6 +1621,20 @@ void vec_export(Store *s, int64_t id, int8_t *types, int32_t *vals,
     }
 }
 
+// Overwrite the O-probability 4-vectors of selected entries across many
+// vectors in one call.  Used to mirror the reference's shared-ambiguity-
+// list aliasing (reference :3959): when an error-model refresh mutates one
+// shared tip probability list, every aliased tip entry changes with it.
+void vec_patch_probs(Store *s, int n, const int64_t *vids,
+                     const int32_t *idxs, const double *probs) {
+    for (int k = 0; k < n; k++) {
+        Vec &v = s->v(vids[k]);
+        int32_t i = idxs[k];
+        if (i < 0 || (size_t)i >= v.size() || v[i].type != TYPE_O) continue;
+        for (int j = 0; j < 4; j++) v[i].probs[j] = probs[j];
+    }
+}
+
 int64_t k_merge(Store *s, int64_t v1, double bl1, int tip1, int64_t v2,
                 double bl2, int tip2, int is_up_down, int do_shorten) {
     int64_t id = s->alloc();

@@ -102,6 +102,28 @@ def test_estimate_errors_golden(tmp_path):
                                  "_estimatedErrors.txt"))
 
 
+def test_online_estimate_errors_golden(tmp_path):
+    """--inputTree + --estimateErrors: the reference activates the error
+    model only AFTER the input-tree genome lists are built (:10997), runs
+    the initial EM on pre-activation vectors (stale-tuple semantics), then
+    iterates an error-EM/branch-length loop (:11053-11077).  Golden
+    generated from the reference; on the native backend this also
+    exercises the python->native backend restore with tracked tip
+    tuples."""
+    golden = os.path.join(GOLDEN_DIR, "online_errest")
+    if not os.path.isfile(golden + "_estimatedErrors.txt"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(
+        input=EXAMPLE, output=out, model="GTR", estimateErrors=True,
+        inputTree=os.path.join(GOLDEN_DIR, "example_gtr_tree.tree"),
+        overwrite=True)
+    run_inference(cfg)
+    _compare(out, golden, parts=("_tree.tree", "_subs.txt", "_LK.txt",
+                                 "_estimatedErrors.txt",
+                                 "_round1_preliminary_tree.tree"))
+
+
 LINEAGE_DIR = os.path.join(GOLDEN_DIR, "lineage")
 
 
