@@ -125,7 +125,7 @@ class MapleConfig:
     device_warmup: int = 256         # samples placed serially before batching
     device_batch_size: int = 64      # samples per device-scored batch
     kernel_backend: str = "native"   # "native" (C++ kernels) or "python"
-    native_error_model: bool = False # native kernels after error-model activation (requires alias tags)
+    native_error_model: bool = True  # native kernels after error-model activation (alias-tagged)
 
     # fast-initial-search parameters (reference :220-224): fixed, not flags
     strictTopologyStopRulesInitial: bool = True

@@ -129,7 +129,16 @@ class NativeBackend:
 
     # --- converters ---
     def import_tuples(self, vec):
-        return NV(self._sync(), self._sync().from_tuples(vec))
+        s = self._sync()
+        at = getattr(self.rt, "alias_tags", None)
+        tags = None
+        if at:
+            tags = [at.get(id(e[-1]), -1)
+                    if e[0] == gl.TYPE_O and isinstance(e[-1], list) else -1
+                    for e in vec]
+            if not any(t >= 0 for t in tags):
+                tags = None
+        return NV(s, s.from_tuples(vec, tags))
 
     def export(self, vec):
         if vec is None:

@@ -71,14 +71,15 @@ def _load():
                                     p(d)]
     lib.vec_create.restype = C.c_int64
     lib.vec_create.argtypes = [C.c_void_p, C.c_int, p(C.c_int8),
-                               p(C.c_int32), p(d), p(d), p(C.c_uint8), p(d)]
+                               p(C.c_int32), p(d), p(d), p(C.c_uint8), p(d),
+                               p(C.c_int32)]
     lib.vec_release.argtypes = [C.c_void_p, C.c_int64]
     lib.vec_size.restype = C.c_int
     lib.vec_size.argtypes = [C.c_void_p, C.c_int64]
     lib.vec_export.argtypes = [C.c_void_p, C.c_int64, p(C.c_int8),
                                p(C.c_int32), p(d), p(d), p(C.c_uint8), p(d)]
-    lib.vec_patch_probs.argtypes = [C.c_void_p, C.c_int, p(C.c_int64),
-                                    p(C.c_int32), p(d)]
+    lib.vec_export_tags.argtypes = [C.c_void_p, C.c_int64, p(C.c_int32)]
+    lib.store_patch_tag.argtypes = [C.c_void_p, C.c_int32, p(d)]
     lib.k_merge.restype = C.c_int64
     lib.k_merge.argtypes = [C.c_void_p, C.c_int64, d, C.c_int, C.c_int64, d,
                             C.c_int, C.c_int, C.c_int]
@@ -223,8 +224,10 @@ class NativeStore:
         self.using_error_rate = model.using_error_rate
 
     # ------------------------------------------------------------------
-    def from_tuples(self, vec) -> int:
-        """Upload a tuple-form genome list; returns the handle."""
+    def from_tuples(self, vec, tags=None) -> int:
+        """Upload a tuple-form genome list; returns the handle.  ``tags``
+        optionally carries per-entry alias tags (shared-ambiguity-list ids,
+        see store_patch_tag) for O entries; -1 elsewhere."""
         n = len(vec)
         types = np.empty(n, np.int8)
         vals = np.empty(n, np.int32)
@@ -254,10 +257,15 @@ class NativeStore:
                 if uer and len(e) > 2 and e[-1]:
                     b |= BIT_FLAG
                 bits[k] = b
+        tag_arr = None
+        if tags is not None:
+            tag_arr = np.asarray(tags, dtype=np.int32)
         return self.lib.vec_create(
             self.h, n, _as_ptr(types, C.c_int8), _as_ptr(vals, C.c_int32),
             _as_ptr(bl1, C.c_double), _as_ptr(bl2, C.c_double),
-            _as_ptr(bits, C.c_uint8), _as_ptr(probs, C.c_double))
+            _as_ptr(bits, C.c_uint8), _as_ptr(probs, C.c_double),
+            _as_ptr(tag_arr, C.c_int32) if tag_arr is not None
+            else C.POINTER(C.c_int32)())
 
     def to_tuples(self, vid: int):
         """Download a native vector as reference-layout tuples."""
@@ -303,19 +311,18 @@ class NativeStore:
         if self.h is not None:
             self.lib.vec_release(self.h, vid)
 
-    def patch_probs(self, vid_idx_pairs, probs4):
-        """Overwrite the O-prob 4-vector of entry idx in vector vid for each
-        (vid, idx) pair — the native mirror of the reference's shared
-        tip-ambiguity-list aliasing (reference :3959)."""
-        n = len(vid_idx_pairs)
-        if n == 0:
-            return
-        vids = np.fromiter((p_[0] for p_ in vid_idx_pairs), np.int64, n)
-        idxs = np.fromiter((p_[1] for p_ in vid_idx_pairs), np.int32, n)
+    def patch_tag(self, tag: int, probs4):
+        """Propagate a mutated shared tip probability list to every live
+        native entry mirroring it (the reference mutates the aliased list
+        in place, :3959)."""
         pr = np.asarray(probs4, dtype=np.float64)
-        self.lib.vec_patch_probs(self.h, n, _as_ptr(vids, C.c_int64),
-                                 _as_ptr(idxs, C.c_int32),
-                                 _as_ptr(pr, C.c_double))
+        self.lib.store_patch_tag(self.h, tag, _as_ptr(pr, C.c_double))
+
+    def export_tags(self, vid: int):
+        n = self.lib.vec_size(self.h, vid)
+        tags = np.empty(n, np.int32)
+        self.lib.vec_export_tags(self.h, vid, _as_ptr(tags, C.c_int32))
+        return tags.tolist()
 
     # ------------------------------------------------------------------
     def merge(self, v1, bl1, tip1, v2, bl2, tip2, is_up_down=False,

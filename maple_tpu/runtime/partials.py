@@ -45,9 +45,12 @@ class TreeRuntime:
         # (preserving the reference's shared-ambiguity-list aliasing,
         # :3959) with native mirror handles in tree.probVect; see
         # refresh_terminal_errors.  Populated by
-        # convert_backend(keep_tip_tuples=True).
+        # convert_backend(keep_tip_tuples=True) / adopt_new_tip.
+        # alias_tags maps id(list) -> native alias tag for every tip
+        # probability list; tagged entries in the C++ store are patched
+        # in place when a refresh mutates the list.
         self.tip_tuples = {}
-        self._alias_groups = {}
+        self.alias_tags = {}
         self.num_nodes_stats = [0, 0, 0, 0, 0, 0]  # nodes, nucs, Rs, Ns, Os, MATmuts
 
     # ------------------------------------------------------------------
@@ -76,7 +79,7 @@ class TreeRuntime:
         tree = self.tree
         old_tip_tuples = self.tip_tuples
         self.tip_tuples = {}
-        self._alias_groups = {}
+        self.alias_tags = {}
         if keep_tip_tuples and new.name == "native":
             for node in range(len(tree.up)):
                 if tree.children[node]:
@@ -84,6 +87,15 @@ class TreeRuntime:
                 v = tree.probVect[node]
                 if isinstance(v, list):
                     self.tip_tuples[node] = v
+            # assign an alias tag to every tip probability list BEFORE
+            # importing, so internal vectors whose entries reference a tip
+            # list (passthrough merge products) get tagged too
+            self.kern = new  # import_tuples below reads self.alias_tags
+            for vec in self.tip_tuples.values():
+                for e in vec:
+                    if e[0] == TYPE_O and isinstance(e[-1], list):
+                        self.alias_tags.setdefault(id(e[-1]),
+                                                   len(self.alias_tags))
         for arr in (tree.probVect, tree.probVectUpRight,
                     tree.probVectUpLeft, tree.probVectTotUp):
             for i, v in enumerate(arr):
@@ -96,13 +108,6 @@ class TreeRuntime:
                 if tree.probVect[node] is not None:
                     tree.probVect[node] = tup
         self.kern = new
-        if self.tip_tuples:
-            groups = {}
-            for node, vec in self.tip_tuples.items():
-                for e in vec:
-                    if e[0] == TYPE_O and isinstance(e[-1], list):
-                        groups.setdefault(id(e[-1]), set()).add(node)
-            self._alias_groups = groups
 
     def pass_down(self, vec, node):
         """Translate a genome list down through node's MAT branch."""
@@ -212,31 +217,46 @@ class TreeRuntime:
                     touched.append((e[-1], tuple(e[-1])))
             self.update_terminal_vector_errors(
                 tup, len(self.tree.minorSequences[node]))
-            self.tree.probVect[node] = self.kern.import_tuples(tup)
             for lst, before in touched:
                 if tuple(lst) == before:
                     continue
-                group = self._alias_groups.get(id(lst), ())
-                pairs = []
-                for other in group:
-                    if other == node:
-                        continue
-                    ov = self.tip_tuples.get(other)
-                    if ov is None:
-                        continue
-                    nv = self.tree.probVect[other]
-                    if nv is None:
-                        continue
-                    for k, e in enumerate(ov):
-                        if e[0] == TYPE_O and e[-1] is lst:
-                            pairs.append((nv.vid, k))
-                if pairs:
-                    self.kern.store.patch_probs(pairs, lst)
+                tag = self.alias_tags.get(id(lst))
+                if tag is not None:
+                    # every native entry mirroring this list (this tip's
+                    # own vector AND any cached vector that the Python
+                    # kernels would have left referencing it) is patched
+                    self.kern.store.patch_tag(tag, lst)
+                else:  # untagged list (unexpected): rebuild the mirror
+                    self.tree.probVect[node] = self.kern.import_tuples(tup)
             return
         tuples = self.kern.export(v)
         self.update_terminal_vector_errors(
             tuples, len(self.tree.minorSequences[node]))
         self.tree.probVect[node] = self.kern.import_tuples(tuples)
+
+    def adopt_tip_pending(self, handle):
+        """Tag a new tip vector before it (and vectors derived from it)
+        enter the tree — used when the native backend places samples with
+        the error model active.  Returns a tagged re-import of the handle
+        plus the tuple form to register with adopt_pending_as once the
+        tip's node id exists; (handle, None) when there is nothing to
+        track (no ambiguity entries)."""
+        if self.kern.name != "native" or not self.model.using_error_rate \
+                or self.cfg.onlyNambiguities:
+            return handle, None
+        tup = self.kern.export(handle)
+        has_o = False
+        for e in tup:
+            if e[0] == TYPE_O and isinstance(e[-1], list):
+                has_o = True
+                self.alias_tags.setdefault(id(e[-1]), len(self.alias_tags))
+        if not has_o:
+            return handle, None
+        return self.kern.import_tuples(tup), tup
+
+    def adopt_pending_as(self, tup, node: int):
+        if tup is not None:
+            self.tip_tuples[node] = tup
 
     def update_terminal_vector_errors(self, prob_vect, num_minor_seqs):
         """Refresh O entries of a tip list (tuple form) in place."""

@@ -468,6 +468,10 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
     eff0 = dc.effectivelyNon0BLen
     use_hnz = tree.use_hnz
     dtt = rt.do_time_tree
+    # native + active error model: tag the tip's ambiguity lists up front
+    # so every cached vector derived from it below carries alias tags
+    # (exactly the list references the Python kernels would keep, :3959)
+    new_partials, pending_tip = rt.adopt_tip_pending(new_partials)
     if dtt:
         from ..models import timetree as tt
         T = rt.time
@@ -627,6 +631,7 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
         children[new_root].append(new_node)
         rt.shorten(root_new_partials)
         probVect[new_node] = root_new_partials
+        rt.adopt_pending_as(pending_tip, new_node)
         if best_right or dtt:
             tree.probVectTotUp[new_node] = kern.merge_vectors(tree.probVectUpLeft[new_root], best_right / 2, False,
                 root_new_partials, best_right / 2, True, is_up_down=True)
@@ -713,6 +718,7 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
             tree.nDesc0[p0] += addendum
 
     probVect[new_node] = new_partials
+    rt.adopt_pending_as(pending_tip, new_node)
     if pass_up_mutations:
         probVect[new_node] = rt.pass_up(probVect[new_node], node)
     rt.shorten(probVect[new_node])

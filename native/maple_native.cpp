@@ -20,6 +20,7 @@
 #include <vector>
 #include <limits>
 #include <algorithm>
+#include <unordered_map>
 
 namespace {
 
@@ -38,6 +39,12 @@ struct Entry {
     double bl1;
     double bl2;
     double probs[4];  // O entries only
+    // Alias tag: id of the shared Python probability list these probs
+    // mirror, or -1.  The reference shares ONE mutable list per tip
+    // ambiguity (:3959) and passthrough merge branches keep referencing
+    // it, so error-model refreshes change cached vectors in place; tags
+    // let store_patch_tag reproduce that (see tag_registry).
+    int32_t tag = -1;
 
     bool has_bl1() const { return bits & BIT_BL1; }
     bool has_bl2() const { return bits & BIT_BL2; }
@@ -76,6 +83,24 @@ struct Store {
     // vector slots (freelist)
     std::vector<Vec> vecs;
     std::vector<int64_t> free_slots;
+
+    // Alias-tag registry: tag -> (vid, idx) refs of tagged entries.
+    // Patching by tag is self-correcting — writing the shared list's
+    // current values into any entry carrying that tag is always right —
+    // so refs may be stale (freed/recycled vids, shifted indices after
+    // shorten); validation is just bounds + tag match, and failed refs
+    // are dropped lazily during patching.
+    std::unordered_map<int32_t,
+                       std::vector<std::pair<int64_t, int32_t>>> tag_registry;
+    bool tags_active = false;
+
+    void finish(int64_t id) {
+        if (!tags_active) return;
+        const Vec &vv = vecs[id];
+        for (int32_t i = 0; i < (int32_t)vv.size(); i++)
+            if (vv[i].tag >= 0)
+                tag_registry[vv[i].tag].emplace_back(id, i);
+    }
 
     int64_t alloc() {
         if (!free_slots.empty()) {
@@ -213,13 +238,17 @@ inline Entry make_nuc(int type, int32_t val, uint8_t bits, double bl1,
     return e;
 }
 
-inline Entry make_O(int32_t val, bool has_bl, double bl, const double *probs) {
+inline Entry make_O(int32_t val, bool has_bl, double bl, const double *probs,
+                    int32_t tag = -1) {
+    // `tag` is passed only where the Python kernels REUSE the input
+    // entry's probability list (aliasing); computed outputs stay -1
     Entry e{};
     e.type = TYPE_O;
     e.val = val;
     e.bits = has_bl ? BIT_BL1 : 0;
     e.bl1 = bl;
     for (int i = 0; i < 4; i++) e.probs[i] = probs[i];
+    e.tag = tag;
     return e;
 }
 
@@ -442,9 +471,10 @@ int merge_vectors(Store &S, const Vec &v1, double bl1, bool tip1,
                 } else {
                     if (e2->has_bl1())
                         out.push_back(make_O(e2->val, true, e2->bl1 + bl2,
-                                             e2->probs));
+                                             e2->probs, e2->tag));
                     else if (bl2 != 0.0)
-                        out.push_back(make_O(e2->val, true, bl2, e2->probs));
+                        out.push_back(make_O(e2->val, true, bl2, e2->probs,
+                                             e2->tag));
                     else
                         out.push_back(*e2);
                 }
@@ -489,9 +519,10 @@ int merge_vectors(Store &S, const Vec &v1, double bl1, bool tip1,
                 } else {
                     if (e1->has_bl1())
                         out.push_back(make_O(e1->val, true, e1->bl1 + bl1,
-                                             e1->probs));
+                                             e1->probs, e1->tag));
                     else if (bl1 != 0.0)
-                        out.push_back(make_O(e1->val, true, bl1, e1->probs));
+                        out.push_back(make_O(e1->val, true, bl1, e1->probs,
+                                             e1->tag));
                     else
                         out.push_back(*e1);
                 }
@@ -1584,7 +1615,7 @@ void store_set_model(Store *s, const double *mut, const double *cum_rate,
 int64_t vec_create(Store *s, int n, const int8_t *types,
                    const int32_t *vals, const double *bl1,
                    const double *bl2, const uint8_t *bits,
-                   const double *probs) {
+                   const double *probs, const int32_t *tags) {
     int64_t id = s->alloc();
     Vec &v = s->v(id);
     v.resize(n);
@@ -1595,7 +1626,10 @@ int64_t vec_create(Store *s, int n, const int8_t *types,
         v[k].bl1 = bl1[k];
         v[k].bl2 = bl2[k];
         for (int i = 0; i < 4; i++) v[k].probs[i] = probs[k * 4 + i];
+        v[k].tag = tags ? tags[k] : -1;
+        if (v[k].tag >= 0) s->tags_active = true;
     }
+    s->finish(id);
     return id;
 }
 
@@ -1621,18 +1655,33 @@ void vec_export(Store *s, int64_t id, int8_t *types, int32_t *vals,
     }
 }
 
-// Overwrite the O-probability 4-vectors of selected entries across many
-// vectors in one call.  Used to mirror the reference's shared-ambiguity-
-// list aliasing (reference :3959): when an error-model refresh mutates one
-// shared tip probability list, every aliased tip entry changes with it.
-void vec_patch_probs(Store *s, int n, const int64_t *vids,
-                     const int32_t *idxs, const double *probs) {
-    for (int k = 0; k < n; k++) {
-        Vec &v = s->v(vids[k]);
-        int32_t i = idxs[k];
-        if (i < 0 || (size_t)i >= v.size() || v[i].type != TYPE_O) continue;
-        for (int j = 0; j < 4; j++) v[i].probs[j] = probs[j];
+void vec_export_tags(Store *s, int64_t id, int32_t *tags) {
+    const Vec &v = s->v(id);
+    for (size_t k = 0; k < v.size(); k++) tags[k] = v[k].tag;
+}
+
+// Write a mutated shared tip probability list into every live entry that
+// mirrors it (the native equivalent of the reference's in-place mutation
+// of an aliased list, :3959).  Registry refs may be stale; writing the
+// list's current values into any entry carrying the tag is always
+// correct, so validation is bounds + tag match, dropping failures.
+void store_patch_tag(Store *s, int32_t tag, const double *probs) {
+    auto it = s->tag_registry.find(tag);
+    if (it == s->tag_registry.end()) return;
+    auto &refs = it->second;
+    if (refs.size() > 4096) {
+        std::sort(refs.begin(), refs.end());
+        refs.erase(std::unique(refs.begin(), refs.end()), refs.end());
     }
+    size_t w = 0;
+    for (auto &r : refs) {
+        Vec &v = s->vecs[r.first];
+        if (r.second < (int32_t)v.size() && v[r.second].tag == tag) {
+            for (int i = 0; i < 4; i++) v[r.second].probs[i] = probs[i];
+            refs[w++] = r;
+        }
+    }
+    refs.resize(w);
 }
 
 int64_t k_merge(Store *s, int64_t v1, double bl1, int tip1, int64_t v2,
@@ -1647,6 +1696,7 @@ int64_t k_merge(Store *s, int64_t v1, double bl1, int tip1, int64_t v2,
         return -1;
     }
     if (do_shorten) shorten_vec(*s, s->v(id));
+    s->finish(id);
     return id;
 }
 
@@ -1662,6 +1712,7 @@ int64_t k_merge_lk(Store *s, int64_t v1, double bl1, int tip1, int64_t v2,
         return -10 + rc;  // -11 impossible, -12 underflow
     }
     if (do_shorten) shorten_vec(*s, s->v(id));
+    s->finish(id);
     return id;
 }
 
@@ -1669,7 +1720,10 @@ double k_append(Store *s, int64_t vP, int64_t vC, int tip_c, double blen) {
     return append_prob_node(*s, s->v(vP), s->v(vC), tip_c != 0, blen);
 }
 
-void k_shorten(Store *s, int64_t id) { shorten_vec(*s, s->v(id)); }
+void k_shorten(Store *s, int64_t id) {
+    shorten_vec(*s, s->v(id));
+    s->finish(id);  // re-register: shorten shifts entry indices
+}
 
 double k_blen(Store *s, int64_t vP, int64_t vC, int from_tip_c) {
     return estimate_branch_length(*s, s->v(vP), s->v(vC), from_tip_c != 0);
@@ -1682,6 +1736,7 @@ int64_t k_pass(Store *s, int64_t v, const int32_t *muts, int n_mut,
     pass_through_branch(*s, s->v(v), muts, n_mut, dir_is_up != 0, tmp);
     s->v(id) = std::move(tmp);
     if (do_shorten) shorten_vec(*s, s->v(id));
+    s->finish(id);
     return id;
 }
 
@@ -1692,6 +1747,7 @@ int64_t k_root_vector(Store *s, int64_t v, double blen, int from_tip,
     root_vector_frame(*s, s->v(v), blen, from_tip != 0, tmp);
     s->v(id) = std::move(tmp);
     if (do_shorten) shorten_vec(*s, s->v(id));
+    s->finish(id);
     return id;
 }
 
@@ -1852,6 +1908,7 @@ static int64_t E_pass(Engine *E, int64_t v,
     pass_through_branch(*s, s->v(v), m.data(), (int)(m.size() / 3), dir_up,
                         tmp);
     s->v(id) = std::move(tmp);
+    s->finish(id);
     E->own(id);
     return id;
 }
@@ -1879,6 +1936,7 @@ static int64_t E_root_vector(Engine *E, int64_t vec, double blen,
     Vec tmp;
     root_vector_frame(*s, s->v(vec), blen, from_tip, tmp);
     s->v(id) = std::move(tmp);
+    s->finish(id);
     E->own(id);
     vec = id;
     for (auto it = chain.rbegin(); it != chain.rend(); ++it)
