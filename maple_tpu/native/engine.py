@@ -29,9 +29,11 @@ def native_engine_supported(run) -> bool:
     configuration; everything else falls back to the Python loop."""
     cfg = run.cfg
     model = run.model
+    # rate variation is supported natively: the store's per-site matrix
+    # is mut[i][j] * site_rates[pos], exactly the python per-site tables
+    # (byte parity pinned by the example_ratevar golden)
     return (not cfg.HnZ
             and run.time_ctx is None
-            and not model.use_rate_variation
             and not model.using_error_rate
             and not cfg.deeperSearchForLongBranches
             and not cfg.doNotPlaceNewSamples

@@ -102,6 +102,50 @@ def test_estimate_errors_golden(tmp_path):
                                  "_estimatedErrors.txt"))
 
 
+def test_rate_variation_golden(tmp_path):
+    """--rateVariation end to end (native placement engine included: the
+    store's per-site matrix mut[i][j]*site_rates[pos] equals the
+    reference's per-site tables, :6361-6367)."""
+    golden = os.path.join(GOLDEN_DIR, "example_ratevar")
+    if not os.path.isfile(golden + "_tree.tree"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR",
+                      rateVariation=True, overwrite=True)
+    run_inference(cfg)
+    _compare(out, golden, parts=("_tree.tree", "_subs.txt", "_LK.txt",
+                                 "_round1_tree.tree", "_round1_subs.txt"))
+
+
+def test_rate_variation_input_rates_golden(tmp_path):
+    """--rateVariation + --inputRates: real (non-unit) site rates flow
+    through the native placement engine from the first sample."""
+    golden = os.path.join(GOLDEN_DIR, "example_ratevar_ir")
+    if not os.path.isfile(golden + "_tree.tree"):
+        pytest.skip("golden not generated")
+    rates = os.path.join(GOLDEN_DIR, "example_ratevar_subs.txt")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR",
+                      rateVariation=True, inputRates=rates, overwrite=True)
+    run_inference(cfg)
+    _compare(out, golden)
+
+
+def test_parallel_spr_estimate_errors_golden(tmp_path):
+    """--numCores 3 + --estimateErrors: forked read-only SPR workers over
+    the native store with alias-tagged error-model vectors; serial apply
+    with re-validation (reference applySPRMovesParallel :9470-9484)."""
+    golden = os.path.join(GOLDEN_DIR, "parerr")
+    if not os.path.isfile(golden + "_tree.tree"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR",
+                      estimateErrors=True, numCores=3, overwrite=True)
+    run_inference(cfg)
+    _compare(out, golden, parts=("_tree.tree", "_subs.txt", "_LK.txt",
+                                 "_estimatedErrors.txt"))
+
+
 def test_online_estimate_errors_golden(tmp_path):
     """--inputTree + --estimateErrors: the reference activates the error
     model only AFTER the input-tree genome lists are built (:10997), runs
