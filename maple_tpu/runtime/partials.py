@@ -51,6 +51,9 @@ class TreeRuntime:
         # in place when a refresh mutates the list.
         self.tip_tuples = {}
         self.alias_tags = {}
+        # keeps every tagged list alive: alias_tags keys by id(), so a
+        # collected list's id must never be reused by a new list
+        self._tag_lists = []
         self.num_nodes_stats = [0, 0, 0, 0, 0, 0]  # nodes, nucs, Rs, Ns, Os, MATmuts
 
     # ------------------------------------------------------------------
@@ -80,6 +83,7 @@ class TreeRuntime:
         old_tip_tuples = self.tip_tuples
         self.tip_tuples = {}
         self.alias_tags = {}
+        self._tag_lists = []
         if keep_tip_tuples and new.name == "native":
             for node in range(len(tree.up)):
                 if tree.children[node]:
@@ -94,8 +98,9 @@ class TreeRuntime:
             for vec in self.tip_tuples.values():
                 for e in vec:
                     if e[0] == TYPE_O and isinstance(e[-1], list):
-                        self.alias_tags.setdefault(id(e[-1]),
-                                                   len(self.alias_tags))
+                        if id(e[-1]) not in self.alias_tags:
+                            self.alias_tags[id(e[-1])] = len(self.alias_tags)
+                            self._tag_lists.append(e[-1])
         for arr in (tree.probVect, tree.probVectUpRight,
                     tree.probVectUpLeft, tree.probVectTotUp):
             for i, v in enumerate(arr):
@@ -249,7 +254,9 @@ class TreeRuntime:
         for e in tup:
             if e[0] == TYPE_O and isinstance(e[-1], list):
                 has_o = True
-                self.alias_tags.setdefault(id(e[-1]), len(self.alias_tags))
+                if id(e[-1]) not in self.alias_tags:
+                    self.alias_tags[id(e[-1])] = len(self.alias_tags)
+                    self._tag_lists.append(e[-1])
         if not has_o:
             return handle, None
         return self.kern.import_tuples(tup), tup
