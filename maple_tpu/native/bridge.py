@@ -135,6 +135,12 @@ def _load():
         p(d), p(C.c_int32), p(C.c_uint8), p(C.c_int32), p(C.c_int64),
         p(C.c_int64), p(C.c_int64), p(C.c_int64), p(C.c_int32),
         p(C.c_int32), p(C.c_int32), C.c_int32]
+    lib.engine_recalculate.restype = C.c_int
+    lib.engine_recalculate.argtypes = [C.c_void_p]
+    lib.engine_tree_lk.restype = C.c_int
+    lib.engine_tree_lk.argtypes = [C.c_void_p, p(d)]
+    lib.engine_blen_sweep.restype = C.c_int
+    lib.engine_blen_sweep.argtypes = [C.c_void_p, C.c_int, p(C.c_int64)]
     lib.engine_set_spr_params.argtypes = [C.c_void_p, d, d, d, C.c_int]
     lib.engine_spr_pass.restype = C.c_int
     lib.engine_spr_pass.argtypes = [C.c_void_p, C.c_int, C.c_int, d,

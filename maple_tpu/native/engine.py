@@ -346,3 +346,192 @@ def run_native_spr_pass(rt, root, strict_stop, allowed_fails,
     lib.engine_free(h)
     return (nr if nr >= 0 else None, float(improvement[0]),
             int(topo[0]), int(blen[0]))
+
+
+def _import_engine(rt, root, transfer):
+    """Build a C++ Engine holding the session tree.  With ``transfer``
+    the python NV handles are disarmed (ownership moves to the engine and
+    must come back via _export_engine); otherwise the engine borrows the
+    vector ids read-only."""
+    store = rt.kern.store
+    lib = store.lib
+    tree = rt.tree
+    n = len(tree.up)
+    store.sync_model(rt.model)
+    i32, i64, f64, u8 = np.int32, np.int64, np.float64, np.uint8
+    up = np.asarray([u if u is not None else -1 for u in tree.up], i32)
+    c0 = np.empty(n, i32)
+    c1 = np.empty(n, i32)
+    for i, ch in enumerate(tree.children):
+        if ch:
+            c0[i], c1[i] = ch[0], ch[1]
+        else:
+            c0[i] = c1[i] = -1
+    dist = np.asarray([float(d) if d else 0.0 for d in tree.dist], f64)
+    ndesc = np.asarray(tree.nDesc, i32)
+    dirty = np.asarray([1 if d else 0 for d in tree.dirty], u8)
+    repl = np.asarray(tree.replacements, i32)
+    seen = set()
+
+    def vids(arr):
+        out = np.empty(n, i64)
+        for i, v in enumerate(arr):
+            if v is None:
+                out[i] = -1
+            else:
+                if transfer and v.vid in seen:
+                    return None  # aliased handle: unsafe to transfer
+                seen.add(v.vid)
+                out[i] = v.vid
+        return out
+
+    pv = vids(tree.probVect)
+    upr = vids(tree.probVectUpRight)
+    upl = vids(tree.probVectUpLeft)
+    totup = vids(tree.probVectTotUp)
+    if pv is None or upr is None or upl is None or totup is None:
+        return None
+    minor_counts = np.asarray([len(m) for m in tree.minorSequences], i32)
+    n_muts = np.asarray([len(m) for m in tree.mutations], i32)
+    flat = []
+    for m in tree.mutations:
+        for t in m:
+            flat.extend(t)
+    muts_flat = np.asarray(flat if flat else [0], i32)
+    if transfer:
+        for arr in (tree.probVect, tree.probVectUpRight,
+                    tree.probVectUpLeft, tree.probVectTotUp):
+            for v in arr:
+                if v is not None:
+                    v.disarm()
+
+    def P(a, t):
+        return a.ctypes.data_as(C.POINTER(t))
+
+    dc = rt.dc
+    h = C.c_void_p(lib.engine_create(
+        store.h, -1, 0, 1, 0, 0.0, 0.0, 0.0, dc.oneMutBLen,
+        dc.effectivelyNon0BLen, 0, 1 if rt.use_local_reference else 0,
+        rt.cfg.maxNumDescendantsForMATClade, rt.cfg.minNumNon4))
+    lib.engine_import(h, n, P(up, C.c_int32), P(c0, C.c_int32),
+                      P(c1, C.c_int32), P(dist, C.c_double),
+                      P(ndesc, C.c_int32), P(dirty, C.c_uint8),
+                      P(repl, C.c_int32), P(pv, C.c_int64),
+                      P(upr, C.c_int64), P(upl, C.c_int64),
+                      P(totup, C.c_int64), P(minor_counts, C.c_int32),
+                      P(n_muts, C.c_int32), P(muts_flat, C.c_int32), root)
+    return h
+
+
+def _export_engine(rt, h, raise_on=None):
+    """Write the engine's tree back into rt.tree, re-wrapping vector ids
+    (counterpart of the transfer-mode _import_engine)."""
+    store = rt.kern.store
+    lib = store.lib
+    tree = rt.tree
+    n = len(tree.up)
+    i32, i64, f64, u8 = np.int32, np.int64, np.float64, np.uint8
+    e_up = np.empty(n, i32)
+    e_c0 = np.empty(n, i32)
+    e_c1 = np.empty(n, i32)
+    e_dist = np.empty(n, f64)
+    e_name = np.empty(n, i32)
+    e_nd = np.empty(n, i32)
+    e_dirty = np.empty(n, u8)
+    e_pv = np.empty(n, i64)
+    e_upr = np.empty(n, i64)
+    e_upl = np.empty(n, i64)
+    e_tot = np.empty(n, i64)
+    e_minor = np.empty(n, i32)
+    e_nm = np.empty(n, i32)
+
+    def P(a, t):
+        return a.ctypes.data_as(C.POINTER(t))
+
+    lib.engine_export_nodes(
+        h, P(e_up, C.c_int32), P(e_c0, C.c_int32), P(e_c1, C.c_int32),
+        P(e_dist, C.c_double), P(e_name, C.c_int32), P(e_nd, C.c_int32),
+        P(e_dirty, C.c_uint8), P(e_pv, C.c_int64), P(e_upr, C.c_int64),
+        P(e_upl, C.c_int64), P(e_tot, C.c_int64), P(e_minor, C.c_int32),
+        P(e_nm, C.c_int32))
+    tree.up = [u if u >= 0 else None for u in e_up.tolist()]
+    tree.children = [[] if a < 0 else [a, b]
+                     for a, b in zip(e_c0.tolist(), e_c1.tolist())]
+    tree.dist = e_dist.tolist()
+    tree.nDesc = e_nd.tolist()
+    tree.dirty = [bool(x) for x in e_dirty.tolist()]
+
+    def wrap(arr):
+        return [NV(store, int(v)) if v >= 0 else None for v in arr]
+
+    tree.probVect = wrap(e_pv)
+    tree.probVectUpRight = wrap(e_upr)
+    tree.probVectUpLeft = wrap(e_upl)
+    tree.probVectTotUp = wrap(e_tot)
+
+
+def native_phase_supported(rt) -> bool:
+    from ..core.backend import NativeBackend
+    return (isinstance(rt.kern, NativeBackend)
+            and rt.time is None
+            and not rt.tree.use_hnz)
+
+
+def run_native_recalculate(rt, root) -> bool:
+    """Steady-state full recompute in the C++ engine; returns False when
+    unsupported (caller falls back to the python driver)."""
+    if not native_phase_supported(rt) or rt.model.using_error_rate:
+        # error-model recomputes interleave tip refreshes with merges
+        # (shared-ambiguity drift) and stay on the python driver
+        return False
+    h = _import_engine(rt, root, transfer=True)
+    if h is None:
+        return False
+    lib = rt.kern.store.lib
+    rc = lib.engine_recalculate(h)
+    if rc != 0:
+        msg = lib.engine_error(h).decode()
+        lib.engine_free(h)
+        raise RuntimeError(f"native recalculate: {msg}")
+    _export_engine(rt, h)
+    lib.engine_free(h)
+    return True
+
+
+def run_native_tree_lk(rt, root):
+    """Full-tree log-likelihood in the C++ engine (read-only borrow of
+    the session vectors); returns None when unsupported."""
+    if not native_phase_supported(rt):
+        return None
+    h = _import_engine(rt, root, transfer=False)
+    if h is None:
+        return None
+    lib = rt.kern.store.lib
+    out = np.zeros(1, np.float64)
+    rc = lib.engine_tree_lk(h, out.ctypes.data_as(C.POINTER(C.c_double)))
+    lib.engine_free(h)
+    if rc != 0:
+        return None
+    return float(out[0])
+
+
+def run_native_blen_sweep(rt, root, fast_pass=False):
+    """Dirty-gated branch-length sweep in the C++ engine; returns the
+    update count, or None when unsupported (python fallback)."""
+    if not native_phase_supported(rt):
+        return None
+    h = _import_engine(rt, root, transfer=True)
+    if h is None:
+        return None
+    lib = rt.kern.store.lib
+    updates = np.zeros(1, np.int64)
+    rc = lib.engine_blen_sweep(
+        h, 1 if fast_pass else 0,
+        updates.ctypes.data_as(C.POINTER(C.c_int64)))
+    if rc != 0:
+        msg = lib.engine_error(h).decode()
+        lib.engine_free(h)
+        raise RuntimeError(f"native blen sweep: {msg}")
+    _export_engine(rt, h)
+    lib.engine_free(h)
+    return int(updates[0])

@@ -843,6 +843,11 @@ class TreeRuntime:
     def calculate_tree_likelihood(self, root: int, separate: bool = False):
         """Full-tree log-likelihood: post-order merges with LK plus root
         contribution (reference calculateTreeLikelihood :9721-9779)."""
+        if not separate and self.kern.name == "native":
+            from ..native.engine import run_native_tree_lk
+            lk = run_native_tree_lk(self, root)
+            if lk is not None:
+                return lk
         tree = self.tree
         kern = self.kern
         node = root
@@ -896,6 +901,11 @@ class TreeRuntime:
         ``first_setup`` also builds tips from raw data, collapses minor
         sequences, and initializes the MAT (reference
         reCalculateAllGenomeLists :6013-6347)."""
+        if not (first_setup or count_nodes or count_pseudo_counts
+                or data is not None) and self.kern.name == "native":
+            from ..native.engine import run_native_recalculate
+            if run_native_recalculate(self, root):
+                return
         tree = self.tree
         kern = self.kern
         dc = self.dc

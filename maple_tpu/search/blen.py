@@ -14,6 +14,11 @@ from ..runtime.partials import TreeRuntime
 
 def optimize_branch_lengths(rt: TreeRuntime, root: int, testing: bool = False,
                             fast_pass: bool = False):
+    if not testing and rt.kern.name == "native":
+        from ..native.engine import run_native_blen_sweep
+        updates = run_native_blen_sweep(rt, root, fast_pass=fast_pass)
+        if updates is not None:
+            return updates
     tree = rt.tree
     cfg = rt.cfg
     dc = rt.dc

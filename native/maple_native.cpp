@@ -3683,6 +3683,332 @@ static int E_traverse_topology(Engine *E, int node, bool strict_stop,
     return 0;
 }
 
+
+// ---------------------------------------------------------------- phases
+// Steady-state full recompute of all cached genome lists: the
+// non-first-setup / non-error-refresh path of partials.recalculate_all
+// (reference reCalculateAllGenomeLists :6013-6347).  Tips keep their
+// lower vectors; all internal lowers and every upper/total vector are
+// rebuilt with the same repair semantics as the Python driver.
+static int E_recalculate(Engine *E) {
+    int root = E->root;
+    std::vector<double> &dist = E->dist;
+    // pass 1: lower vectors (post-order)
+    int node = root, last = -1, dir = 0;
+    while (node >= 0) {
+        if (dir == 0) {
+            if (E->c0[node] >= 0) { node = E->c0[node]; continue; }
+            last = node;
+            node = E->up[node];
+            dir = 1;
+        } else if (last == E->c0[node]) {
+            node = E->c1[node];
+            dir = 0;
+        } else {
+            int cc0 = E->c0[node], cc1 = E->c1[node];
+            bool t0 = E->is_tip(cc0), t1 = E->is_tip(cc1);
+            int64_t v0 = E_pass_up(E, E->pv[cc0], cc0);
+            int64_t v1 = E_pass_up(E, E->pv[cc1], cc1);
+            int64_t nl = E_merge(E, v0, dist[cc0], t0, v1, dist[cc1], t1,
+                                 false);
+            if (nl < 0) {
+                if (dist[cc0] == 0.0 && dist[cc1] == 0.0) {
+                    E_update_blen(E, cc0, false, nullptr);
+                    if (dist[cc0] == 0.0)
+                        E_update_blen(E, cc1, false, nullptr);
+                    nl = E_merge(E, v0, dist[cc0], t0, v1, dist[cc1], t1,
+                                 false);
+                    if (nl < 0) {
+                        dist[cc0] = E->one_mut / 2;
+                        dist[cc1] = E->one_mut / 2;
+                        nl = E_merge(E, v0, dist[cc0], t0, v1, dist[cc1],
+                                     t1, false);
+                        if (nl < 0) {
+                            E->error = "unresolvable merge in recalculate";
+                            return -1;
+                        }
+                    }
+                } else {
+                    E->error = "inconsistent lower list with non-zero "
+                               "distances in recalculate";
+                    return -1;
+                }
+            }
+            E->install(&E->pv[node], nl);
+            E_shorten(E, E->pv[node]);
+            last = node;
+            node = E->up[node];
+            dir = 1;
+        }
+    }
+    // pass 2: upper/total vectors (pre-order)
+    if (E->c0[root] < 0) return 0;
+    int rc0 = E->c0[root], rc1 = E->c1[root];
+    E->install(&E->upR[root],
+               E_root_vector(E, E_pass_up(E, E->pv[rc1], rc1), dist[rc1],
+                             E->is_tip(rc1), root));
+    E->install(&E->upL[root],
+               E_root_vector(E, E_pass_up(E, E->pv[rc0], rc0), dist[rc0],
+                             E->is_tip(rc0), root));
+    std::vector<WorkItem> tot_list;
+    node = E->c0[root];
+    last = -1;
+    dir = 0;
+    while (node >= 0) {
+        if (dir == 0) {
+            int cn = E->child_index(node);
+            int64_t vect_up = cn == 0 ? E->upR[E->up[node]]
+                                      : E->upL[E->up[node]];
+            vect_up = E_pass_down(E, vect_up, node);
+            if (dist[node] != 0.0) {
+                int64_t nt = E_merge(E, vect_up, dist[node] / 2, false,
+                                     E->pv[node], dist[node] / 2,
+                                     E->is_tip(node), true);
+                if (nt >= 0) E_shorten(E, nt);
+                E->install(&E->totUp[node], nt);
+            } else {
+                E->install(&E->totUp[node], -1);
+            }
+            if (E->c0[node] >= 0) {
+                int cc0 = E->c0[node], cc1 = E->c1[node];
+                bool t0 = E->is_tip(cc0), t1 = E->is_tip(cc1);
+                int64_t v0 = E_pass_up(E, E->pv[cc0], cc0);
+                int64_t v1 = E_pass_up(E, E->pv[cc1], cc1);
+                int64_t nur = E_merge(E, vect_up, dist[node], false, v1,
+                                      dist[cc1], t1, true);
+                if (nur < 0) {
+                    if (dist[cc1] == 0.0 && dist[node] == 0.0) {
+                        E_update_blen(E, node, false, nullptr);
+                        if (dist[node] == 0.0) {
+                            E_update_blen(E, cc1, false, nullptr);
+                            tot_list.push_back({(int32_t)node, 1, 1});
+                        } else {
+                            E->install(&E->totUp[node],
+                                E_merge(E, vect_up, dist[node] / 2, false,
+                                        E->pv[node], dist[node] / 2, false,
+                                        true));
+                            tot_list.push_back({(int32_t)E->up[node],
+                                                (int32_t)cn, 1});
+                        }
+                        E->install(&E->upR[node],
+                                   E_merge(E, vect_up, dist[node], false,
+                                           v1, dist[cc1], t1, true));
+                    } else {
+                        E->error = "inconsistent upRight list in "
+                                   "recalculate";
+                        return -1;
+                    }
+                } else {
+                    E_shorten(E, nur);
+                    E->install(&E->upR[node], nur);
+                }
+                int64_t nul = E_merge(E, vect_up, dist[node], false, v0,
+                                      dist[cc0], t0, true);
+                if (nul < 0) {
+                    if (dist[cc0] == 0.0 && dist[node] == 0.0) {
+                        E_update_blen(E, cc0, false, nullptr);
+                        if (dist[cc0] == 0.0) {
+                            E_update_blen(E, node, false, nullptr);
+                            tot_list.push_back({(int32_t)E->up[node],
+                                                (int32_t)cn, 1});
+                            E->install(&E->totUp[node],
+                                E_merge(E, vect_up, dist[node] / 2, false,
+                                        E->pv[node], dist[node] / 2,
+                                        E->is_tip(node), true));
+                            E->install(&E->upR[node],
+                                       E_merge(E, vect_up, dist[node],
+                                               false, v1, dist[cc1], t1,
+                                               true));
+                        } else {
+                            tot_list.push_back({(int32_t)node, 0, 1});
+                        }
+                        E->install(&E->upL[node],
+                                   E_merge(E, vect_up, dist[node], false,
+                                           v0, dist[cc0], t0, true));
+                    } else {
+                        E->error = "inconsistent upLeft list in "
+                                   "recalculate";
+                        return -1;
+                    }
+                } else {
+                    E_shorten(E, nul);
+                    E->install(&E->upL[node], nul);
+                }
+                node = E->c0[node];
+            } else {
+                last = node;
+                node = E->up[node];
+                dir = 1;
+            }
+        } else if (last == E->c0[node]) {
+            node = E->c1[node];
+            dir = 0;
+        } else {
+            last = node;
+            node = E->up[node];
+            dir = 1;
+        }
+    }
+    if (!E_update_partials(E, std::move(tot_list))) return -1;
+    return 0;
+}
+
+// Full-tree log-likelihood: post-order merge LKs + root contribution
+// (partials.calculate_tree_likelihood; reference :9721-9779, no-HnZ).
+static int E_tree_lk(Engine *E, double *out) {
+    int root = E->root;
+    double total = 0.0;
+    int node = root, last = -1, dir = 0;
+    while (node >= 0) {
+        if (dir == 0) {
+            if (E->c0[node] >= 0) { node = E->c0[node]; continue; }
+            last = node;
+            node = E->up[node];
+            dir = 1;
+        } else if (last == E->c0[node]) {
+            node = E->c1[node];
+            dir = 0;
+        } else {
+            int cc0 = E->c0[node], cc1 = E->c1[node];
+            int64_t v0 = E_pass_up(E, E->pv[cc0], cc0);
+            int64_t v1 = E_pass_up(E, E->pv[cc1], cc1);
+            Store *s = E->S;
+            int64_t id = s->alloc();
+            double lk;
+            int rc = merge_vectors(*s, s->v(v0), E->dist[cc0],
+                                   E->is_tip(cc0), s->v(v1), E->dist[cc1],
+                                   E->is_tip(cc1), true, false,
+                                   (int)E->minorSeqs[cc0].size(),
+                                   (int)E->minorSeqs[cc1].size(),
+                                   s->v(id), &lk);
+            if (rc != 0) {
+                s->free_slots.push_back(id);
+                E->error = "impossible merge in tree likelihood";
+                return -1;
+            }
+            s->finish(id);
+            E->own(id);
+            total += lk;
+            last = node;
+            node = E->up[node];
+            dir = 1;
+        }
+    }
+    total += E_find_prob_root(E, E->pv[root], root);
+    *out = total;
+    return 0;
+}
+
+// Branch-length sweep (search/blen.optimize_branch_lengths; reference
+// traverseTreeToOptimizeBranchLengths :8727-8889, no-HnZ/no-time path):
+// grid search over half-mutation steps for the root's two branches,
+// then a dirty-gated pre-order sweep with the derivative kernel.
+static int E_blen_sweep(Engine *E, bool fast_pass, int64_t *updates_out) {
+    int root = E->root;
+    std::vector<double> &dist = E->dist;
+    int64_t updates = 0;
+    if (E->c0[root] < 0) { *updates_out = 0; return 0; }
+    int child1 = E->c0[root], child2 = E->c1[root];
+    int lRef = E->S->lRef;
+    if (dist[child1] > E->eff0 || dist[child2] > E->eff0) {
+        double tot_dist = (dist[child1] + dist[child2]) * lRef;
+        bool tip1 = E->is_tip(child1), tip2 = E->is_tip(child2);
+        int64_t v1 = E_pass_up(E, E->pv[child1], child1);
+        int64_t v2 = E_pass_up(E, E->pv[child2], child2);
+        double best_cost = -std::numeric_limits<double>::infinity();
+        double best_bl1 = 0.0;
+        long n_steps = (long)std::nearbyint(tot_dist);  // python round()
+        if (n_steps < 1) n_steps = 1;
+        for (long i = 0; i < n_steps * 2 + 1; i++) {
+            double bl1 = std::min(tot_dist, (double)i / 2);
+            double bl2 = std::max(tot_dist - bl1, 0.0);
+            bl1 /= lRef;
+            bl2 /= lRef;
+            Store *s = E->S;
+            int64_t id = s->alloc();
+            double cost;
+            int rc = merge_vectors(*s, s->v(v1), bl1, tip1, s->v(v2), bl2,
+                                   tip2, true, false, 0, 0, s->v(id),
+                                   &cost);
+            if (rc != 0) {
+                s->free_slots.push_back(id);
+                E->error = "impossible merge in root grid search";
+                return -1;
+            }
+            s->finish(id);
+            E->own(id);
+            cost += E_find_prob_root(E, id, root);
+            if (cost > best_cost) {
+                best_cost = cost;
+                best_bl1 = bl1;
+            }
+        }
+        double best_bl2 = std::max(dist[child1] + dist[child2] - best_bl1,
+                                   0.0);
+        dist[child1] = best_bl1;
+        if (!fast_pass) {
+            std::vector<WorkItem> wl;
+            wl.push_back({(int32_t)child1, 2, 1});
+            wl.push_back({(int32_t)root, 0, 1});
+            if (!E_update_partials(E, std::move(wl))) return -1;
+        }
+        dist[child2] = best_bl2;
+        if (!fast_pass) {
+            std::vector<WorkItem> wl;
+            wl.push_back({(int32_t)child2, 2, 1});
+            wl.push_back({(int32_t)root, 0, 1});
+            if (!E_update_partials(E, std::move(wl))) return -1;
+        }
+    }
+    std::vector<int32_t> nodes;
+    if (E->c0[E->c0[root]] >= 0) {
+        nodes.push_back(E->c0[E->c0[root]]);
+        nodes.push_back(E->c1[E->c0[root]]);
+    }
+    if (E->c0[E->c1[root]] >= 0) {
+        nodes.push_back(E->c0[E->c1[root]]);
+        nodes.push_back(E->c1[E->c1[root]]);
+    }
+    while (!nodes.empty()) {
+        int node = nodes.back();
+        nodes.pop_back();
+        if (E->dirty[node]) {
+            int child = E->child_index(node);
+            int64_t up_vect = child == 0 ? E->upR[E->up[node]]
+                                         : E->upL[E->up[node]];
+            up_vect = E_pass_down(E, up_vect, node);
+            bool is_tip = E->is_tip(node);
+            double best = E_blen(E, up_vect, E->pv[node], is_tip);
+            if (best != 0.0 || dist[node] != 0.0) {
+                if (best == 0.0 || dist[node] == 0.0
+                        || dist[node] / best > 1.01
+                        || dist[node] / best < 0.99) {
+                    dist[node] = best;
+                    updates++;
+                    if (!fast_pass) {
+                        std::vector<WorkItem> wl;
+                        wl.push_back({(int32_t)node, 2, 1});
+                        wl.push_back({(int32_t)E->up[node],
+                                      (int32_t)child, 1});
+                        if (!E_update_partials(E, std::move(wl)))
+                            return -1;
+                    }
+                } else {
+                    E->dirty[node] = 0;
+                }
+            } else {
+                E->dirty[node] = 0;
+            }
+        }
+        if (E->c0[node] >= 0) {
+            nodes.push_back(E->c0[node]);
+            nodes.push_back(E->c1[node]);
+        }
+    }
+    *updates_out = updates;
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -3822,6 +4148,24 @@ void engine_import(Engine *E, int32_t n, const int32_t *up,
         }
     }
     E->root = root;
+}
+
+int engine_recalculate(Engine *E) { 
+    int rc = E_recalculate(E);
+    E->end_call();
+    return rc;
+}
+
+int engine_tree_lk(Engine *E, double *out) {
+    int rc = E_tree_lk(E, out);
+    E->end_call();
+    return rc;
+}
+
+int engine_blen_sweep(Engine *E, int fast_pass, int64_t *updates) {
+    int rc = E_blen_sweep(E, fast_pass != 0, updates);
+    E->end_call();
+    return rc;
 }
 
 void engine_set_spr_params(Engine *E, double threshold_opt_topology,
