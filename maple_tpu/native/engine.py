@@ -10,9 +10,13 @@ vectors, refreshes the substitution model from pseudo-counts on the same
 cadence as the Python loop, and finally exports the C++ tree into the
 session's PhyloTree with zero-copy vector handles.
 
-Covers the default de-novo path only: no HnZ, no rate variation, no
-error rates, no deeper-long-branch search (callers gate on
-`native_engine_supported`).
+Placement covers the de-novo path including rate variation; HnZ, time
+trees, error-model-active placement, and deeper-long-branch search fall
+back to the Python loop (callers gate on `native_engine_supported`).
+The module also hosts whole-phase helpers — run_native_spr_pass,
+run_native_recalculate, run_native_tree_lk, run_native_blen_sweep —
+that import the session tree into a C++ Engine, run the phase natively,
+and export the result back.
 """
 from __future__ import annotations
 
