@@ -141,6 +141,8 @@ def _load():
     lib.engine_tree_lk.argtypes = [C.c_void_p, p(d)]
     lib.engine_blen_sweep.restype = C.c_int
     lib.engine_blen_sweep.argtypes = [C.c_void_p, C.c_int, p(C.c_int64)]
+    lib.engine_blen_loop.restype = C.c_int
+    lib.engine_blen_loop.argtypes = [C.c_void_p, C.c_int, p(C.c_int64)]
     lib.engine_set_spr_params.argtypes = [C.c_void_p, d, d, d, C.c_int]
     lib.engine_spr_pass.restype = C.c_int
     lib.engine_spr_pass.argtypes = [C.c_void_p, C.c_int, C.c_int, d,

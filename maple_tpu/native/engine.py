@@ -539,3 +539,27 @@ def run_native_blen_sweep(rt, root, fast_pass=False):
     _export_engine(rt, h)
     lib.engine_free(h)
     return int(updates[0])
+
+
+def run_native_blen_loop(rt, root, max_extra=20):
+    """The SPR-round branch-length finalization loop (sweep, then repeat
+    while the previous sweep updated something, up to ``max_extra`` extra
+    sweeps) in one engine session — one import/export cycle instead of
+    one per sweep.  Returns the python loop's sub_round counter, or None
+    when unsupported."""
+    if not native_phase_supported(rt):
+        return None
+    h = _import_engine(rt, root, transfer=True)
+    if h is None:
+        return None
+    lib = rt.kern.store.lib
+    sub_rounds = np.zeros(1, np.int64)
+    rc = lib.engine_blen_loop(
+        h, max_extra, sub_rounds.ctypes.data_as(C.POINTER(C.c_int64)))
+    if rc != 0:
+        msg = lib.engine_error(h).decode()
+        lib.engine_free(h)
+        raise RuntimeError(f"native blen loop: {msg}")
+    _export_engine(rt, h)
+    lib.engine_free(h)
+    return int(sub_rounds[0])

@@ -1211,11 +1211,14 @@ def run_spr_rounds(run, rounds: List[tuple]):
             from .blen import optimize_branch_lengths
             lk = rt.calculate_tree_likelihood(run.root)
             print(f"Preliminary branch length optimization from LK: {lk}")
-            improvement = optimize_branch_lengths(rt, run.root)
-            sub_round = 0
-            while sub_round < 20 and improvement:
-                sub_round += 1
+            from ..native.engine import run_native_blen_loop
+            sub_round = run_native_blen_loop(rt, run.root)
+            if sub_round is None:
                 improvement = optimize_branch_lengths(rt, run.root)
+                sub_round = 0
+                while sub_round < 20 and improvement:
+                    sub_round += 1
+                    improvement = optimize_branch_lengths(rt, run.root)
             lk = rt.calculate_tree_likelihood(run.root)
             print(f"branch length finalization subround {sub_round + 1} "
                   f"final LK: {lk}", flush=True)

@@ -4168,6 +4168,26 @@ int engine_blen_sweep(Engine *E, int fast_pass, int64_t *updates) {
     return rc;
 }
 
+// The driver's branch-length finalization loop (spr.py run_spr_rounds):
+// sweep once, then repeat while the previous sweep changed something,
+// up to max_extra further sweeps.  Returns the number of extra sweeps
+// run (the python loop's sub_round counter) via *sub_rounds.
+int engine_blen_loop(Engine *E, int max_extra, int64_t *sub_rounds) {
+    int64_t updates = 0;
+    int rc = E_blen_sweep(E, false, &updates);
+    E->end_call();
+    if (rc != 0) return rc;
+    int64_t sr = 0;
+    while (sr < max_extra && updates) {
+        sr++;
+        rc = E_blen_sweep(E, false, &updates);
+        E->end_call();
+        if (rc != 0) return rc;
+    }
+    *sub_rounds = sr;
+    return 0;
+}
+
 void engine_set_spr_params(Engine *E, double threshold_opt_topology,
                            double threshold_topology_placement,
                            double default_blen, int max_replacements) {
