@@ -169,8 +169,10 @@ class NativePlacementEngine:
         tree.probVectUpLeft = wrap(upl)
         tree.probVectTotUp = wrap(totup)
 
-        sbuf = np.zeros(7, f64)
+        sbuf = np.zeros(9, f64)
         lib.engine_stats(h, P(sbuf, C.c_double))
+        stats.dfs_visits = int(sbuf[7])
+        stats.fine_evals = int(sbuf[8])
         stats.num_minors_found += int(sbuf[0])
         stats.total_missed_minors += int(sbuf[1])
         stats.sum_child_lks += float(sbuf[2])
@@ -343,7 +345,7 @@ def run_native_spr_pass(rt, root, strict_stop, allowed_fails,
     tree.probVectUpRight = wrap(e_upr)
     tree.probVectUpLeft = wrap(e_upl)
     tree.probVectTotUp = wrap(e_tot)
-    sbuf = np.zeros(7, f64)
+    sbuf = np.zeros(9, f64)
     lib.engine_stats(h, P(sbuf, C.c_double))
     rt.num_refs += int(sbuf[6])
     nr = int(new_root[0])

@@ -23,7 +23,7 @@ from ..runtime.partials import TreeRuntime
 
 class PlacementStats:
     __slots__ = ("num_minors_found", "total_missed_minors", "sum_child_lks",
-                 "num_child_lks", "warned_blen")
+                 "num_child_lks", "warned_blen", "dfs_visits", "fine_evals")
 
     def __init__(self):
         self.num_minors_found = 0
@@ -31,6 +31,10 @@ class PlacementStats:
         self.sum_child_lks = 0.0
         self.num_child_lks = 0
         self.warned_blen = False
+        # native-engine search telemetry: candidate nodes visited by the
+        # placement DFS and fine-phase 3-branch optimizations performed
+        self.dfs_visits = 0
+        self.fine_evals = 0
 
 
 def find_best_parent_for_new_sample(rt: TreeRuntime, root: int, diffs,

@@ -1828,6 +1828,7 @@ struct Engine {
     double counts[16] = {};
     int num_refs = 0;
     int num_minors_found = 0, total_missed_minors = 0, num_child_lks = 0;
+    int64_t dfs_visits = 0, fine_evals = 0;  // placement-search telemetry
     double sum_child_lks = 0.0;
     int warned_blen = 0;
     double warned_blen_value = 0.0;
@@ -2410,6 +2411,7 @@ static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
         stack.push_back({(int32_t)ch, best_lk_diff, 0, dcc});
     }
     while (!stack.empty()) {
+        E->dfs_visits++;
         StackItem it = stack.back(); stack.pop_back();
         int t1 = it.node;
         double parent_lk = it.parent_lk;
@@ -2462,6 +2464,7 @@ static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
     double best_score = best_lk_diff;
     for (const BestCand &bc : best_nodes) {
         if (!(bc.score >= best_lk_diff - E->threshold_opt)) continue;
+        E->fine_evals++;
         int node = bc.node;
         int64_t diffs_at = bc.diffs;
         int64_t up_vect = E->vect_up_for(node);
@@ -4076,6 +4079,8 @@ void engine_stats(Engine *E, double *out) {
     out[4] = E->warned_blen;
     out[5] = E->warned_blen_value;
     out[6] = E->num_refs;
+    out[7] = (double)E->dfs_visits;
+    out[8] = (double)E->fine_evals;
 }
 
 void engine_export_nodes(Engine *E, int32_t *up, int32_t *cc0, int32_t *cc1,
