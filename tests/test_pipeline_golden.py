@@ -38,6 +38,33 @@ def test_denovo_placement_only_golden(tmp_path, model, backend):
     _compare(out, golden)
 
 
+def test_jc_placement_only_golden(tmp_path):
+    """JC69 de-novo placement (BASELINE config 1).  Placement-only
+    configuration: the reference's own full JC pipeline crashes in the
+    SPR-round EM ("Expectation Maximization for given model JC not
+    implemented yet", :10879); this framework gates the EM off for JC
+    instead, so full JC runs complete (documented repair)."""
+    golden = os.path.join(GOLDEN_DIR, "example_jc_placeonly")
+    if not os.path.isfile(golden + "_tree.tree"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="JC",
+                      doNotReroot=True, numTopologyImprovements=0,
+                      noFastTopologyInitialSearch=True, overwrite=True)
+    run_inference(cfg)
+    _compare(out, golden)
+
+
+def test_jc_full_run_completes(tmp_path):
+    """Full default JC pipeline must complete (reference crash repair)."""
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="JC",
+                      overwrite=True)
+    run_inference(cfg)
+    assert os.path.isfile(out + "_tree.tree")
+    assert os.path.isfile(out + "_LK.txt")
+
+
 def test_denovo_full_default_golden(tmp_path):
     """Full default config: root search + fast initial SPR round + deep SPR
     round; every output file including intermediate round trees must match."""
