@@ -158,6 +158,21 @@ def test_rate_variation_input_rates_golden(tmp_path):
     _compare(out, golden)
 
 
+def test_online_large_update_golden(tmp_path):
+    """--inputTree --largeUpdate: full SPR re-optimization of an input
+    tree (reference :12149-12160 round selection)."""
+    golden = os.path.join(GOLDEN_DIR, "online_largeupdate")
+    if not os.path.isfile(golden + "_tree.tree"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(
+        input=EXAMPLE, output=out, model="GTR", largeUpdate=True,
+        inputTree=os.path.join(GOLDEN_DIR, "example_gtr_tree.tree"),
+        overwrite=True)
+    run_inference(cfg)
+    _compare(out, golden)
+
+
 def test_parallel_spr_estimate_errors_golden(tmp_path):
     """--numCores 3 + --estimateErrors: forked read-only SPR workers over
     the native store with alias-tagged error-model vectors; serial apply
