@@ -658,10 +658,12 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
                 best_right)
             probVectTotUpTime[new_node] = (new_tot, new_tot_prob)
         rt.update_partials([(node, 2, True, dtt)])
+        # NOTE: the reference does NOT gate placement-time promotion on
+        # --noLocalRef (only setUpMAT is gated, :166/:6219); reproduced
+        # for parity (:8543-8544)
         if (not tree.mutations[new_root]) \
                 and tree.nDesc[new_root] >= cfg.maxNumDescendantsForMATClade \
-                and rt.kern.num_non4(probVect[new_root]) > cfg.minNumNon4 \
-                and rt.use_local_reference:
+                and rt.kern.num_non4(probVect[new_root]) > cfg.minNumNon4:
             rt.make_node_reference(new_root)
         return new_root
 
@@ -839,8 +841,7 @@ def place_sample_on_tree(rt: TreeRuntime, node: int, new_partials, sample,
         tree.nDesc[p_node] += descendants_to_pass
         while not tree.mutations[p_node]:
             if tree.nDesc[p_node] >= cfg.maxNumDescendantsForMATClade \
-                    and rt.kern.num_non4(probVect[p_node]) > cfg.minNumNon4 \
-                    and rt.use_local_reference:
+                    and rt.kern.num_non4(probVect[p_node]) > cfg.minNumNon4:
                 rt.make_node_reference(
                     p_node, old_value=tree.nDesc[p_node]
                     - descendants_to_pass)

@@ -2639,9 +2639,10 @@ static int E_place_sample(Engine *E, int node, int64_t new_partials,
         std::vector<WorkItem> wl;
         wl.push_back({(int32_t)node, 2, 1});
         if (!E_update_partials(E, std::move(wl))) return -2;
+        // the reference does not gate placement-time promotion on
+        // --noLocalRef (:8543-8544); only setUpMAT is gated
         if (E->muts[new_root].empty()
-                && E->nDesc[new_root] >= E->max_ndesc_clade
-                && E->use_refs) {
+                && E->nDesc[new_root] >= E->max_ndesc_clade) {
             int nn4 = 0;
             for (const Entry &e : E->S->v(E->pv[new_root]))
                 if (e.type < 4) nn4++;
@@ -2756,7 +2757,7 @@ static int E_place_sample(Engine *E, int node, int64_t new_partials,
         int p_node = E->up[new_internal];
         E->nDesc[p_node] += descendants_to_pass;
         while (E->muts[p_node].empty()) {
-            if (E->nDesc[p_node] >= E->max_ndesc_clade && E->use_refs) {
+            if (E->nDesc[p_node] >= E->max_ndesc_clade) {
                 int nn4 = 0;
                 for (const Entry &e : E->S->v(E->pv[p_node]))
                     if (e.type < 4) nn4++;

@@ -158,6 +158,20 @@ def test_rate_variation_input_rates_golden(tmp_path):
     _compare(out, golden)
 
 
+def test_no_local_ref_golden(tmp_path):
+    """--noLocalRef: the flag gates only input-tree MAT setup in the
+    reference (:166/:6219) — placement-time promotions still happen
+    (:8543, :8697); over-gating them diverged from the reference."""
+    golden = os.path.join(GOLDEN_DIR, "example_nolocalref")
+    if not os.path.isfile(golden + "_tree.tree"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR",
+                      noLocalRef=True, overwrite=True)
+    run_inference(cfg)
+    _compare(out, golden)
+
+
 def test_online_large_update_golden(tmp_path):
     """--inputTree --largeUpdate: full SPR re-optimization of an input
     tree (reference :12149-12160 round selection)."""
