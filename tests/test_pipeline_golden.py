@@ -158,6 +158,25 @@ def test_rate_variation_input_rates_golden(tmp_path):
     _compare(out, golden)
 
 
+@pytest.mark.parametrize("name,flags", [
+    ("onlyNambiguities", {"onlyNambiguities": True}),
+    ("nonstrict", {"nonStrictStopRules": True}),
+    ("noimprove", {"doNotImproveTopology": True}),
+    ("nonbinary", {"nonBinaryTree": True}),
+])
+def test_flag_sweep_goldens(tmp_path, name, flags):
+    """Reference-generated goldens for less-traveled flags (full default
+    pipeline with one flag each)."""
+    golden = os.path.join(GOLDEN_DIR, f"sweep_{name}")
+    if not os.path.isfile(golden + "_tree.tree"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR",
+                      overwrite=True, **flags)
+    run_inference(cfg)
+    _compare(out, golden)
+
+
 def test_no_local_ref_golden(tmp_path):
     """--noLocalRef: the flag gates only input-tree MAT setup in the
     reference (:166/:6219) — placement-time promotions still happen
