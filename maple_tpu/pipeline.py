@@ -337,7 +337,7 @@ class Run:
                     and num_samples > 2 * getattr(self, "_last_em", 1)):
                 self._last_em = num_samples
                 self.rt.recalculate_all(t1)
-                self.run_em_step()
+                self.run_em_step(rates_update="using")
                 self.rt.recalculate_all(t1)
                 optimize_branch_lengths(self.rt, t1)
                 self.rt.recalculate_all(t1)
@@ -473,27 +473,53 @@ class Run:
         print("Device-batched sample placement completed", flush=True)
 
     # ------------------------------------------------------------------
-    def run_em_step(self, track_mutations=False):
+    def run_em_step(self, track_mutations=False, rates_update="first"):
         """One EM pass; installs the new matrix/site-rates/error-rates into
-        the model."""
+        the model.
+
+        ``rates_update`` selects the reference call site's error-rate
+        update semantics — they differ per site, observably so for
+        --errorRateFixed / --errorRateSiteSpecificFile:
+        * "first" (reference :11783-11801, :11957-11976): the global rate
+          is replaced only under --estimateErrorRate; the error tables are
+          refreshed whenever the error model is active.
+        * "using" (:11845-11850 and the online initial EM :11041-11048 and
+          the error-EM loops): the EM estimates replace the global rate
+          and tables for ANY active error model — even a --errorRateFixed
+          rate is overwritten here (reference behavior).
+        * "rounds" (:12401-12408): the global-rate SCALAR is replaced
+          unconditionally but the cumulative error tables are rebuilt only
+          when error rates are being estimated — a half-update the
+          reference performs each SPR round.
+        """
         mat, site_rates, err_rate, err_rates = \
             expectation_maximization_rates(self.rt, self.root
                                            if hasattr(self, "root") else 0,
                                            track_mutations=track_mutations)
         model = self.model
+        cfg = self.cfg
         model.mut_matrix = mat
         if site_rates is not None:
             model.site_rates = site_rates
         model.refresh_cumulative_rate()
-        if model.using_error_rate and (self.cfg.estimateErrorRate
-                                       or self.cfg.estimateSiteSpecificErrorRate):
-            # the global rate is only replaced under --estimateErrorRate;
-            # site-specific-only estimation keeps the initial global rate
-            # (reference :11784-11786, :11841-11844)
-            if self.cfg.estimateErrorRate and err_rate is not None:
-                model.set_error_rates(err_rate, err_rates)
-            else:
-                model.set_error_rates(model.error_rate, err_rates)
+        estimating = cfg.estimateErrorRate or cfg.estimateSiteSpecificErrorRate
+        if model.using_error_rate:
+            if rates_update == "using":
+                if err_rate is not None:
+                    model.set_error_rates(err_rate, err_rates)
+                else:
+                    model.set_error_rates(model.error_rate, err_rates)
+            elif rates_update == "rounds":
+                if err_rate is not None:
+                    model.error_rate = err_rate
+                    model.version += 1
+                if estimating:
+                    model.set_error_rates(model.error_rate, err_rates)
+            else:  # "first"
+                if cfg.estimateErrorRate and err_rate is not None:
+                    model.set_error_rates(err_rate, err_rates)
+                else:
+                    model.set_error_rates(model.error_rate, err_rates)
         return mat
 
     def post_placement(self):
@@ -549,7 +575,7 @@ class Run:
                     or cfg.estimateSiteSpecificErrorRate:
                 lk = rt.calculate_tree_likelihood(t1)
                 print(f"Tree LK before EM: {lk}")
-                self.run_em_step()
+                self.run_em_step(rates_update="using")
                 rt.recalculate_all(t1)
                 lk = rt.calculate_tree_likelihood(t1)
                 print(f"Tree LK after EM: {lk}")
@@ -568,7 +594,7 @@ class Run:
                             set_all_dirty(self.tree, t1)
                             optimize_branch_lengths(rt, t1)
                             rt.recalculate_all(t1)
-                        self.run_em_step()
+                        self.run_em_step(rates_update="using")
                         rt.recalculate_all(t1)
                         old_lk = lk
                         lk = rt.calculate_tree_likelihood(t1)
@@ -732,7 +758,7 @@ class Run:
                     and self.model.use_rate_variation)
                 or (num_samples >= cfg.minNumSamplesForErrorModel
                     and self.model.using_error_rate)):
-            self.run_em_step()
+            self.run_em_step(rates_update="using")
             self.rt.recalculate_all(root)
             # stale window over: internal vectors now carry steady-state
             # error-model layouts
@@ -753,7 +779,7 @@ class Run:
                     lk_branch = self.rt.calculate_tree_likelihood(root)
                     print(f"Updated {improvement} branch lengths leading "
                           f"to LK {lk_branch}")
-                    self.run_em_step()
+                    self.run_em_step(rates_update="using")
                     self.rt.recalculate_all(root)
                     old_lk = lk
                     lk = self.rt.calculate_tree_likelihood(root)

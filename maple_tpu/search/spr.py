@@ -1289,7 +1289,7 @@ def run_spr_rounds(run, rounds: List[tuple]):
         # EM + branch lengths after this round (reference :12397-12478)
         lk = rt.calculate_tree_likelihood(run.root)
         print(f"Initial LK before EM: {lk}", flush=True)
-        run.run_em_step()
+        run.run_em_step(rates_update="rounds")
         rt.recalculate_all(run.root)
         lk = rt.calculate_tree_likelihood(run.root)
         print(f"LK after one round of EM: {lk}")
@@ -1302,7 +1302,7 @@ def run_spr_rounds(run, rounds: List[tuple]):
                     set_all_dirty(tree, run.root)
                     optimize_branch_lengths(rt, run.root)
                     rt.recalculate_all(run.root)
-                run.run_em_step()
+                run.run_em_step(rates_update="using")
                 rt.recalculate_all(run.root)
                 old_lk = lk
                 lk = rt.calculate_tree_likelihood(run.root)

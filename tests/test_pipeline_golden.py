@@ -163,6 +163,10 @@ def test_rate_variation_input_rates_golden(tmp_path):
     ("nonstrict", {"nonStrictStopRules": True}),
     ("noimprove", {"doNotImproveTopology": True}),
     ("nonbinary", {"nonBinaryTree": True}),
+    ("sserr", {"estimateSiteSpecificErrorRate": True}),
+    ("errfixed", {"errorRateFixed": 0.0001}),
+    ("errinit", {"estimateErrorRate": True, "errorRateInitial": 0.0002}),
+    ("rverr", {"rateVariation": True, "estimateErrors": True}),
 ])
 def test_flag_sweep_goldens(tmp_path, name, flags):
     """Reference-generated goldens for less-traveled flags (full default
