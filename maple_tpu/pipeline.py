@@ -510,9 +510,15 @@ class Run:
                 else:
                     model.set_error_rates(model.error_rate, err_rates)
             elif rates_update == "rounds":
+                # the reference rebinds the global-rate scalar AND the
+                # per-site array to the EM estimates (:12401 unpacks into
+                # errorRateGlobal/errorRates) but rebuilds the cumulative
+                # tables only when estimating (:12403-12408)
                 if err_rate is not None:
                     model.error_rate = err_rate
-                    model.version += 1
+                if err_rates is not None:
+                    model.error_rates = err_rates
+                model.version += 1
                 if estimating:
                     model.set_error_rates(model.error_rate, err_rates)
             else:  # "first"

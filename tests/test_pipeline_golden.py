@@ -167,6 +167,8 @@ def test_rate_variation_input_rates_golden(tmp_path):
     ("errfixed", {"errorRateFixed": 0.0001}),
     ("errinit", {"estimateErrorRate": True, "errorRateInitial": 0.0002}),
     ("rverr", {"rateVariation": True, "estimateErrors": True}),
+    ("errfile", {"errorRateSiteSpecificFile": os.path.join(
+        GOLDEN_DIR, "sweep_errfile_rates.txt")}),
 ])
 def test_flag_sweep_goldens(tmp_path, name, flags):
     """Reference-generated goldens for less-traveled flags (full default
