@@ -183,6 +183,31 @@ def test_flag_sweep_goldens(tmp_path, name, flags):
     _compare(out, golden)
 
 
+@pytest.mark.parametrize("name,flags,parts", [
+    ("network", {"SPRTA": True, "networkOutput": True},
+     ("_tree.tree", "_subs.txt", "_LK.txt", "_nexusTree.tree",
+      "_metaData.tsv")),
+    ("matonly", {"estimateMAT": True},
+     ("_tree.tree", "_subs.txt", "_LK.txt", "_nexusTree.tree",
+      "_metaData.tsv")),
+    ("savetree", {"saveInitialTreeEvery": 50},
+     ("_tree.tree", "_subs.txt", "_LK.txt",
+      "_initialTree_50samples.tree", "_initialTree_100samples.tree")),
+])
+def test_output_sweep_goldens(tmp_path, name, flags, parts):
+    """Reference goldens for annotation/checkpoint outputs: SPRTA network
+    output (alternativePlacements), MAT estimation alone, and
+    initial-tree checkpoints (the python placement loop path)."""
+    golden = os.path.join(GOLDEN_DIR, f"sweep_{name}")
+    if not os.path.isfile(golden + "_tree.tree"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR",
+                      overwrite=True, **flags)
+    run_inference(cfg)
+    _compare(out, golden, parts=parts)
+
+
 def test_no_local_ref_golden(tmp_path):
     """--noLocalRef: the flag gates only input-tree MAT setup in the
     reference (:166/:6219) — placement-time promotions still happen
