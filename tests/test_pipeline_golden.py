@@ -169,6 +169,7 @@ def test_rate_variation_input_rates_golden(tmp_path):
     ("rverr", {"rateVariation": True, "estimateErrors": True}),
     ("errfile", {"errorRateSiteSpecificFile": os.path.join(
         GOLDEN_DIR, "sweep_errfile_rates.txt")}),
+    ("fast", {"fast": True}),
 ])
 def test_flag_sweep_goldens(tmp_path, name, flags):
     """Reference-generated goldens for less-traveled flags (full default
