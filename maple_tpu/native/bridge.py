@@ -38,7 +38,9 @@ def _build():
     # with the Python kernels (1-ulp drift); -march=native is safe with
     # contraction off since -O3 alone never reassociates FP reductions.
     cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-fPIC",
-           "-shared", "-std=c++17", "-o", _LIB, _SRC]
+           "-shared", "-std=c++17", "-pthread", "-o", _LIB, _SRC]
+    if os.environ.get("MAPLE_NATIVE_PROFILE"):
+        cmd.insert(1, "-DMAPLE_PROFILE")
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except subprocess.CalledProcessError:

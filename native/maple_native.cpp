@@ -21,6 +21,13 @@
 #include <limits>
 #include <algorithm>
 #include <unordered_map>
+#include <memory>
+#include <atomic>
+#include <thread>
+#include <mutex>
+#include <condition_variable>
+#include <chrono>
+#include <cstdio>
 
 namespace {
 
@@ -53,6 +60,22 @@ struct Entry {
 
 using Vec = std::vector<Entry>;
 
+// Dev-only phase profiling (build with -DMAPLE_PROFILE): rdtsc cycle
+// counters around the placement engine's phases, exported via
+// engine_profile().  Zero overhead in normal builds.
+#ifdef MAPLE_PROFILE
+static inline uint64_t prof_now() {
+    unsigned lo, hi;
+    __asm__ __volatile__("rdtsc" : "=a"(lo), "=d"(hi));
+    return ((uint64_t)hi << 32) | lo;
+}
+#define PROF_T(var) uint64_t var = prof_now()
+#define PROF_ADD(acc, t0) (acc) += prof_now() - (t0)
+#else
+#define PROF_T(var)
+#define PROF_ADD(acc, t0)
+#endif
+
 struct Store {
     int lRef = 0;
     // reference tables
@@ -80,8 +103,15 @@ struct Store {
     double min_blen_sensitivity = 0.0;
     double threshold_diff_update = 1e-5;
     double threshold_fold_change = 1.01;
-    // vector slots (freelist)
-    std::vector<Vec> vecs;
+    // Vector slots (freelist + chunked stable storage).  Chunking keeps
+    // Vec references valid while the placement scorer's worker threads
+    // read vectors concurrently with main-thread allocations: chunks are
+    // never moved, and the chunk table itself is reserved once in
+    // store_create so push_back never reallocates it.
+    static constexpr int VCHUNK_BITS = 12;
+    static constexpr size_t VCHUNK = (size_t)1 << VCHUNK_BITS;
+    std::vector<std::unique_ptr<Vec[]>> vec_chunks;
+    size_t vec_count = 0;
     std::vector<int64_t> free_slots;
 
     // Alias-tag registry: tag -> (vid, idx) refs of tagged entries.
@@ -96,7 +126,7 @@ struct Store {
 
     void finish(int64_t id) {
         if (!tags_active) return;
-        const Vec &vv = vecs[id];
+        const Vec &vv = v(id);
         for (int32_t i = 0; i < (int32_t)vv.size(); i++)
             if (vv[i].tag >= 0)
                 tag_registry[vv[i].tag].emplace_back(id, i);
@@ -106,13 +136,19 @@ struct Store {
         if (!free_slots.empty()) {
             int64_t id = free_slots.back();
             free_slots.pop_back();
-            vecs[id].clear();
+            v(id).clear();
             return id;
         }
-        vecs.emplace_back();
-        return (int64_t)vecs.size() - 1;
+        if (vec_count == vec_chunks.size() * VCHUNK) {
+            if (vec_chunks.size() == vec_chunks.capacity())
+                vec_chunks.reserve(vec_chunks.capacity() * 2 + 1024);
+            vec_chunks.emplace_back(new Vec[VCHUNK]);
+        }
+        return (int64_t)vec_count++;
     }
-    Vec &v(int64_t id) { return vecs[id]; }
+    Vec &v(int64_t id) {
+        return vec_chunks[id >> VCHUNK_BITS][id & (VCHUNK - 1)];
+    }
 
     // per-site matrix entry: mut[i][j] * site_rate
     inline double mm(int pos, int i, int j) const {
@@ -1560,6 +1596,10 @@ Store *store_create(int lRef) {
     Store *s = new Store();
     s->lRef = lRef;
     s->global_tot_rate = -(double)lRef;
+    // Reserve the chunk table once: worker threads dereference it
+    // concurrently with main-thread allocs, so it must never reallocate
+    // (64k chunks = 256M vector slot capacity).
+    s->vec_chunks.reserve((size_t)1 << 16);
     return s;
 }
 
@@ -1675,7 +1715,7 @@ void store_patch_tag(Store *s, int32_t tag, const double *probs) {
     }
     size_t w = 0;
     for (auto &r : refs) {
-        Vec &v = s->vecs[r.first];
+        Vec &v = s->v(r.first);
         if (r.second < (int32_t)v.size() && v[r.second].tag == tag) {
             for (int i = 0; i < 4; i++) v[r.second].probs[i] = probs[i];
             refs[w++] = r;
@@ -1799,6 +1839,225 @@ int k_num_non4(Store *s, int64_t v) {
 
 namespace {
 
+// ---------------------------------------------------------------------
+// Speculative placement-score pool.
+//
+// The stepwise-addition DFS (reference :7912-8293) pops stack items in a
+// fixed serial order and *unconditionally* scores every popped item
+// (appendProbNode for nodes with dist>eff0, isMinorSequence for leaves);
+// only the *expansion* decision depends on evolving search state.  Score
+// values are pure functions of (vector, vector, blen), so worker threads
+// can compute them speculatively as soon as items are pushed while the
+// main thread makes every decision in exact serial order — byte-identical
+// results, parallel wall-clock.
+//
+// Exactness protocol: the one in-search mutation is shorten() on the
+// current diffs list at a new-best event.  When a shorten would actually
+// change the representation (rare), cancel_unconsumed() discards every
+// not-yet-consumed speculative result first; the main thread then
+// recomputes those scores inline at pop time, after the shorten — exactly
+// what the serial loop does.  No result computed against a stale
+// representation is ever used.
+struct alignas(64) ScoreTask {
+    std::atomic<uint8_t> state{0};  // 0=no result (main computes inline),
+                                    // 1=pending, 2=running, 3=done,
+                                    // 4=consumed
+    uint8_t kind = 0;               // 0=append score, 1=minor-seq check
+    int64_t va = -1, vb = -1;
+    double blen = 0.0;
+    double result = 0.0;
+};
+
+static inline void cpu_pause() {
+#if defined(__x86_64__) || defined(__i386__)
+    __builtin_ia32_pause();
+#endif
+}
+
+struct ScorePool {
+    static constexpr int TCHUNK_BITS = 12;
+    static constexpr size_t TCHUNK = (size_t)1 << TCHUNK_BITS;
+    size_t RESERVE = 2;   // newest tasks left for the main thread
+    int spin_limit = 50000;
+    Store *S = nullptr;
+    bool only_identical = false;
+    std::vector<std::unique_ptr<ScoreTask[]>> chunks;
+    std::atomic<size_t> count{0};
+    std::atomic<size_t> next_scan{0};
+    std::atomic<int> sleeping{0};
+    std::atomic<bool> stop{false};
+    // consume-path telemetry (main thread only; plain counters)
+    size_t n_hit = 0, n_inline = 0, n_wait = 0, n_cancel = 0;
+    uint64_t worker_cy = 0;  // approx cycles workers spent computing
+    std::mutex mu;
+    std::condition_variable cv;
+    std::vector<std::thread> threads;
+
+    ScoreTask &task(size_t i) {
+        return chunks[i >> TCHUNK_BITS][i & (TCHUNK - 1)];
+    }
+
+    void start(Store *store, bool only_ident, int n_threads) {
+        S = store;
+        only_identical = only_ident;
+        if (const char *e = getenv("MAPLE_POOL_RESERVE"))
+            RESERVE = (size_t)atoi(e);
+        chunks.reserve((size_t)1 << 16);  // table never reallocates
+        for (int i = 0; i < n_threads; i++)
+            threads.emplace_back([this] { worker(); });
+    }
+
+    ~ScorePool() {
+        stop.store(true);
+        { std::lock_guard<std::mutex> g(mu); }
+        cv.notify_all();
+        for (auto &t : threads) t.join();
+        if (getenv("MAPLE_POOL_STATS"))
+            fprintf(stderr, "# pool: hit=%zu inline=%zu wait=%zu "
+                    "cancel=%zu\n", n_hit, n_inline, n_wait, n_cancel);
+    }
+
+    bool active() const { return !threads.empty(); }
+
+    // main thread: new search; all prior tasks are consumed or canceled.
+    void reset() {
+        count.store(0, std::memory_order_relaxed);
+        next_scan.store(0, std::memory_order_relaxed);
+    }
+
+    // main thread: publish one speculative task, returns its index.
+    size_t add(uint8_t kind, int64_t va, int64_t vb, double blen) {
+        size_t i = count.load(std::memory_order_relaxed);
+        if (i == chunks.size() * TCHUNK)
+            chunks.emplace_back(new ScoreTask[TCHUNK]);
+        ScoreTask &t = task(i);
+        t.kind = kind;
+        t.va = va;
+        t.vb = vb;
+        t.blen = blen;
+        t.state.store(1, std::memory_order_release);
+        count.store(i + 1, std::memory_order_release);
+        if (sleeping.load(std::memory_order_relaxed) > 0)
+            cv.notify_one();
+        return i;
+    }
+
+    void compute(ScoreTask &t) {
+        if (t.kind == 0)
+            t.result = append_prob_node(*S, S->v(t.va), S->v(t.vb), true,
+                                        t.blen);
+        else
+            t.result = (double)is_minor_sequence(*S, S->v(t.va), S->v(t.vb),
+                                                 only_identical);
+    }
+
+    // main thread: fetch a task's result, computing inline when no worker
+    // produced one (unclaimed or canceled).
+    double consume(size_t i) {
+        ScoreTask &t = task(i);
+        bool waited = false;
+        for (;;) {
+            uint8_t st = t.state.load(std::memory_order_acquire);
+            if (st == 1) {
+                if (t.state.compare_exchange_strong(
+                        st, 4, std::memory_order_acq_rel)) {
+                    n_inline++;
+                    compute(t);
+                    return t.result;
+                }
+                continue;
+            }
+            if (st == 0) { n_inline++; compute(t); return t.result; }
+            if (st == 2) { waited = true; cpu_pause(); continue; }
+            // st == 3
+            if (waited) n_wait++; else n_hit++;
+            t.state.store(4, std::memory_order_relaxed);
+            return t.result;
+        }
+    }
+
+    // main thread: discard every not-yet-consumed speculative result
+    // (before an in-place representation change, or when abandoning the
+    // search on a minor-sequence absorption).  Waits out in-flight
+    // computations; afterwards no worker touches any vector.
+    void cancel_unconsumed() {
+        size_t n = count.load(std::memory_order_relaxed);
+        for (size_t i = 0; i < n; i++) {
+            ScoreTask &t = task(i);
+            for (;;) {
+                uint8_t st = t.state.load(std::memory_order_acquire);
+                if (st == 0 || st == 4) break;
+                if (st == 2) { cpu_pause(); continue; }
+                if (t.state.compare_exchange_strong(
+                        st, 0, std::memory_order_acq_rel)) {
+                    if (st == 3) n_cancel++;
+                    break;
+                }
+            }
+        }
+        next_scan.store(n, std::memory_order_relaxed);
+    }
+
+    void worker() {
+        int idle_spins = 0;
+        for (;;) {
+            if (stop.load(std::memory_order_relaxed)) return;
+            size_t cnt = count.load(std::memory_order_acquire);
+            size_t i = next_scan.load(std::memory_order_relaxed);
+            // reserve window: leave the newest tasks for the main thread
+            // (a DFS pops the just-pushed child immediately — a worker
+            // claiming it would make main spin behind a cold cache)
+            if (i + RESERVE >= cnt) {
+                if (++idle_spins < spin_limit) { cpu_pause(); continue; }
+                std::unique_lock<std::mutex> lk(mu);
+                sleeping.fetch_add(1, std::memory_order_relaxed);
+                cv.wait_for(lk, std::chrono::milliseconds(2));
+                sleeping.fetch_sub(1, std::memory_order_relaxed);
+                idle_spins = 0;
+                continue;
+            }
+            i = next_scan.fetch_add(1, std::memory_order_relaxed);
+            if (i + RESERVE >= cnt) {
+                // overshoot: give the ticket back if nobody raced us
+                size_t e = i + 1;
+                next_scan.compare_exchange_strong(
+                    e, i, std::memory_order_relaxed);
+                continue;
+            }
+            idle_spins = 0;
+            ScoreTask &t = task(i);
+            uint8_t exp = 1;
+            if (t.state.compare_exchange_strong(
+                    exp, 2, std::memory_order_acq_rel)) {
+                compute(t);
+                t.state.store(3, std::memory_order_release);
+            }
+        }
+    }
+};
+
+// read-only twin of shorten_vec's merge test: would it change anything?
+static bool shorten_would_change(const Store &S, const Vec &v) {
+    for (size_t i = 0; i + 1 < v.size(); i++) {
+        const Entry &prev = v[i];
+        const Entry &cur = v[i + 1];
+        if (cur.type != TYPE_R || prev.type != TYPE_R) continue;
+        int n = tuple_len(S, cur);
+        if (n != tuple_len(S, prev)) continue;
+        if (n == 2) return true;
+        if (std::fabs(cur.bl1 - prev.bl1) > S.threshold_prob) continue;
+        if (n == 3) return true;
+        if (!cur.has_bl2()) {
+            if (cur.flag() == prev.flag()) return true;
+            continue;
+        }
+        if (std::fabs(cur.bl2 - prev.bl2) > S.threshold_prob) continue;
+        if (n == 4) return true;
+        if (cur.flag() == prev.flag()) return true;
+    }
+    return false;
+}
+
 struct Engine {
     Store *S;
     // tree arrays (index = node id, allocation order identical to the
@@ -1829,6 +2088,12 @@ struct Engine {
     int num_refs = 0;
     int num_minors_found = 0, total_missed_minors = 0, num_child_lks = 0;
     int64_t dfs_visits = 0, fine_evals = 0;  // placement-search telemetry
+#ifdef MAPLE_PROFILE
+    uint64_t p_append_cy = 0, p_pass_cy = 0, p_fine_cy = 0, p_place_cy = 0;
+    uint64_t p_find_cy = 0;
+    int64_t p_scored = 0, p_free = 0, p_entries = 0;
+    int64_t p_tot_entries = 0, p_o_entries = 0;
+#endif
     double sum_child_lks = 0.0;
     int warned_blen = 0;
     double warned_blen_value = 0.0;
@@ -1837,6 +2102,11 @@ struct Engine {
     // place() call lands here; installing into a tree slot removes it
     // (and orphans the replaced id back in).  Released at call end.
     std::unordered_set<int64_t> owned;
+
+    // speculative placement-score workers (see ScorePool above); started
+    // lazily once the tree is big enough for threading to pay off.
+    std::unique_ptr<ScorePool> pool;
+    int place_threads = -1;  // -1 = decide from env/hw on first use
 
     int add_node() {
         up.push_back(-1); c0.push_back(-1); c1.push_back(-1);
@@ -2401,14 +2671,43 @@ static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
     int64_t root_vect = E_root_vector(E, E->pv[root], 0.0, false, root);
     double best_lk_diff = E_append(E, root_vect, diffs, true, E->one_mut);
     double original_lk_diff = best_lk_diff;
+
+    // speculative score workers: worth it once the tree is large
+    if (E->place_threads < 0) {
+        // Per-node speculative scoring is opt-in: on this class of host
+        // the per-task handoff (~2.5k cycles of work per score) does not
+        // beat its cache-line protocol cost.  The cross-sample pipeline
+        // (engine_place_spec) is the production parallel path.
+        const char *env = getenv("MAPLE_PLACE_THREADS");
+        E->place_threads = env ? atoi(env) : 0;
+    }
+    bool pool_on = E->place_threads > 0 && E->up.size() > 4096;
+    if (pool_on) {
+        if (!E->pool) {
+            E->pool = std::make_unique<ScorePool>();
+            E->pool->start(E->S, E->only_identical, E->place_threads);
+        }
+        E->pool->reset();
+    }
+
     struct StackItem { int32_t node; double parent_lk; int32_t failed;
-                       int64_t diffs; };
+                       int64_t diffs; int64_t ts; int64_t tm; };
     std::vector<StackItem> stack;
+    auto push_child = [&](int c, double plk, int failed, int64_t dcc) {
+        int64_t ts = -1, tm = -1;
+        if (pool_on) {
+            if (E->is_leaf(c))
+                tm = (int64_t)E->pool->add(1, E->pv[c], dcc, 0.0);
+            if (E->dist[c] > E->eff0 && E->up[c] >= 0)
+                ts = (int64_t)E->pool->add(0, E->totUp[c], dcc, E->one_mut);
+        }
+        stack.push_back({(int32_t)c, plk, (int32_t)failed, dcc, ts, tm});
+    };
     for (int i = 0; i < 2 && !E->is_leaf(root); i++) {
         int ch = E->child(root, i);
         int64_t dcc = diffs;
         if (!E->muts[ch].empty()) dcc = E_pass_down(E, diffs, ch);
-        stack.push_back({(int32_t)ch, best_lk_diff, 0, dcc});
+        push_child(ch, best_lk_diff, 0, dcc);
     }
     while (!stack.empty()) {
         E->dfs_visits++;
@@ -2418,16 +2717,48 @@ static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
         int failed_passes = it.failed;
         int64_t diffs_at = it.diffs;
         if (E->is_leaf(t1)) {
-            if (E_try_absorb_minor(E, t1, diffs_at, sample)) {
+            int cmp = it.tm >= 0
+                ? (int)E->pool->consume((size_t)it.tm)
+                : is_minor_sequence(*E->S, E->S->v(E->pv[t1]),
+                                    E->S->v(diffs_at), E->only_identical);
+            if (cmp == 1) {
+                E->minorSeqs[t1].push_back(sample);
+                E->num_minors_found++;
+                if (pool_on) E->pool->cancel_unconsumed();
                 R.absorbed = 1;
                 return R;
             }
+            if (cmp == 2) E->total_missed_minors++;
         }
         double lk_diff;
         if (E->dist[t1] > E->eff0 && E->up[t1] >= 0) {
-            lk_diff = E_append(E, E->totUp[t1], diffs_at, true, E->one_mut);
+            PROF_T(pt0);
+#ifdef MAPLE_PROFILE
+            E->p_scored++;
+            {
+                const Vec &pv_ = E->S->v(E->totUp[t1]);
+                const Vec &cv_ = E->S->v(diffs_at);
+                E->p_entries += (int64_t)pv_.size() + (int64_t)cv_.size();
+                E->p_tot_entries += (int64_t)pv_.size();
+                for (const Entry &pe : pv_)
+                    if (pe.type == TYPE_O) E->p_o_entries++;
+            }
+#endif
+            lk_diff = it.ts >= 0
+                ? E->pool->consume((size_t)it.ts)
+                : E_append(E, E->totUp[t1], diffs_at, true, E->one_mut);
+            PROF_ADD(E->p_append_cy, pt0);
             if (lk_diff >= best_lk_diff) {
-                E_shorten(E, diffs_at);
+                if (!pool_on) {
+                    E_shorten(E, diffs_at);
+                } else if (diffs_at >= 0
+                           && shorten_would_change(*E->S,
+                                                   E->S->v(diffs_at))) {
+                    // exact protocol: drop speculative results, mutate,
+                    // recompute inline at pop time (serial semantics)
+                    E->pool->cancel_unconsumed();
+                    E_shorten(E, diffs_at);
+                }
                 best_lk_diff = lk_diff;
                 best_node = t1;
                 failed_passes = 0;
@@ -2441,6 +2772,9 @@ static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
             }
             if (lk_diff < parent_lk - E->threshold_consec) failed_passes++;
         } else {
+#ifdef MAPLE_PROFILE
+            E->p_free++;
+#endif
             lk_diff = parent_lk;
         }
         bool keep_going;
@@ -2454,13 +2788,17 @@ static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
             for (int i = 0; i < 2; i++) {
                 int c = E->child(t1, i);
                 int64_t dcc = diffs_at;
-                if (!E->muts[c].empty()) dcc = E_pass_down(E, diffs_at, c);
-                stack.push_back({(int32_t)c, lk_diff,
-                                 (int32_t)failed_passes, dcc});
+                if (!E->muts[c].empty()) {
+                    PROF_T(pp0);
+                    dcc = E_pass_down(E, diffs_at, c);
+                    PROF_ADD(E->p_pass_cy, pp0);
+                }
+                push_child(c, lk_diff, failed_passes, dcc);
             }
         }
     }
     // fine phase: optimize branch lengths on the best candidates
+    PROF_T(pf0);
     double best_score = best_lk_diff;
     for (const BestCand &bc : best_nodes) {
         if (!(bc.score >= best_lk_diff - E->threshold_opt)) continue;
@@ -2497,6 +2835,7 @@ static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
             best_diffs = diffs_at;
         }
     }
+    PROF_ADD(E->p_fine_cy, pf0);
     if (std::isinf(best_score) && best_score < 0)
         best_score = original_lk_diff;
     R.best_node = best_node;
@@ -4050,12 +4389,16 @@ void engine_free(Engine *E) { delete E; }
 // placed, -1 on error (see engine_error).
 int engine_place(Engine *E, int64_t diffs, int32_t sample) {
     E->own(diffs);
+    PROF_T(pt0);
     FindResult R = E_find_best_parent(E, diffs, sample);
+    PROF_ADD(E->p_find_cy, pt0);
     if (!E->error.empty()) { E->end_call(); return -1; }
     if (R.absorbed) { E->end_call(); return 1; }
+    PROF_T(pt1);
     int new_root = E_place_sample(E, R.best_node, R.best_diffs, sample,
                                   R.best_score, R.top, R.bottom,
                                   R.appending);
+    PROF_ADD(E->p_place_cy, pt1);
     if (new_root == -2 || !E->error.empty()) { E->end_call(); return -1; }
     if (new_root >= 0) E->root = new_root;
     E->end_call();
@@ -4082,6 +4425,23 @@ void engine_stats(Engine *E, double *out) {
     out[6] = E->num_refs;
     out[7] = (double)E->dfs_visits;
     out[8] = (double)E->fine_evals;
+}
+
+// Dev-only (see MAPLE_PROFILE above); zeros when profiling is compiled out.
+void engine_profile(Engine *E, double *out) {
+    for (int i = 0; i < 10; i++) out[i] = 0.0;
+#ifdef MAPLE_PROFILE
+    out[0] = (double)E->p_find_cy;
+    out[1] = (double)E->p_append_cy;
+    out[2] = (double)E->p_pass_cy;
+    out[3] = (double)E->p_fine_cy;
+    out[4] = (double)E->p_place_cy;
+    out[5] = (double)E->p_scored;
+    out[6] = (double)E->p_free;
+    out[7] = (double)E->p_entries;
+    out[8] = (double)E->p_tot_entries;
+    out[9] = (double)E->p_o_entries;
+#endif
 }
 
 void engine_export_nodes(Engine *E, int32_t *up, int32_t *cc0, int32_t *cc1,
