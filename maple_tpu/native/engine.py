@@ -40,8 +40,7 @@ def native_engine_supported(run) -> bool:
             and run.time_ctx is None
             and not model.using_error_rate
             and not cfg.deeperSearchForLongBranches
-            and not cfg.doNotPlaceNewSamples
-            and len(run.data) < cfg.saveInitialTreeEvery)
+            and not cfg.doNotPlaceNewSamples)
 
 
 class NativePlacementEngine:
@@ -104,6 +103,52 @@ class NativePlacementEngine:
 
     def sync_model(self):
         self.store.sync_model(self.rt.model)
+
+    def snapshot_tree(self):
+        """Non-destructive topology export for mid-run checkpoints (the
+        reference's ``_initialTree_<N>samples.tree`` writes,
+        :11754-11760): returns a (PhyloTree, root) pair carrying only the
+        arrays the newick writer needs — no vector handles change hands
+        and the engine keeps running."""
+        from ..runtime.tree import PhyloTree
+        lib, h = self.lib, self.h
+        n = lib.engine_node_count(h)
+        i32, i64, f64, u8 = np.int32, np.int64, np.float64, np.uint8
+        up = np.empty(n, i32)
+        c0 = np.empty(n, i32)
+        c1 = np.empty(n, i32)
+        dist = np.empty(n, f64)
+        name = np.empty(n, i32)
+        ndesc = np.empty(n, i32)
+        dirty = np.empty(n, u8)
+        pv = np.empty(n, i64)
+        upr = np.empty(n, i64)
+        upl = np.empty(n, i64)
+        totup = np.empty(n, i64)
+        n_minor = np.empty(n, i32)
+        n_muts = np.empty(n, i32)
+
+        def P(a, t):
+            return a.ctypes.data_as(C.POINTER(t))
+
+        lib.engine_export_nodes(
+            h, P(up, C.c_int32), P(c0, C.c_int32), P(c1, C.c_int32),
+            P(dist, C.c_double), P(name, C.c_int32), P(ndesc, C.c_int32),
+            P(dirty, C.c_uint8), P(pv, C.c_int64), P(upr, C.c_int64),
+            P(upl, C.c_int64), P(totup, C.c_int64), P(n_minor, C.c_int32),
+            P(n_muts, C.c_int32))
+        tree = PhyloTree()
+        tree.up = [u if u >= 0 else None for u in up.tolist()]
+        tree.children = [[] if a < 0 else [a, b]
+                         for a, b in zip(c0.tolist(), c1.tolist())]
+        tree.dist = dist.tolist()
+        tree.name = [m if m >= 0 else "" for m in name.tolist()]
+        tree.minorSequences = [[] for _ in range(n)]
+        for node in np.nonzero(n_minor)[0].tolist():
+            buf = np.empty(int(n_minor[node]), i32)
+            lib.engine_export_minor(h, node, P(buf, C.c_int32))
+            tree.minorSequences[node] = buf.tolist()
+        return tree, int(lib.engine_root(h))
 
     def export_to_tree(self, stats) -> int:
         """Materialize the engine's tree into self.rt.tree (in place) and

@@ -8,8 +8,12 @@ The reference's only parallelism is multiprocessing fork+pickle
   serial application on host),
 - the candidate-node axis shards over ``cand`` (the tensor-parallel
   analogue: each device scores every query against its slice of the tree,
-  XLA inserts the cross-device argmax reduction),
-- EM substitution-count accumulation reduces with psum over both axes.
+  XLA inserts the cross-device argmax reduction).
+
+The step returns per-query (best index, best score) from the sharded
+argmax plus a both-axes score reduction; substitution pseudo-count
+accumulation stays host-side on the serial apply path (reference
+:5002-5035) — there is no device EM step here.
 
 Tree deltas between rounds travel host-side (the fork/pickle analogue is a
 repack+device_put of the packed node pool).
@@ -65,9 +69,8 @@ def shard_batch(mesh: Mesh, tree_pool: dict, queries: dict):
 def _placement_step_impl(pool, queries, blen, mm, root_freqs, site_rates,
                          error_rates, global_tot_rate, tot_error, uer):
     """One data-parallel placement step: for each query (dp-sharded), score
-    against every pool node (cand-sharded), reduce argmax across devices,
-    and accumulate substitution pseudo-count updates (psum analogue —
-    expressed as a plain sum, partitioned by XLA)."""
+    against every pool node (cand-sharded) and reduce the argmax across
+    devices; XLA partitions the reductions over the mesh."""
 
     def score_one(q):
         return _append_scores_impl(
@@ -77,8 +80,8 @@ def _placement_step_impl(pool, queries, blen, mm, root_freqs, site_rates,
     scores = jax.vmap(score_one)(queries)      # [K, N]
     best_idx = jnp.argmax(scores, axis=-1)     # cross-cand reduction
     best_score = jnp.max(scores, axis=-1)
-    # EM-style global statistic: aggregate evidence that the matrix update
-    # step consumes — reduces over both mesh axes.
+    # both-axes sanity reduction (finite scores only), useful for
+    # convergence traces; NOT an EM statistic
     total_evidence = jnp.sum(jnp.where(jnp.isfinite(scores), scores, 0.0))
     return best_idx, best_score, total_evidence
 

@@ -399,6 +399,17 @@ class Run:
             eng.place(self.data[sample], num_samples)
             self.data[sample] = None
             num_samples += 1
+            if num_samples % cfg.saveInitialTreeEvery == 0:
+                # restartable-state checkpoint (reference :11754-11760)
+                snap, snap_root = eng.snapshot_tree()
+                s = create_newick(
+                    snap, snap_root, binary=not cfg.nonBinaryTree,
+                    names_in_tree=self.names_in_tree,
+                    support_for_identical=cfg.supportForIdenticalSequences)
+                with open(cfg.output
+                          + f"_initialTree_{num_samples}samples.tree",
+                          "w") as f:
+                    f.write(s)
         eng.flush_pseudo_counts(self.model.pseudo_counts)
         root = eng.export_to_tree(self.stats)
         self.timings["finding"] += time.time() - start

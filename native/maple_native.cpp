@@ -745,11 +745,24 @@ int merge_vectors(Store &S, const Vec &v1, double bl1, bool tip1,
 // (reference :6505-6785; Python append_prob_node).  Templated on the
 // error-rate flag so the placement-path instantiation (uer=false) strips
 // every error-model branch at compile time.
+static inline void prefetch_entries(const Vec &v) {
+    // The two-pointer walk's loads are branch-dependent on loaded data,
+    // so out-of-order execution cannot overlap their cache misses.
+    // Issuing all line prefetches up front restores full memory-level
+    // parallelism; the walk then runs on (nearly) resident lines.
+    const char *p = (const char *)v.data();
+    const char *end = p + v.size() * sizeof(Entry);
+    if (end - p > 64 * 96) end = p + 64 * 96;
+    for (; p < end; p += 64) __builtin_prefetch(p, 0, 3);
+}
+
 template <bool UER>
 static double append_prob_node_t(const Store &S, const Vec &vP,
                                  const Vec &vC, bool tip_c, double blen) {
     constexpr bool uer = UER;
     constexpr int uer1 = uer ? 1 : 0;
+    prefetch_entries(vP);
+    prefetch_entries(vC);
     size_t i1 = 0, i2 = 0;
     double tot_factor = 1.0;
     int pos = 0;
@@ -2093,6 +2106,21 @@ struct Engine {
     uint64_t p_find_cy = 0;
     int64_t p_scored = 0, p_free = 0, p_entries = 0;
     int64_t p_tot_entries = 0, p_o_entries = 0;
+    // cross-sample speculation viability probe: would a search running
+    // concurrently with the previous k placements have read state those
+    // placements wrote?  write_stamp[node] = seq of last placement that
+    // touched the node; per search we record the min (cur_seq - stamp)
+    // over visited nodes -> a speculation pipelined at depth d is valid
+    // iff min_gap > d.  p_gap_hist[d] counts searches with min_gap == d
+    // (d capped at 15).
+    std::vector<int64_t> write_stamp;
+    int64_t place_seq = 0;
+    int64_t p_gap_hist[16] = {};
+    void stamp(int node) {
+        if ((size_t)node >= write_stamp.size())
+            write_stamp.resize(node + 1024, -1000000);
+        write_stamp[node] = place_seq;
+    }
 #endif
     double sum_child_lks = 0.0;
     int warned_blen = 0;
@@ -2116,6 +2144,9 @@ struct Engine {
         minorSeqs.emplace_back(); muts.emplace_back();
         pv.push_back(-1); upR.push_back(-1); upL.push_back(-1);
         totUp.push_back(-1);
+#ifdef MAPLE_PROFILE
+        stamp((int)up.size() - 1);
+#endif
         return (int)up.size() - 1;
     }
     bool is_tip(int n) const {
@@ -2244,6 +2275,10 @@ static void E_update_blen(Engine *E, int c_node, bool add_to_list,
     E->dist[c_node] = best;
     E->dirty[node] = 1;
     E->dirty[c_node] = 1;
+#ifdef MAPLE_PROFILE
+    E->stamp(node);
+    E->stamp(c_node);
+#endif
     if (add_to_list) {
         wl->push_back({(int32_t)c_node, 2, 1});
         wl->push_back({(int32_t)node, (int32_t)c_num, 1});
@@ -2258,6 +2293,9 @@ static bool E_update_partials(Engine *E, std::vector<WorkItem> wl) {
         int node = it.node, direction = it.dir;
         bool lk_dirty = it.lk_dirty != 0;
         E->dirty[node] = 1;
+#ifdef MAPLE_PROFILE
+        E->stamp(node);
+#endif
         int64_t vect_up_up = -1;
         int child_num_up = -1;
         if (E->up[node] >= 0) {
@@ -2693,13 +2731,31 @@ static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
     struct StackItem { int32_t node; double parent_lk; int32_t failed;
                        int64_t diffs; int64_t ts; int64_t tm; };
     std::vector<StackItem> stack;
+    // Prefetch a pushed child's vectors at push time: the pop (and its
+    // append/minor-seq walk) happens after the sibling subtree, by which
+    // time the lines are resident.  The walk itself cannot overlap its
+    // misses (advance is branch-dependent on loaded data), so this is
+    // where most of the placement DFS's memory stalls go away.
+    auto prefetch_vec = [&](int64_t id) {
+        if (id < 0) return;
+        const Vec &vv = E->S->v(id);
+        const char *p = (const char *)vv.data();
+        const char *end = p + vv.size() * sizeof(Entry);
+        if (end - p > 64 * 64) end = p + 64 * 64;
+        for (; p < end; p += 64) __builtin_prefetch(p, 0, 2);
+    };
     auto push_child = [&](int c, double plk, int failed, int64_t dcc) {
         int64_t ts = -1, tm = -1;
+        bool leaf = E->is_leaf(c);
+        bool scored = E->dist[c] > E->eff0 && E->up[c] >= 0;
         if (pool_on) {
-            if (E->is_leaf(c))
+            if (leaf)
                 tm = (int64_t)E->pool->add(1, E->pv[c], dcc, 0.0);
-            if (E->dist[c] > E->eff0 && E->up[c] >= 0)
+            if (scored)
                 ts = (int64_t)E->pool->add(0, E->totUp[c], dcc, E->one_mut);
+        } else {
+            if (leaf) prefetch_vec(E->pv[c]);
+            if (scored) prefetch_vec(E->totUp[c]);
         }
         stack.push_back({(int32_t)c, plk, (int32_t)failed, dcc, ts, tm});
     };
@@ -2709,10 +2765,19 @@ static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
         if (!E->muts[ch].empty()) dcc = E_pass_down(E, diffs, ch);
         push_child(ch, best_lk_diff, 0, dcc);
     }
+#ifdef MAPLE_PROFILE
+    int64_t min_gap = 1000000;
+#endif
     while (!stack.empty()) {
         E->dfs_visits++;
         StackItem it = stack.back(); stack.pop_back();
         int t1 = it.node;
+#ifdef MAPLE_PROFILE
+        if ((size_t)t1 < E->write_stamp.size()) {
+            int64_t g = E->place_seq - E->write_stamp[t1];
+            if (g < min_gap) min_gap = g;
+        }
+#endif
         double parent_lk = it.parent_lk;
         int failed_passes = it.failed;
         int64_t diffs_at = it.diffs;
@@ -2836,6 +2901,9 @@ static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
         }
     }
     PROF_ADD(E->p_fine_cy, pf0);
+#ifdef MAPLE_PROFILE
+    E->p_gap_hist[min_gap < 0 ? 0 : (min_gap > 15 ? 15 : min_gap)]++;
+#endif
     if (std::isinf(best_score) && best_score < 0)
         best_score = original_lk_diff;
     R.best_node = best_node;
@@ -2853,6 +2921,10 @@ static int E_place_sample(Engine *E, int node, int64_t new_partials,
                           int sample, double new_child_lk,
                           double best_up_length, double best_down_length,
                           double best_appending_length) {
+#ifdef MAPLE_PROFILE
+    E->stamp(node);
+    if (E->up[node] >= 0) E->stamp(E->up[node]);
+#endif
     bool try_new_root = false;
     if (new_child_lk < -0.01) {
         E->sum_child_lks += new_child_lk;
@@ -4402,7 +4474,43 @@ int engine_place(Engine *E, int64_t diffs, int32_t sample) {
     if (new_root == -2 || !E->error.empty()) { E->end_call(); return -1; }
     if (new_root >= 0) E->root = new_root;
     E->end_call();
+#ifdef MAPLE_PROFILE
+    E->place_seq++;
+#endif
     return 0;
+}
+
+// Dev microbenchmark: cycles/append over a set of (vP, vC) pairs.
+// mode 0: sweep all pairs per rep (realistic cache footprint);
+// mode 1: hammer one pair (cache-hot) — the difference separates
+// memory-bound from compute-bound cost.
+double engine_bench_append(Engine *E, const int64_t *va, const int64_t *vb,
+                           int n_pairs, int reps, int mode) {
+    volatile double sink = 0.0;
+#ifdef MAPLE_PROFILE
+    uint64_t t0 = prof_now();
+    int64_t calls = 0;
+    for (int r = 0; r < reps; r++) {
+        if (mode == 1) {
+            for (int i = 0; i < n_pairs; i++) {
+                sink = append_prob_node(*E->S, E->S->v(va[0]),
+                                        E->S->v(vb[0]), true, E->one_mut);
+                calls++;
+            }
+        } else {
+            for (int i = 0; i < n_pairs; i++) {
+                sink = append_prob_node(*E->S, E->S->v(va[i]),
+                                        E->S->v(vb[i]), true, E->one_mut);
+                calls++;
+            }
+        }
+    }
+    (void)sink;
+    return (double)(prof_now() - t0) / (double)calls;
+#else
+    (void)va; (void)vb; (void)n_pairs; (void)reps; (void)mode;
+    return -1.0;
+#endif
 }
 
 int32_t engine_root(Engine *E) { return E->root; }
@@ -4429,7 +4537,7 @@ void engine_stats(Engine *E, double *out) {
 
 // Dev-only (see MAPLE_PROFILE above); zeros when profiling is compiled out.
 void engine_profile(Engine *E, double *out) {
-    for (int i = 0; i < 10; i++) out[i] = 0.0;
+    for (int i = 0; i < 26; i++) out[i] = 0.0;
 #ifdef MAPLE_PROFILE
     out[0] = (double)E->p_find_cy;
     out[1] = (double)E->p_append_cy;
@@ -4441,6 +4549,7 @@ void engine_profile(Engine *E, double *out) {
     out[7] = (double)E->p_entries;
     out[8] = (double)E->p_tot_entries;
     out[9] = (double)E->p_o_entries;
+    for (int i = 0; i < 16; i++) out[10 + i] = (double)E->p_gap_hist[i];
 #endif
 }
 
