@@ -52,14 +52,33 @@ class DeviceTreePool:
         uer = rt.model.using_error_rate
         anchors = []
         vecs = []
+        # Per-node MAT frame chains as persistent linked lists:
+        # chain[node] = (node, chain[parent]) when node carries a mutation
+        # list, else chain[parent].  Anchors below local references are
+        # translated to the global frame at pack time (composition of
+        # passGenomeListThroughBranch, reference :3749) so device scoring
+        # stays frame-free while MAT stays enabled.
+        chains = {}
+        stack = []
+        for node in range(len(tree.up)):
+            if tree.up[node] is None and tree.children[node] is not None:
+                chains[node] = (node, None) if tree.mutations[node] else None
+                stack.append(node)
+        while stack:
+            n = stack.pop()
+            for c in tree.children[n] or ():
+                chains[c] = (c, chains[n]) if tree.mutations[c] \
+                    else chains[n]
+                stack.append(c)
         for node in range(len(tree.up)):
             if tree.up[node] is None or tree.children[node] is None:
                 continue  # root / spliced-out minor parents
             if tree.dist[node] > eff0 and tree.probVectTotUp[node] is not None:
                 v = tree.probVectTotUp[node]
-                if tree.mutations[node]:
-                    # express in global frame for frame-free device scoring
-                    continue
+                link = chains.get(node)
+                while link is not None:
+                    v = rt.pass_up(v, link[0])
+                    link = link[1]
                 anchors.append(node)
                 vecs.append(rt.kern.export(v))
         self.anchor_ids = anchors
@@ -184,6 +203,29 @@ class BatchedPlacer:
         return root
 
     # ------------------------------------------------------------------
+    def _diffs_in_frame(self, diffs, node, memo):
+        """Sample diffs translated from the global frame into ``node``'s
+        MAT frame (composition of passGenomeListThroughBranch down the
+        root->node mutation chain, reference :3749; memoized per distinct
+        chain so polytomy-mates share the translation)."""
+        tree = self.rt.tree
+        chain = []
+        n = node
+        while n is not None:
+            if tree.mutations[n]:
+                chain.append(n)
+            n = tree.up[n]
+        if not chain:
+            return diffs
+        key = tuple(chain)
+        v = memo.get(key)
+        if v is None:
+            v = diffs
+            for n in reversed(chain):
+                v = self.rt.pass_down(v, n)
+            memo[key] = v
+        return v
+
     def _place_one(self, root: int, sample_id, diffs, anchor_scores,
                    anchor_ids, recent_nodes=()) -> int:
         """Exact host decision for one query given device anchor scores."""
@@ -193,9 +235,12 @@ class BatchedPlacer:
         kern = rt.kern
         one_mut = dc.oneMutBLen
         t0 = time.time()
+        memo = {}
         # base: appending at the root
         root_vect = rt.root_vector(tree.probVect[root], False, False, root)
-        root_score = kern.append_prob_node(root_vect, diffs, True, one_mut)
+        root_score = kern.append_prob_node(
+            root_vect, self._diffs_in_frame(diffs, root, memo), True,
+            one_mut)
         best_lk = root_score
         # host-score the nodes added earlier in this batch (absent from the
         # device pool) so chained placements stay sharp
@@ -205,8 +250,9 @@ class BatchedPlacer:
             if tree.up[n] is None or tree.children[n] is None:
                 continue
             if tree.dist[n] > eff0 and tree.probVectTotUp[n] is not None:
-                sc = kern.append_prob_node(tree.probVectTotUp[n], diffs,
-                                        True, one_mut)
+                sc = kern.append_prob_node(
+                    tree.probVectTotUp[n],
+                    self._diffs_in_frame(diffs, n, memo), True, one_mut)
                 recent_scored.append((sc, n))
                 best_lk = max(best_lk, sc)
         order = np.argsort(anchor_scores)[::-1]
@@ -241,7 +287,7 @@ class BatchedPlacer:
             v = tree.probVect[leaf]
             if v is None:
                 continue
-            q_at = diffs
+            q_at = self._diffs_in_frame(diffs, leaf, memo)
             comparison = kern.is_minor_sequence(v, q_at)
             if comparison == 1:
                 tree.minorSequences[leaf].append(sample_id)
@@ -254,30 +300,32 @@ class BatchedPlacer:
         best_node = root
         best_score = root_score
         best_blens = (False, False, one_mut)
+        best_diffs = self._diffs_in_frame(diffs, root, memo)
         for node in top:
             if tree.probVectTotUp[node] is None or tree.up[node] is None \
                     or tree.children[node] is None:
                 continue  # restructured by an earlier placement in the batch
+            diffs_at = self._diffs_in_frame(diffs, node, memo)
             up_vect = tree.vect_up_for(node)
             if tree.mutations[node]:
                 up_vect = rt.pass_down(up_vect, node)
             is_tip = tree.is_tip(node)
             best_appending = kern.estimate_branch_length(
-                tree.probVectTotUp[node], diffs, from_tip_c=True)
+                tree.probVectTotUp[node], diffs_at, from_tip_c=True)
             mid_lower = kern.merge_vectors(
                 tree.probVect[node], tree.dist[node] / 2, is_tip,
-                diffs, best_appending, True)
+                diffs_at, best_appending, True)
             best_top = kern.estimate_branch_length(up_vect, mid_lower)
             mid_top = kern.merge_vectors(
-                up_vect, best_top, False, diffs, best_appending, True,
+                up_vect, best_top, False, diffs_at, best_appending, True,
                 is_up_down=True)
             best_bottom = kern.estimate_branch_length(
                 mid_top, tree.probVect[node], from_tip_c=is_tip)
             new_mid = kern.merge_vectors(
                 up_vect, best_top, False, tree.probVect[node],
                 best_bottom, is_tip, is_up_down=True)
-            appending_cost = kern.append_prob_node(new_mid, diffs, True,
-                                                best_appending)
+            appending_cost = kern.append_prob_node(new_mid, diffs_at, True,
+                                                   best_appending)
             initial_cost = kern.append_prob_node(
                 up_vect, tree.probVect[node], is_tip, tree.dist[node])
             new_partial_cost = kern.append_prob_node(
@@ -288,11 +336,12 @@ class BatchedPlacer:
                 best_score = optimized
                 best_node = node
                 best_blens = (best_top, best_bottom, best_appending)
+                best_diffs = diffs_at
         self.time_fine += time.time() - t0
 
         t0 = time.time()
         new_root = place_sample_on_tree(
-            rt, best_node, diffs, sample_id, best_score, best_blens[0],
+            rt, best_node, best_diffs, sample_id, best_score, best_blens[0],
             best_blens[1], best_blens[2], rt.model.pseudo_counts, self.stats)
         self.time_apply += time.time() - t0
         return new_root if new_root is not None else root

@@ -427,7 +427,6 @@ class Run:
         from .parallel.batch_placement import BatchedPlacer
         cfg = self.cfg
         dc = self.dc
-        cfg.noLocalRef = True  # device scoring is frame-free
         distances = self.sorted_distances()
         first_key, first_sample = distances.pop()
         self.names_in_tree.append(first_sample)

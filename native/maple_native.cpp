@@ -162,6 +162,18 @@ struct Store {
 
 const double DBL_MIN_POS = std::numeric_limits<double>::min();
 
+static inline void prefetch_entries(const Vec &v) {
+    // The two-pointer walk's loads are branch-dependent on loaded data,
+    // so out-of-order execution cannot overlap their cache misses.
+    // Issuing all line prefetches up front restores full memory-level
+    // parallelism; the walk then runs on (nearly) resident lines.
+    const char *p = (const char *)v.data();
+    const char *end = p + v.size() * sizeof(Entry);
+    if (end - p > 64 * 96) end = p + 64 * 96;
+    for (; p < end; p += 64) __builtin_prefetch(p, 0, 3);
+}
+
+
 // CPython 3.12 builtin sum() float fast path (Neumaier compensation).
 inline double neumaier_sum4(const double *x) {
     double total = 0.0, c = 0.0;
@@ -461,6 +473,8 @@ int merge_vectors(Store &S, const Vec &v1, double bl1, bool tip1,
                   const Vec &v2, double bl2, bool tip2, bool return_lk,
                   bool is_up_down, int n_minor1, int n_minor2, Vec &out,
                   double *lk_out) {
+    prefetch_entries(v1);
+    prefetch_entries(v2);
     const bool uer = S.using_error_rate;
     double lk = 0.0;
     if (return_lk) {
@@ -745,17 +759,6 @@ int merge_vectors(Store &S, const Vec &v1, double bl1, bool tip1,
 // (reference :6505-6785; Python append_prob_node).  Templated on the
 // error-rate flag so the placement-path instantiation (uer=false) strips
 // every error-model branch at compile time.
-static inline void prefetch_entries(const Vec &v) {
-    // The two-pointer walk's loads are branch-dependent on loaded data,
-    // so out-of-order execution cannot overlap their cache misses.
-    // Issuing all line prefetches up front restores full memory-level
-    // parallelism; the walk then runs on (nearly) resident lines.
-    const char *p = (const char *)v.data();
-    const char *end = p + v.size() * sizeof(Entry);
-    if (end - p > 64 * 96) end = p + 64 * 96;
-    for (; p < end; p += 64) __builtin_prefetch(p, 0, 3);
-}
-
 template <bool UER>
 static double append_prob_node_t(const Store &S, const Vec &vP,
                                  const Vec &vC, bool tip_c, double blen) {
@@ -1013,6 +1016,8 @@ double append_prob_node(const Store &S, const Vec &vP, const Vec &vC,
 // the Python-side `False` ("optimal length is 0").
 double estimate_branch_length(const Store &S, const Vec &vP, const Vec &vC,
                               bool from_tip_c) {
+    prefetch_entries(vP);
+    prefetch_entries(vC);
     const bool uer = S.using_error_rate;
     const int uer1 = uer ? 1 : 0;
     double c1acc = S.global_tot_rate;
@@ -1455,6 +1460,8 @@ double find_prob_root_frame(const Store &S, const Vec &v) {
 // --------------------------------------------------- areVectorsDifferent
 // (reference :5419-5472)
 bool are_vectors_different(const Store &S, const Vec &v1, const Vec &v2) {
+    prefetch_entries(v1);
+    prefetch_entries(v2);
     size_t i1 = 0, i2 = 0;
     int pos = 0;
     const Entry *e1 = &v1[0];
@@ -1517,6 +1524,8 @@ bool are_vectors_different(const Store &S, const Vec &v1, const Vec &v2) {
 // (reference :5919-6004)
 int is_minor_sequence(const Store &S, const Vec &v1, const Vec &v2,
                       bool only_identical) {
+    prefetch_entries(v1);
+    prefetch_entries(v2);
     size_t i1 = 0, i2 = 0;
     int pos = 0;
     const Entry *e1 = &v1[0];
