@@ -64,6 +64,8 @@ def expectation_maximization_rates(rt: TreeRuntime, root: int,
     """Returns (rate_matrix, site_rates|None, error_rate|None,
     site_error_rates|None); with track_mutations also fills
     tree.mutationsInf / tree.Ns / tree.errors."""
+    if not track_mutations and getattr(rt.kern, "name", "") == "native":
+        return _em_native(rt, root)
     tree = rt.tree
     model = rt.model
     refd = rt.refd
@@ -358,6 +360,25 @@ def expectation_maximization_rates(rt: TreeRuntime, root: int,
                 node = up[node]
                 direction = 1
 
+    return _finalize_em(
+        model_name, mut_matrix, root_freqs, ref_indices, lRef, uer,
+        site_err, rate_var, track_mutations, counts, waiting_times,
+        error_count, observed_tot if uer else 0.0, num_tips,
+        observed_sites if (uer and site_err) else None,
+        error_count_sites if (uer and site_err) else None,
+        tot_tree_length if rate_var else 0.0,
+        tracking_ns if rate_var else None,
+        waiting_times_sites if rate_var else None,
+        counts_sites if rate_var else None)
+
+
+def _finalize_em(model_name, mut_matrix, root_freqs, ref_indices, lRef,
+                 uer, site_err, rate_var, track_mutations, counts,
+                 waiting_times, error_count, observed_tot, num_tips,
+                 observed_sites, error_count_sites, tot_tree_length,
+                 tracking_ns, waiting_times_sites, counts_sites):
+    """Estimator tail shared by the Python and native accumulation paths
+    (reference :10855-10938)."""
     if uer:
         observed_tot += lRef * num_tips
 
@@ -439,6 +460,105 @@ def expectation_maximization_rates(rt: TreeRuntime, root: int,
     else:
         site_rates = None
     return counts, site_rates, error_rate_estimate, site_err_rates
+
+
+def _em_native(rt: TreeRuntime, root: int):
+    """Native accumulation path: the same branch traversal as the Python
+    body, with the per-branch two-pointer accumulation in C++
+    (native em_branch; float-op order mirrored, so totals are
+    byte-identical).  track_mutations stays on the Python path."""
+    import numpy as np
+    tree = rt.tree
+    model = rt.model
+    refd = rt.refd
+    lRef = refd.lRef
+    ref_indices = refd.ref_indices
+    uer = model.using_error_rate
+    site_err = model.error_rate_site_specific
+    rate_var = model.use_rate_variation
+    up = tree.up
+    children = tree.children
+    dist = tree.dist
+    minor = tree.minorSequences
+    store = rt.kern._sync()
+    store.em_reset()
+
+    def conv(ml):
+        if not ml:
+            return (None, None, 0)
+        return (np.array([m[0] for m in ml], dtype=np.int32),
+                np.array([m[1] for m in ml], dtype=np.int8), len(ml))
+
+    mutations_list = [(m[0], m[2]) for m in tree.mutations[root]]
+    mut_arrays = conv(mutations_list)
+    num_tips = 0
+    node = root
+    last_node = None
+    direction = 0
+    while node is not None:
+        if direction == 0:
+            node_is_leaf = len(children[node]) == 0
+            if node_is_leaf:
+                num_tips += 1 + len(minor[node])
+            if (dist[node] or (uer and node_is_leaf)) \
+                    and up[node] is not None:
+                vP = tree.vect_up_for(node)
+                if tree.mutations[node]:
+                    vP = rt.pass_down(vP, node)
+                store.em_branch(vP.vid, tree.probVect[node].vid,
+                                dist[node], node_is_leaf,
+                                len(minor[node]), mut_arrays[0],
+                                mut_arrays[1], mut_arrays[2])
+            if children[node]:
+                node = children[node][0]
+                if tree.mutations[node]:
+                    mutations_list = pass_mutation_list_through_branch(
+                        ref_indices, mutations_list, tree.mutations[node])
+                    mut_arrays = conv(mutations_list)
+            else:
+                last_node = node
+                if tree.mutations[node]:
+                    mutations_list = pass_mutation_list_through_branch(
+                        ref_indices, mutations_list, tree.mutations[node],
+                        dir_is_up=True)
+                    mut_arrays = conv(mutations_list)
+                node = up[node]
+                direction = 1
+        else:
+            if last_node == children[node][0]:
+                node = children[node][1]
+                if tree.mutations[node]:
+                    mutations_list = pass_mutation_list_through_branch(
+                        ref_indices, mutations_list, tree.mutations[node])
+                    mut_arrays = conv(mutations_list)
+                direction = 0
+            else:
+                last_node = node
+                if tree.mutations[node]:
+                    mutations_list = pass_mutation_list_through_branch(
+                        ref_indices, mutations_list, tree.mutations[node],
+                        dir_is_up=True)
+                    mut_arrays = conv(mutations_list)
+                node = up[node]
+                direction = 1
+
+    counts, waiting_times, error_count, observed_tot, tot_tree_length = \
+        store.em_totals()
+    if rate_var:
+        waiting_times_sites, counts_sites, tracking_ns = \
+            store.em_site_arrays()
+    else:
+        waiting_times_sites = counts_sites = tracking_ns = None
+    if uer and site_err:
+        observed_sites, error_count_sites = store.em_error_arrays()
+    else:
+        observed_sites = error_count_sites = None
+    return _finalize_em(
+        model.model_name, model.mut_matrix, refd.root_freqs, ref_indices,
+        lRef, uer, site_err, rate_var, False, counts, waiting_times,
+        error_count, observed_tot, num_tips, observed_sites,
+        error_count_sites, tot_tree_length, tracking_ns,
+        waiting_times_sites, counts_sites)
 
 
 # scratch cell used to return the per-call error-count increment from the

@@ -151,6 +151,12 @@ def _load():
                                     p(C.c_int32), p(d), p(C.c_long),
                                     p(C.c_long)]
     lib.engine_export_replacements.argtypes = [C.c_void_p, p(C.c_int32)]
+    lib.em_reset.argtypes = [C.c_void_p]
+    lib.em_branch.argtypes = [C.c_void_p, C.c_int64, C.c_int64, d, C.c_int,
+                              C.c_int, p(C.c_int32), p(C.c_int8), C.c_int]
+    lib.em_totals.argtypes = [C.c_void_p, p(d), p(d), p(d)]
+    lib.em_site_arrays.argtypes = [C.c_void_p, p(d), p(d), p(d)]
+    lib.em_error_arrays.argtypes = [C.c_void_p, p(d), p(d)]
     _lib = lib
     return _lib
 
@@ -399,3 +405,46 @@ class NativeStore:
 
     def num_non4(self, vid):
         return self.lib.k_num_non4(self.h, vid)
+
+    # --- EM accumulation (models/em.py native path) ---
+    def em_reset(self):
+        self.lib.em_reset(self.h)
+
+    def em_branch(self, vP, vC, dist, node_is_leaf, n_minor,
+                  mut_pos, mut_alt, n_mut):
+        self.lib.em_branch(
+            self.h, vP, vC, dist, 1 if node_is_leaf else 0, n_minor,
+            _as_ptr(mut_pos, C.c_int32) if n_mut else None,
+            _as_ptr(mut_alt, C.c_int8) if n_mut else None, n_mut)
+
+    def em_totals(self):
+        """(counts 4x4 lists, waiting_times list4, error_count,
+        observed_tot, tot_tree_length) — all python floats (.tolist();
+        np.float64 would defeat the compensated builtin sum() downstream)."""
+        counts = np.zeros(16, np.float64)
+        wt = np.zeros(4, np.float64)
+        sc = np.zeros(3, np.float64)
+        self.lib.em_totals(self.h, _as_ptr(counts, C.c_double),
+                           _as_ptr(wt, C.c_double), _as_ptr(sc, C.c_double))
+        return (counts.reshape(4, 4).tolist(), wt.tolist(),
+                float(sc[0]), float(sc[1]), float(sc[2]))
+
+    def em_site_arrays(self):
+        """(waiting_times_sites lRef x [4], counts_sites, tracking_ns)."""
+        n = self.lRef
+        wts = np.zeros(n * 4, np.float64)
+        cs = np.zeros(n, np.float64)
+        tns = np.zeros(n + 1, np.float64)
+        self.lib.em_site_arrays(self.h, _as_ptr(wts, C.c_double),
+                                _as_ptr(cs, C.c_double),
+                                _as_ptr(tns, C.c_double))
+        return wts.reshape(n, 4).tolist(), cs.tolist(), tns.tolist()
+
+    def em_error_arrays(self):
+        """(observed_sites lRef+1, error_count_sites lRef)."""
+        n = self.lRef
+        obs = np.zeros(n + 1, np.float64)
+        err = np.zeros(n, np.float64)
+        self.lib.em_error_arrays(self.h, _as_ptr(obs, C.c_double),
+                                 _as_ptr(err, C.c_double))
+        return obs.tolist(), err.tolist()

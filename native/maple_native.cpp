@@ -76,6 +76,24 @@ static inline uint64_t prof_now() {
 #define PROF_ADD(acc, t0)
 #endif
 
+// EM accumulator state (reference expectationMaximizationCalculationRates
+// :10077-10947; Python twin maple_tpu/models/em.py).  One per Store; the
+// host drives the tree traversal and calls em_branch per branch, keeping
+// Python-float-op order for byte parity.  Estimators stay host-side.
+struct EMState {
+    bool rate_var = false, uer = false, site_err = false;
+    double counts[4][4] = {};
+    double waiting_times[4] = {0, 0, 0, 0};
+    double error_count = 0.0;
+    double observed_tot = 0.0;   // leaf-N corrections; host adds lRef*nTips
+    double tot_tree_length = 0.0;
+    std::vector<double> wts;        // waiting_times_sites, lRef*4
+    std::vector<double> cs;         // counts_sites, lRef
+    std::vector<double> tns;        // tracking_ns, lRef+1
+    std::vector<double> obs_sites;  // observed_sites, lRef+1
+    std::vector<double> err_sites;  // error_count_sites, lRef
+};
+
 struct Store {
     int lRef = 0;
     // reference tables
@@ -149,6 +167,8 @@ struct Store {
     Vec &v(int64_t id) {
         return vec_chunks[id >> VCHUNK_BITS][id & (VCHUNK - 1)];
     }
+
+    EMState em_state;
 
     // per-site matrix entry: mut[i][j] * site_rate
     inline double mm(int pos, int i, int j) const {
@@ -1612,6 +1632,511 @@ void update_pseudo_counts(const Store &S, const Vec &v1, const Vec &v2,
 }  // namespace
 
 // ================================================================ C API
+// =============================================================== EM kernel
+// Per-branch posterior accumulation (reference :10077-10947; Python twin
+// models/em.py _em_* helpers).  Float-op order mirrors the Python code
+// exactly so exported totals are byte-identical.  track_mutations mode
+// (the MAT annotator) stays on the Python path.
+
+// O upper vs O lower (em.py _em_O_O, reference :10247-10336)
+static double em_O_O(const Store &S, EMState &E, const Entry &e1,
+                     const Entry &e2, double tot_len1, int pos, bool leaf) {
+    const double *p1 = e1.probs;
+    const double *p2 = e2.probs;
+    const bool rv = E.rate_var;
+    double err_ret = 0.0;
+    if (leaf && E.uer) {
+        const double eps = S.eps_at(pos);
+        double no_mut = 0.0, mut_prob = 0.0, err_prob = 0.0;
+        for (int j = 0; j < 4; j++) {
+            if (p2[j] > 0.1) {
+                no_mut += p1[j];
+                err_prob += (1.0 - p1[j]) * eps * 0.33333;
+                for (int i = 0; i < 4; i++)
+                    if (j != i)
+                        mut_prob += p1[i] * S.mm(pos, i, j) * tot_len1;
+            }
+        }
+        double norm = err_prob + no_mut + mut_prob;
+        err_prob /= norm;
+        err_ret = err_prob;
+        if (E.uer && E.site_err) E.err_sites[pos] += err_prob;
+        for (int j = 0; j < 4; j++) {
+            if (p2[j] > 0.1) {
+                E.waiting_times[j] += tot_len1 * p1[j] / norm;
+                if (rv) E.wts[pos * 4 + j] += tot_len1 * p1[j] / norm;
+                for (int i = 0; i < 4; i++) {
+                    if (j != i) {
+                        double mpij = p1[i] * S.mm(pos, i, j) * tot_len1
+                                      / norm;
+                        E.waiting_times[j] += tot_len1 * mpij / 2;
+                        E.waiting_times[i] += tot_len1 * mpij / 2;
+                        E.counts[i][j] += mpij;
+                        if (rv) {
+                            E.wts[pos * 4 + j] += tot_len1 * mpij / 2;
+                            E.wts[pos * 4 + i] += tot_len1 * mpij / 2;
+                            E.cs[pos] += mpij;
+                        }
+                    }
+                }
+            }
+        }
+    } else {
+        double norm = 0.0;
+        bool approx_failed[4];
+        for (int i = 0; i < 4; i++) {
+            double stay = 1.0 + S.mm(pos, i, i) * tot_len1;
+            if (stay < 0) {
+                for (int j = 0; j < 4; j++) norm += p1[i] * 0.25 * p2[j];
+                approx_failed[i] = true;
+            } else {
+                approx_failed[i] = false;
+                for (int j = 0; j < 4; j++) {
+                    if (i == j) norm += p1[i] * stay * p2[j];
+                    else norm += p1[i] * S.mm(pos, i, j) * tot_len1 * p2[j];
+                }
+            }
+        }
+        for (int i = 0; i < 4; i++) {
+            for (int j = 0; j < 4; j++) {
+                if (i == j) {
+                    double prob;
+                    if (approx_failed[i])
+                        prob = p1[i] * 0.25 * p2[j] / norm;
+                    else
+                        prob = p1[i] * (1.0 + S.mm(pos, i, i) * tot_len1)
+                               * p2[j] / norm;
+                    E.waiting_times[i] += tot_len1 * prob;
+                    if (rv) E.wts[pos * 4 + i] += tot_len1 * prob;
+                } else {
+                    double prob;
+                    if (approx_failed[i])
+                        prob = p1[i] * 0.25 * p2[j] / norm;
+                    else
+                        prob = p1[i] * S.mm(pos, i, j) * tot_len1 * p2[j]
+                               / norm;
+                    E.waiting_times[i] += (tot_len1 / 2) * prob;
+                    E.waiting_times[j] += (tot_len1 / 2) * prob;
+                    E.counts[i][j] += prob;
+                    if (rv) {
+                        E.wts[pos * 4 + i] += (tot_len1 / 2) * prob;
+                        E.wts[pos * 4 + j] += (tot_len1 / 2) * prob;
+                        E.cs[pos] += prob;
+                    }
+                }
+            }
+        }
+    }
+    return err_ret;
+}
+
+// O upper vs concrete lower (em.py _em_O_nuc, reference :10337-10432)
+static double em_O_nuc(const Store &S, EMState &E, const Entry &e1,
+                       const Entry &e2, double tot_len1, int pos, bool leaf,
+                       bool has_minor) {
+    const double *p1 = e1.probs;
+    const bool rv = E.rate_var;
+    double err_ret = 0.0;
+    const int i2 = (e2.type == TYPE_R) ? e1.val : e2.type;
+    if (leaf && E.uer && !has_minor) {
+        const double eps = S.eps_at(pos);
+        double err_prob = (1.0 - p1[i2]) * eps * 0.33333;
+        double no_mut = p1[i2];
+        double mut_prob = 0.0;
+        for (int i = 0; i < 4; i++)
+            if (i != i2) mut_prob += p1[i] * S.mm(pos, i, i2) * tot_len1;
+        double norm = err_prob + no_mut + mut_prob;
+        err_prob /= norm;
+        no_mut /= norm;
+        mut_prob /= norm;
+        err_ret = err_prob;
+        if (E.uer && E.site_err) E.err_sites[pos] += err_prob;
+        E.waiting_times[i2] += tot_len1 * no_mut;
+        E.waiting_times[i2] += (tot_len1 / 2) * mut_prob;
+        if (rv) {
+            E.wts[pos * 4 + i2] += tot_len1 * no_mut;
+            E.wts[pos * 4 + i2] += tot_len1 * mut_prob / 2;
+            E.cs[pos] += mut_prob;
+        }
+        for (int i = 0; i < 4; i++) {
+            if (i != i2) {
+                double prob = p1[i] * S.mm(pos, i, i2) * tot_len1 / norm;
+                double prob_err = p1[i] * eps * 0.33333 / norm;
+                E.waiting_times[i] += tot_len1 * (prob_err + prob / 2);
+                E.counts[i][i2] += prob;
+                if (rv)
+                    E.wts[pos * 4 + i] += tot_len1 * (prob_err + prob / 2);
+            }
+        }
+    } else {
+        double stay = 1.0 + S.mm(pos, i2, i2) * tot_len1;
+        double norm = 0.0;
+        bool approx_failed;
+        if (stay < 0) {
+            norm = 0.25;
+            approx_failed = true;
+        } else {
+            approx_failed = false;
+            for (int i = 0; i < 4; i++) {
+                if (i == i2) norm += p1[i] * stay;
+                else norm += p1[i] * S.mm(pos, i, i2) * tot_len1;
+            }
+        }
+        for (int i = 0; i < 4; i++) {
+            if (i == i2) {
+                double prob;
+                if (approx_failed) prob = p1[i];
+                else
+                    prob = p1[i] * (1.0 + S.mm(pos, i, i) * tot_len1)
+                           / norm;
+                E.waiting_times[i] += tot_len1 * prob;
+                if (rv) E.wts[pos * 4 + i] += tot_len1 * prob;
+            } else {
+                double prob;
+                if (approx_failed) prob = p1[i];
+                else prob = p1[i] * S.mm(pos, i, i2) * tot_len1 / norm;
+                E.waiting_times[i] += (tot_len1 / 2) * prob;
+                E.waiting_times[i2] += (tot_len1 / 2) * prob;
+                E.counts[i][i2] += prob;
+                if (rv) {
+                    E.wts[pos * 4 + i] += (tot_len1 / 2) * prob;
+                    E.wts[pos * 4 + i2] += (tot_len1 / 2) * prob;
+                    E.cs[pos] += prob;
+                }
+            }
+        }
+    }
+    return err_ret;
+}
+
+// concrete upper vs O lower (em.py _em_nuc_O, reference :10434-10660)
+static double em_nuc_O(const Store &S, EMState &E, const Entry &e1,
+                       const Entry &e2, int i1, double tot_len1,
+                       double tot_len2, int pos, bool leaf, int uer1) {
+    const double *p2 = e2.probs;
+    const bool rv = E.rate_var;
+    double err_inc = 0.0;
+    if (p2[i1] > 0.1) {
+        E.waiting_times[i1] += tot_len1;
+        if (rv) {
+            E.wts[pos * 4 + S.ref_indices[pos]] -= tot_len1;
+            E.wts[pos * 4 + i1] += tot_len1;
+        }
+        return err_inc;
+    }
+    const bool uer_here = leaf && E.uer;
+    if (uer_here) {
+        const double eps = S.eps_at(pos);
+        int num_alt = 0;
+        for (int i = 0; i < 4; i++)
+            if (p2[i] > 0.1) num_alt++;
+        if (tuple_len(S, e1) == 4 + uer1) {
+            double stay1 = 1.0 + S.mm(pos, i1, i1) * tot_len1;
+            if (stay1 < 0) stay1 = 0.25;
+            double stay2 = 1.0 + S.mm(pos, i1, i1) * e1.bl1;
+            bool approx2 = stay2 < 0;
+            if (approx2) stay2 = 0.25;
+            double err_prob = S.root_freqs[i1] * stay1 * stay2 * eps
+                              * 0.33333 * num_alt;
+            double mut_prob = 0.0;
+            double i1_root = S.root_freqs[i1] * stay2;
+            for (int i = 0; i < 4; i++) {
+                if (p2[i] > 0.1) {
+                    double stay1i = 1.0 + S.mm(pos, i, i) * tot_len1;
+                    bool approx1 = stay1i < 0;
+                    if (approx1) stay1i = 0.25;
+                    if (approx1) mut_prob += i1_root * 0.25;
+                    else mut_prob += i1_root * S.mm(pos, i1, i) * tot_len1;
+                    if (approx2)
+                        mut_prob += S.root_freqs[i] * stay1i * 0.25;
+                    else
+                        mut_prob += S.root_freqs[i] * stay1i
+                                    * S.mm(pos, i, i1) * e1.bl1;
+                }
+            }
+            double norm = err_prob + mut_prob;
+            err_prob /= norm;
+            if (rv) {
+                E.wts[pos * 4 + S.ref_indices[pos]] -= tot_len1;
+                E.wts[pos * 4 + i1] += tot_len1 * err_prob;
+            }
+            E.waiting_times[i1] += tot_len1 * err_prob;
+            err_inc += err_prob;
+            if (E.uer && E.site_err) E.err_sites[pos] += err_prob;
+            for (int i = 0; i < 4; i++) {
+                if (p2[i] > 0.1) {
+                    double stay1i = 1.0 + S.mm(pos, i, i) * tot_len1;
+                    bool approx1 = stay1i < 0;
+                    if (approx1) stay1i = 0.25;
+                    double prob1, probi;
+                    if (approx1) prob1 = i1_root * 0.25 / norm;
+                    else
+                        prob1 = i1_root * S.mm(pos, i1, i) * tot_len1
+                                / norm;
+                    if (approx2)
+                        probi = S.root_freqs[i] * stay1i * 0.25 / norm;
+                    else
+                        probi = S.root_freqs[i] * stay1i * S.mm(pos, i, i1)
+                                * e1.bl1 / norm;
+                    E.waiting_times[i] += tot_len1 * (probi + prob1 / 2);
+                    E.waiting_times[i1] += tot_len1 * prob1 / 2;
+                    E.counts[i1][i] += prob1;
+                    if (rv) {
+                        E.wts[pos * 4 + i] += tot_len1 * (probi + prob1 / 2);
+                        E.wts[pos * 4 + i1] += tot_len1 * prob1 / 2;
+                        E.cs[pos] += prob1;
+                    }
+                }
+            }
+        } else {
+            double stay = 1.0 + S.mm(pos, i1, i1) * tot_len1;
+            bool approx = stay < 0;
+            if (approx) stay = 0.25;
+            double err_prob = stay * eps * 0.33333 * num_alt;
+            double mut_prob = 0.0;
+            for (int i = 0; i < 4; i++) {
+                if (p2[i] > 0.1) {
+                    if (approx) mut_prob += 0.25;
+                    else mut_prob += S.mm(pos, i1, i) * tot_len1;
+                }
+            }
+            double norm = err_prob + mut_prob;
+            err_prob /= norm;
+            if (rv) {
+                E.wts[pos * 4 + S.ref_indices[pos]] -= tot_len1;
+                E.wts[pos * 4 + i1] += tot_len1 * err_prob;
+            }
+            E.waiting_times[i1] += tot_len1 * err_prob;
+            err_inc += err_prob;
+            if (E.uer && E.site_err) E.err_sites[pos] += err_prob;
+            for (int i = 0; i < 4; i++) {
+                if (p2[i] > 0.1) {
+                    double prob = S.mm(pos, i1, i) * tot_len1 / norm;
+                    E.waiting_times[i1] += (tot_len1 / 2) * prob;
+                    E.waiting_times[i] += (tot_len1 / 2) * prob;
+                    E.counts[i1][i] += prob;
+                    if (rv) {
+                        E.wts[pos * 4 + i1] += (tot_len1 / 2) * prob;
+                        E.wts[pos * 4 + i] += (tot_len1 / 2) * prob;
+                        E.cs[pos] += prob;
+                    }
+                }
+            }
+        }
+    } else if (tot_len2 == 0.0) {
+        double norm = 0.0;
+        if (tuple_len(S, e1) == 4 + uer1) {
+            if (rv) E.wts[pos * 4 + S.ref_indices[pos]] -= tot_len1;
+            double stay1 = 1.0 + S.mm(pos, i1, i1) * e1.bl1;
+            bool approx1 = stay1 < 0;
+            if (approx1) stay1 = 0.25;
+            for (int i = 0; i < 4; i++) {
+                double stay2 = 1.0 + S.mm(pos, i, i) * tot_len1;
+                bool approx2 = stay2 < 0;
+                if (approx2) stay2 = 0.25;
+                if (i1 == i) {
+                    double prob = S.root_freqs[i] * stay1;
+                    double tot3;
+                    if (approx2) tot3 = 0.25;
+                    else {
+                        tot3 = 0.0;
+                        for (int j = 0; j < 4; j++)
+                            tot3 += S.mm(pos, i, j) * p2[j];
+                        tot3 *= tot_len1;
+                        tot3 += p2[i];
+                    }
+                    norm += prob * tot3;
+                } else {
+                    double prob;
+                    if (approx1)
+                        prob = S.root_freqs[i] * 0.25 * stay2 * p2[i];
+                    else
+                        prob = S.root_freqs[i] * S.mm(pos, i, i1) * e1.bl1
+                               * stay2 * p2[i];
+                    norm += prob;
+                }
+            }
+            for (int i = 0; i < 4; i++) {
+                double stay2 = 1.0 + S.mm(pos, i, i) * tot_len1;
+                bool approx2 = stay2 < 0;
+                if (approx2) stay2 = 0.25;
+                if (i1 == i) {
+                    double prob = S.root_freqs[i] * stay1;
+                    for (int j = 0; j < 4; j++) {
+                        if (j == i) {
+                            double tot3 = prob * stay2 * p2[j] / norm;
+                            E.waiting_times[i] += tot_len1 * tot3;
+                            if (rv) E.wts[pos * 4 + i] += tot_len1 * tot3;
+                        } else {
+                            double tot3;
+                            if (approx2)
+                                tot3 = prob * 0.25 * p2[j] / norm;
+                            else
+                                tot3 = prob * S.mm(pos, i, j) * tot_len1
+                                       * p2[j] / norm;
+                            E.waiting_times[i] += (tot_len1 / 2) * tot3;
+                            E.waiting_times[j] += (tot_len1 / 2) * tot3;
+                            E.counts[i][j] += tot3;
+                            if (rv) {
+                                E.wts[pos * 4 + i] += (tot_len1 / 2) * tot3;
+                                E.wts[pos * 4 + j] += (tot_len1 / 2) * tot3;
+                                E.cs[pos] += tot3;
+                            }
+                        }
+                    }
+                } else {
+                    double prob;
+                    if (approx1)
+                        prob = S.root_freqs[i] * 0.25 * stay2 * p2[i]
+                               / norm;
+                    else
+                        prob = S.root_freqs[i] * S.mm(pos, i, i1) * e1.bl1
+                               * stay2 * p2[i] / norm;
+                    E.waiting_times[i] += tot_len1 * prob;
+                    if (rv) E.wts[pos * 4 + i] += tot_len1 * prob;
+                }
+            }
+        } else {
+            if (rv) E.wts[pos * 4 + S.ref_indices[pos]] -= tot_len1;
+            double stay = 1.0 + S.mm(pos, i1, i1) * tot_len1;
+            bool approx;
+            if (stay < 0) {
+                norm = 0.25;
+                approx = true;
+            } else {
+                approx = false;
+                for (int i = 0; i < 4; i++) {
+                    if (i1 == i) norm += stay * p2[i];
+                    else norm += S.mm(pos, i1, i) * tot_len1 * p2[i];
+                }
+            }
+            for (int i = 0; i < 4; i++) {
+                if (i1 == i) {
+                    double prob;
+                    if (approx) prob = p2[i];
+                    else
+                        prob = (1.0 + S.mm(pos, i, i) * tot_len1) * p2[i]
+                               / norm;
+                    E.waiting_times[i] += tot_len1 * prob;
+                    if (rv) E.wts[pos * 4 + i] += tot_len1 * prob;
+                } else {
+                    double prob;
+                    if (approx) prob = p2[i];
+                    else
+                        prob = S.mm(pos, i1, i) * tot_len1 * p2[i] / norm;
+                    E.waiting_times[i1] += (tot_len1 / 2) * prob;
+                    E.waiting_times[i] += (tot_len1 / 2) * prob;
+                    E.counts[i1][i] += prob;
+                    if (rv) {
+                        E.wts[pos * 4 + i1] += (tot_len1 / 2) * prob;
+                        E.wts[pos * 4 + i] += (tot_len1 / 2) * prob;
+                        E.cs[pos] += prob;
+                    }
+                }
+            }
+        }
+    }
+    return err_inc;
+}
+
+// concrete upper vs concrete lower (em.py _em_nuc_nuc, reference
+// :10680-10806)
+static double em_nuc_nuc(const Store &S, EMState &E, const Entry &e1,
+                         int i1, int i2, double tot_len1, double tot_len2,
+                         int pos, bool leaf, bool has_minor, int uer1) {
+    const bool rv = E.rate_var;
+    double err_inc = 0.0;
+    if (i2 == i1) {
+        if (tot_len2 == 0.0) {
+            E.waiting_times[i1] += tot_len1;
+            if (rv) {
+                E.wts[pos * 4 + i1] += tot_len1;
+                E.wts[pos * 4 + S.ref_indices[pos]] -= tot_len1;
+            }
+        }
+        return err_inc;
+    }
+    if (leaf && E.uer && !has_minor) {
+        const double eps = S.eps_at(pos);
+        if (tuple_len(S, e1) < 4 + uer1) {
+            double error_prob = eps * 0.33333;
+            double mut_prob = S.mm(pos, i1, i2) * tot_len1;
+            double norm = error_prob + mut_prob;
+            error_prob /= norm;
+            mut_prob /= norm;
+            if (rv) {
+                E.wts[pos * 4 + S.ref_indices[pos]] -= tot_len1;
+                E.wts[pos * 4 + i1] += tot_len1 * (mut_prob / 2);
+                E.wts[pos * 4 + i2] += tot_len1 * (error_prob
+                                                   + mut_prob / 2);
+                E.cs[pos] += mut_prob;
+            }
+            E.waiting_times[i1] += tot_len1 * (error_prob + mut_prob / 2);
+            E.waiting_times[i2] += tot_len1 * mut_prob / 2;
+            E.counts[i1][i2] += mut_prob;
+            err_inc += error_prob;
+            if (E.uer && E.site_err) E.err_sites[pos] += error_prob;
+        } else {
+            double mutprob1 = S.root_freqs[i1] * S.mm(pos, i1, i2)
+                              * tot_len1;
+            double mutprob2 = S.root_freqs[i2] * S.mm(pos, i2, i1) * e1.bl1;
+            double error_prob = S.root_freqs[i1] * eps * 0.33333;
+            double norm = mutprob1 + mutprob2 + error_prob;
+            mutprob1 /= norm;
+            mutprob2 /= norm;
+            error_prob /= norm;
+            E.waiting_times[i1] += tot_len1 * (mutprob1 / 2 + error_prob);
+            E.waiting_times[i2] += tot_len1 * (mutprob2 + mutprob1 / 2);
+            E.counts[i1][i2] += mutprob1;
+            err_inc += error_prob;
+            if (E.uer && E.site_err) E.err_sites[pos] += error_prob;
+            if (rv) {
+                E.wts[pos * 4 + S.ref_indices[pos]] -= tot_len1;
+                E.wts[pos * 4 + i1] += tot_len1 * (mutprob1 / 2
+                                                   + error_prob);
+                E.wts[pos * 4 + i2] += tot_len1 * (mutprob2 + mutprob1 / 2);
+                E.cs[pos] += mutprob1;
+            }
+        }
+    } else if (tot_len2 == 0.0) {
+        if (tuple_len(S, e1) < 4 + uer1) {
+            if (rv) {
+                E.wts[pos * 4 + S.ref_indices[pos]] -= tot_len1;
+                E.wts[pos * 4 + i1] += tot_len1 / 2;
+                E.wts[pos * 4 + i2] += tot_len1 / 2;
+                E.cs[pos] += 1;
+            }
+            E.waiting_times[i1] += tot_len1 / 2;
+            E.waiting_times[i2] += tot_len1 / 2;
+            E.counts[i1][i2] += 1;
+        } else {
+            double no_mut1 = 1.0 + S.mm(pos, i1, i1) * e1.bl1;
+            if (no_mut1 < 0) no_mut1 = 0.25;
+            double no_mut2 = 1.0 + S.mm(pos, i2, i2) * tot_len1;
+            if (no_mut2 < 0) no_mut2 = 0.25;
+            double prob1 = S.root_freqs[i1] * S.mm(pos, i1, i2) * tot_len1
+                           * no_mut1;
+            double prob2 = S.root_freqs[i2] * S.mm(pos, i2, i1) * e1.bl1
+                           * no_mut2;
+            double norm = prob1 + prob2;
+            prob1 /= norm;
+            prob2 /= norm;
+            E.waiting_times[i1] += (tot_len1 / 2) * prob1;
+            E.waiting_times[i2] += (tot_len1 / 2) * prob1;
+            E.counts[i1][i2] += prob1;
+            E.waiting_times[i2] += tot_len1 * prob2;
+            if (rv) {
+                E.wts[pos * 4 + S.ref_indices[pos]] -= tot_len1;
+                E.wts[pos * 4 + i1] += (tot_len1 / 2) * prob1;
+                E.wts[pos * 4 + i2] += (tot_len1 / 2) * prob1;
+                E.wts[pos * 4 + i2] += tot_len1 * prob2;
+                E.cs[pos] += prob1;
+            }
+        }
+    }
+    return err_inc;
+}
+
 extern "C" {
 
 Store *store_create(int lRef) {
@@ -1672,6 +2197,172 @@ void store_set_model(Store *s, const double *mut, const double *cum_rate,
                                         cumulative_error_rate + s->lRef + 1);
     s->tot_error = tot_error;
     if (rfle_cum) s->rfle_cum.assign(rfle_cum, rfle_cum + s->lRef + 1);
+}
+
+// ------------------------------------------------------------ EM exports
+
+void em_reset(Store *s) {
+    EMState &E = s->em_state;
+    E = EMState();
+    E.rate_var = s->use_rate_variation;
+    E.uer = s->using_error_rate;
+    E.site_err = s->site_err;
+    if (E.rate_var) {
+        E.wts.assign((size_t)s->lRef * 4, 0.0);
+        E.cs.assign(s->lRef, 0.0);
+        E.tns.assign(s->lRef + 1, 0.0);
+    }
+    if (E.uer && E.site_err) {
+        E.obs_sites.assign(s->lRef + 1, 0.0);
+        E.err_sites.assign(s->lRef, 0.0);
+    }
+}
+
+// One branch's accumulation (em.py main loop, reference :10141-10806).
+// mut_pos/mut_alt = the node's current MAT frame-difference list
+// (host-maintained via pass_mutation_list_through_branch).
+void em_branch(Store *s, int64_t vP_id, int64_t vC_id, double dist,
+               int node_is_leaf, int n_minor, const int32_t *mut_pos,
+               const int8_t *mut_alt, int n_mut) {
+    const Store &S = *s;
+    EMState &E = s->em_state;
+    const Vec &vP = s->v(vP_id);
+    const Vec &vC = s->v(vC_id);
+    prefetch_entries(vP);
+    prefetch_entries(vC);
+    const bool leaf = node_is_leaf != 0;
+    const bool rv = E.rate_var;
+    const int uer1 = E.uer ? 1 : 0;
+    const int lRef = S.lRef;
+    if (rv) E.tot_tree_length += dist;
+    size_t i1x = 0, i2x = 0;
+    int pos = 0;
+    int iml = 0;
+    const Entry *e1 = &vP[0];
+    const Entry *e2 = &vC[0];
+    while (true) {
+        while (iml < n_mut && mut_pos[iml] < pos) iml++;
+        const int c1 = e1->type;
+        const int c2 = e2->type;
+        if (c2 == TYPE_N) {
+            int end = (c1 == TYPE_R || c1 == TYPE_N)
+                      ? std::min(e1->val, e2->val) : pos + 1;
+            if (E.uer && leaf) {
+                if (E.site_err)
+                    E.obs_sites[pos] -= 1 + n_minor;
+                else
+                    E.observed_tot -= (double)(end - pos) * (1 + n_minor);
+            }
+            if (rv) E.tns[pos] -= dist;
+            pos = end;
+            if (rv) E.tns[pos] += dist;
+            if (E.uer && E.site_err && leaf) E.obs_sites[pos] += 1 + n_minor;
+        } else if (c1 == TYPE_N) {
+            int end = (c2 == TYPE_R) ? std::min(e1->val, e2->val) : pos + 1;
+            if (rv) E.tns[pos] -= dist;
+            pos = end;
+            if (rv) E.tns[pos] += dist;
+        } else {
+            double tot_len1 = dist;
+            if (c1 < TYPE_N) {
+                int len1 = tuple_len(S, *e1);
+                if (len1 == 3 + uer1) tot_len1 += e1->bl1;
+                else if (len1 == 4 + uer1) tot_len1 += e1->bl2;
+            } else {
+                if (tuple_len(S, *e1) > 3) tot_len1 += e1->bl1;
+            }
+            double tot_len2 = 0.0;
+            if (c2 < TYPE_N) {
+                if (tuple_len(S, *e2) > 2 + uer1) tot_len2 += e2->bl1;
+            } else {
+                if (tuple_len(S, *e2) > 3) tot_len2 += e2->bl1;
+            }
+
+            if (c1 == TYPE_R && c2 == TYPE_R) {
+                int end = std::min(e1->val, e2->val);
+                if (tot_len2 == 0.0 && dist != 0.0) {
+                    for (int i = 0; i < 4; i++)
+                        E.waiting_times[i] += tot_len1
+                            * (S.cumulative_bases[end * 4 + i]
+                               - S.cumulative_bases[pos * 4 + i]);
+                    while (iml < n_mut && mut_pos[iml] < end) {
+                        int alt_pos = mut_pos[iml];
+                        int alt_nuc = mut_alt[iml];
+                        int ref_nuc = S.ref_indices[alt_pos];
+                        E.waiting_times[ref_nuc] -= tot_len1;
+                        E.waiting_times[alt_nuc] += tot_len1;
+                        iml++;
+                        if (rv) {
+                            E.wts[(alt_pos - 1) * 4 + alt_nuc] += tot_len1;
+                            E.wts[(alt_pos - 1) * 4 + ref_nuc] -= tot_len1;
+                        }
+                    }
+                }
+                pos = end;
+            } else {
+                if (c1 == TYPE_O) {
+                    if (tot_len2 == 0.0) {
+                        if (rv)
+                            E.wts[pos * 4 + S.ref_indices[pos]] -= tot_len1;
+                        if (c2 == TYPE_O)
+                            E.error_count += em_O_O(S, E, *e1, *e2,
+                                                    tot_len1, pos, leaf);
+                        else
+                            E.error_count += em_O_nuc(S, E, *e1, *e2,
+                                                      tot_len1, pos, leaf,
+                                                      n_minor > 0);
+                    }
+                } else {
+                    int i1 = (c1 == TYPE_R) ? e2->val : c1;
+                    if (c2 == TYPE_O) {
+                        E.error_count += em_nuc_O(S, E, *e1, *e2, i1,
+                                                  tot_len1, tot_len2, pos,
+                                                  leaf, uer1);
+                    } else {
+                        int i2 = (e2->type < TYPE_R) ? e2->type : e1->val;
+                        E.error_count += em_nuc_nuc(S, E, *e1, i1, i2,
+                                                    tot_len1, tot_len2,
+                                                    pos, leaf, n_minor > 0,
+                                                    uer1);
+                    }
+                }
+                pos += 1;
+            }
+        }
+
+        if (pos == lRef) break;
+        const int t1 = e1->type;
+        if (t1 < TYPE_R || t1 == TYPE_O) e1 = &vP[++i1x];
+        else if (pos == e1->val) e1 = &vP[++i1x];
+        const int t2 = e2->type;
+        if (t2 < TYPE_R || t2 == TYPE_O) e2 = &vC[++i2x];
+        else if (pos == e2->val) e2 = &vC[++i2x];
+    }
+}
+
+void em_totals(Store *s, double *counts16, double *wt4, double *scalars) {
+    const EMState &E = s->em_state;
+    for (int i = 0; i < 4; i++)
+        for (int j = 0; j < 4; j++) counts16[i * 4 + j] = E.counts[i][j];
+    for (int i = 0; i < 4; i++) wt4[i] = E.waiting_times[i];
+    scalars[0] = E.error_count;
+    scalars[1] = E.observed_tot;
+    scalars[2] = E.tot_tree_length;
+}
+
+// rate-var site arrays: wts lRef*4, cs lRef, tns lRef+1
+void em_site_arrays(Store *s, double *wts, double *cs, double *tns) {
+    const EMState &E = s->em_state;
+    std::copy(E.wts.begin(), E.wts.end(), wts);
+    std::copy(E.cs.begin(), E.cs.end(), cs);
+    std::copy(E.tns.begin(), E.tns.end(), tns);
+}
+
+// error-model site arrays: observed lRef+1, err lRef
+void em_error_arrays(Store *s, double *obs_sites, double *err_sites) {
+    const EMState &E = s->em_state;
+    std::copy(E.obs_sites.begin(), E.obs_sites.end(), obs_sites);
+    std::copy(E.err_sites.begin(), E.err_sites.end(), err_sites);
 }
 
 int64_t vec_create(Store *s, int n, const int8_t *types,
