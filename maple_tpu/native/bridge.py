@@ -145,6 +145,10 @@ def _load():
     lib.engine_blen_sweep.argtypes = [C.c_void_p, C.c_int, p(C.c_int64)]
     lib.engine_blen_loop.restype = C.c_int
     lib.engine_blen_loop.argtypes = [C.c_void_p, C.c_int, p(C.c_int64)]
+    lib.engine_root_search.restype = C.c_int
+    lib.engine_root_search.argtypes = [
+        C.c_void_p, C.c_int, C.c_int, d, d, d, p(C.c_int32), p(d),
+        p(C.c_int32), p(d), p(C.c_int64)]
     lib.engine_set_spr_params.argtypes = [C.c_void_p, d, d, d, C.c_int]
     lib.engine_spr_pass.restype = C.c_int
     lib.engine_spr_pass.argtypes = [C.c_void_p, C.c_int, C.c_int, d,

@@ -588,6 +588,43 @@ def run_native_blen_sweep(rt, root, fast_pass=False):
     return int(updates[0])
 
 
+def run_native_root_search(rt, root, strict_stop, allowed_fails,
+                           threshold_log_lk, threshold_consecutive,
+                           threshold_opt):
+    """Root-position crawl in the C++ engine (reference findBestRoot
+    :7730-7902; read-only borrow of the session vectors).  Returns
+    (best_node, best_lk_diff, best_nodes ordered dict) or None when
+    unsupported (caller runs the Python crawl).  Re-rooting, candidate
+    remapping, and abayes normalization stay on the host driver."""
+    if not native_phase_supported(rt):
+        return None
+    h = _import_engine(rt, root, transfer=False)
+    if h is None:
+        return None
+    lib = rt.kern.store.lib
+    n = len(rt.tree.up)
+    best_node = np.zeros(1, np.int32)
+    best_lk = np.zeros(1, np.float64)
+    cand_nodes = np.empty(n + 1, np.int32)
+    cand_scores = np.empty(n + 1, np.float64)
+    cand_count = np.zeros(1, np.int64)
+    rc = lib.engine_root_search(
+        h, 1 if strict_stop else 0, allowed_fails, threshold_log_lk,
+        threshold_consecutive, threshold_opt,
+        best_node.ctypes.data_as(C.POINTER(C.c_int32)),
+        best_lk.ctypes.data_as(C.POINTER(C.c_double)),
+        cand_nodes.ctypes.data_as(C.POINTER(C.c_int32)),
+        cand_scores.ctypes.data_as(C.POINTER(C.c_double)),
+        cand_count.ctypes.data_as(C.POINTER(C.c_int64)))
+    lib.engine_free(h)
+    if rc != 0:
+        return None
+    k = int(cand_count[0])
+    best_nodes = dict(zip(cand_nodes[:k].tolist(),
+                          cand_scores[:k].tolist()))
+    return int(best_node[0]), float(best_lk[0]), best_nodes
+
+
 def run_native_blen_loop(rt, root, max_extra=20):
     """The SPR-round branch-length finalization loop (sweep, then repeat
     while the previous sweep updated something, up to ``max_extra`` extra

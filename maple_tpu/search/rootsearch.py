@@ -158,6 +158,16 @@ def find_best_root(rt: TreeRuntime, root: int, strict_stop=None,
         threshold_log_lk = dc.thresholdLogLKtopology
     threshold_consecutive = dc.thresholdLogLKconsecutivePlacement
     threshold_opt = dc.thresholdLogLKoptimizationTopology
+
+    from ..native.engine import run_native_root_search
+    native = run_native_root_search(rt, root, strict_stop, allowed_fails,
+                                    threshold_log_lk,
+                                    threshold_consecutive, threshold_opt)
+    if native is not None:
+        best_node, best_lk_diff, best_nodes = native
+        return _apply_root_result(rt, root, best_node, best_nodes,
+                                  abayes_on)
+
     best_node = root
     best_lk_diff = 0.0
     best_nodes = {root: 0.0}
@@ -250,6 +260,17 @@ def find_best_root(rt: TreeRuntime, root: int, strict_stop=None,
                     (childs[i], vect_to_pass, dists[i], False, 0,
                      new_lk_to_remove_pass, score, failed_new))
 
+    return _apply_root_result(rt, root, best_node, best_nodes, abayes_on)
+
+
+def _apply_root_result(rt: TreeRuntime, root: int, best_node: int,
+                       best_nodes: dict, abayes_on: bool) -> int:
+    """Re-root/remap/abayes tail of find_best_root, shared by the Python
+    and native crawls (reference :7852-7900)."""
+    tree = rt.tree
+    cfg = rt.cfg
+    up = tree.up
+    children = tree.children
     if best_node != root:
         # remap the old root's score to the child that stays below it
         root_child = best_node

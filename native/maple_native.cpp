@@ -2886,6 +2886,19 @@ static int64_t E_merge(Engine *E, int64_t v1, double bl1, bool t1,
     return id;
 }
 
+static int64_t E_merge_lk(Engine *E, int64_t v1, double bl1, bool t1,
+                          int64_t v2, double bl2, bool t2, int nm1,
+                          int nm2, double *lk_out) {
+    Store *s = E->S;
+    int64_t id = s->alloc();
+    int rc = merge_vectors(*s, s->v(v1), bl1, t1, s->v(v2), bl2, t2,
+                           true, false, nm1, nm2, s->v(id), lk_out);
+    if (rc != 0) { s->free_slots.push_back(id); return -1; }
+    s->finish(id);
+    E->own(id);
+    return id;
+}
+
 static double E_append(Engine *E, int64_t vP, int64_t vC, bool tipc,
                        double blen) {
     return append_prob_node(*E->S, E->S->v(vP), E->S->v(vC), tipc, blen);
@@ -5014,6 +5027,154 @@ static int E_tree_lk(Engine *E, double *out) {
     return 0;
 }
 
+// findBestRoot crawl (reference :7730-7902; search/rootsearch.py
+// find_best_root) — read-only search: walks down from the root scoring a
+// re-rooting at every branch with full merge-LK bookkeeping.  Outputs the
+// best node, its LK gain, and the candidate list (insertion-ordered, the
+// Python best_nodes dict) for the host's remap/abayes/re-root phase.
+// Returns 0 ok, 2 = unsupported state (host falls back to Python).
+static int E_root_search(Engine *E, bool strict_stop, int allowed_fails,
+                         double threshold_log_lk,
+                         double threshold_consecutive, double threshold_opt,
+                         int32_t *best_node_out, double *best_lk_out,
+                         int32_t *cand_nodes, double *cand_scores,
+                         int64_t *cand_count) {
+    int root = E->root;
+    int32_t best_node = root;
+    double best_lk_diff = 0.0;
+    int64_t n_cand = 0;
+    cand_nodes[n_cand] = root;
+    cand_scores[n_cand++] = 0.0;
+    struct Item {
+        int t1; int64_t passed; double distance; bool is_tip;
+        int num_minor; double lk_to_remove; double last_lk; int failed;
+    };
+    std::vector<Item> stack;
+    if (E->c0[root] >= 0) {
+        int child1 = E->c0[root], child2 = E->c1[root];
+        int64_t vect_up1 = E_pass_up(E, E->pv[child2], child2);
+        int64_t vect_up2 = E_pass_up(E, E->pv[child1], child1);
+        double original_lk_cost = E_find_prob_root(E, E->pv[root], root);
+        bool is_tip2 = E->is_tip(child2);
+        bool is_tip1 = E->is_tip(child1);
+        double lk;
+        int64_t m = E_merge_lk(E, vect_up1, E->dist[child2], is_tip2,
+                               vect_up2, E->dist[child1], is_tip1,
+                               (int)E->minorSeqs[child2].size(),
+                               (int)E->minorSeqs[child1].size(), &lk);
+        if (m < 0) return 2;  // python would raise; fall back
+        original_lk_cost += lk;
+        if (!E->muts[child1].empty())
+            vect_up1 = E_pass_down(E, vect_up1, child1);
+        if (E->c0[child1] >= 0)
+            stack.push_back({child1, vect_up1,
+                             E->dist[child1] + E->dist[child2], is_tip2,
+                             (int)E->minorSeqs[child2].size(),
+                             original_lk_cost, 0.0, 0});
+        if (!E->muts[child2].empty())
+            vect_up2 = E_pass_down(E, vect_up2, child2);
+        if (E->c0[child2] >= 0)
+            stack.push_back({child2, vect_up2,
+                             E->dist[child2] + E->dist[child1], is_tip1,
+                             (int)E->minorSeqs[child1].size(),
+                             original_lk_cost, 0.0, 0});
+    }
+    while (!stack.empty()) {
+        Item it = stack.back();
+        stack.pop_back();
+        int childs[2] = {E->c0[it.t1], E->c1[it.t1]};
+        int64_t prob_vects[2];
+        double dists[2];
+        int num_minors[2];
+        bool is_tips[2];
+        for (int i = 0; i < 2; i++) {
+            prob_vects[i] = E_pass_up(E, E->pv[childs[i]], childs[i]);
+            dists[i] = E->dist[childs[i]];
+            num_minors[i] = (int)E->minorSeqs[childs[i]].size();
+            is_tips[i] = E->is_tip(childs[i]);
+        }
+        double new_lk_to_remove = it.lk_to_remove;
+        double lk;
+        int64_t m = E_merge_lk(E, prob_vects[0], dists[0], is_tips[0],
+                               prob_vects[1], dists[1], is_tips[1],
+                               num_minors[0], num_minors[1], &lk);
+        if (m < 0) return 2;  // raises out of find_best_root in python
+        new_lk_to_remove += lk;
+        for (int i = 0; i < 2; i++) {
+            bool traverse = false;
+            bool ok = true;
+            int64_t up_vect = -1;
+            double new_lk_to_remove_pass = 0.0, score = 0.0;
+            int failed_new = it.failed;
+            double lk_pass = 0.0;
+            up_vect = E_merge_lk(E, prob_vects[1 - i], dists[1 - i],
+                                 is_tips[1 - i], it.passed, it.distance,
+                                 it.is_tip, num_minors[1 - i],
+                                 it.num_minor, &lk_pass);
+            if (up_vect < 0) ok = false;
+            if (ok) {
+                new_lk_to_remove_pass = new_lk_to_remove - lk_pass;
+                double lk_root = 0.0;
+                int64_t new_root_vect = E_merge_lk(
+                    E, up_vect, dists[i] / 2, false, prob_vects[i],
+                    dists[i] / 2, is_tips[i], 0, num_minors[i], &lk_root);
+                if (new_root_vect < 0) {
+                    ok = false;
+                } else {
+                    double root_prob_lk =
+                        E_find_prob_root(E, new_root_vect, it.t1);
+                    score = root_prob_lk + lk_root + lk_pass
+                            - new_lk_to_remove;
+                    if (score > best_lk_diff) {
+                        E_shorten(E, up_vect);
+                        best_lk_diff = score;
+                        best_node = childs[i];
+                        failed_new = 0;
+                    } else if (score
+                               < (it.last_lk - threshold_consecutive)) {
+                        failed_new++;
+                    }
+                    if (score >= best_lk_diff - threshold_opt) {
+                        cand_nodes[n_cand] = childs[i];
+                        cand_scores[n_cand++] = score;
+                    }
+                    if (E->c0[childs[i]] >= 0) {
+                        if (strict_stop)
+                            traverse = failed_new <= allowed_fails
+                                       && score > best_lk_diff
+                                                  - threshold_log_lk;
+                        else
+                            traverse = failed_new <= allowed_fails
+                                       || score > best_lk_diff
+                                                  - threshold_log_lk;
+                    }
+                }
+            }
+            if (!ok) {
+                std::printf("Stopping root search at node %d due to "
+                            "error\n", it.t1);
+                traverse = false;
+            }
+            if (traverse) {
+                int64_t vect_to_pass;
+                if (!E->muts[childs[i]].empty()) {
+                    vect_to_pass = E_pass_down(E, up_vect, childs[i]);
+                    E_shorten(E, vect_to_pass);
+                } else {
+                    vect_to_pass = up_vect;
+                }
+                stack.push_back({childs[i], vect_to_pass, dists[i], false,
+                                 0, new_lk_to_remove_pass, score,
+                                 failed_new});
+            }
+        }
+    }
+    *best_node_out = best_node;
+    *best_lk_out = best_lk_diff;
+    *cand_count = n_cand;
+    return 0;
+}
+
 // Branch-length sweep (search/blen.optimize_branch_lengths; reference
 // traverseTreeToOptimizeBranchLengths :8727-8889, no-HnZ/no-time path):
 // grid search over half-mutation steps for the root's two branches,
@@ -5333,6 +5494,23 @@ int engine_recalculate(Engine *E) {
 
 int engine_tree_lk(Engine *E, double *out) {
     int rc = E_tree_lk(E, out);
+    E->end_call();
+    return rc;
+}
+
+// Root-position search (findBestRoot :7730-7902) — read-only borrow of
+// the session vectors; caller supplies cand arrays of node-count
+// capacity.  Returns 0 ok / 2 fall-back-to-python.
+int engine_root_search(Engine *E, int strict_stop, int allowed_fails,
+                       double threshold_log_lk,
+                       double threshold_consecutive, double threshold_opt,
+                       int32_t *best_node_out, double *best_lk_out,
+                       int32_t *cand_nodes, double *cand_scores,
+                       int64_t *cand_count) {
+    int rc = E_root_search(E, strict_stop != 0, allowed_fails,
+                           threshold_log_lk, threshold_consecutive,
+                           threshold_opt, best_node_out, best_lk_out,
+                           cand_nodes, cand_scores, cand_count);
     E->end_call();
     return rc;
 }
