@@ -149,6 +149,12 @@ def _load():
     lib.engine_root_search.argtypes = [
         C.c_void_p, C.c_int, C.c_int, d, d, d, p(C.c_int32), p(d),
         p(C.c_int32), p(d), p(C.c_int64)]
+    lib.engine_set_hnz.restype = None
+    lib.engine_set_hnz.argtypes = [C.c_void_p, C.c_int]
+    lib.engine_import_ndesc0.restype = None
+    lib.engine_import_ndesc0.argtypes = [C.c_void_p, p(C.c_int32)]
+    lib.engine_export_ndesc0.restype = None
+    lib.engine_export_ndesc0.argtypes = [C.c_void_p, p(C.c_int32)]
     lib.engine_set_spr_params.argtypes = [C.c_void_p, d, d, d, C.c_int]
     lib.engine_spr_pass.restype = C.c_int
     lib.engine_spr_pass.argtypes = [C.c_void_p, C.c_int, C.c_int, d,

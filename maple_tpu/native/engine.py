@@ -29,15 +29,16 @@ from ..core.backend import NV, NativeBackend
 
 
 def native_engine_supported(run) -> bool:
-    """The engine covers exactly the reference's default de-novo placement
-    configuration; everything else falls back to the Python loop."""
+    """The engine covers the reference's de-novo placement configurations
+    incl. rate variation and HnZ; time trees, active error models, and
+    deeper-long-branch search fall back to the Python loop."""
     cfg = run.cfg
     model = run.model
     # rate variation is supported natively: the store's per-site matrix
     # is mut[i][j] * site_rates[pos], exactly the python per-site tables
-    # (byte parity pinned by the example_ratevar golden)
-    return (not cfg.HnZ
-            and run.time_ctx is None
+    # (byte parity pinned by the example_ratevar golden); HnZ placement
+    # corrections + nDesc0 bookkeeping run natively too
+    return (run.time_ctx is None
             and not model.using_error_rate
             and not cfg.deeperSearchForLongBranches
             and not cfg.doNotPlaceNewSamples)
@@ -69,6 +70,8 @@ class NativePlacementEngine:
             1 if only_identical else 0,
             1 if rt.use_local_reference else 0,
             cfg.maxNumDescendantsForMATClade, cfg.minNumNon4))
+        if cfg.HnZ:
+            self.lib.engine_set_hnz(self.h, cfg.HnZ)
 
     def _terminal_tuples(self, diffs):
         model = self.rt.model
@@ -193,6 +196,10 @@ class NativePlacementEngine:
         tree.nDesc = ndesc.tolist()
         tree.dirty = [bool(x) for x in dirty.tolist()]
         tree.replacements = [0] * n
+        if tree.use_hnz:
+            nd0 = np.empty(n, i32)
+            lib.engine_export_ndesc0(h, P(nd0, C.c_int32))
+            tree.nDesc0 = nd0.tolist()
         tree.minorSequences = [[] for _ in range(n)]
         tree.mutations = [[] for _ in range(n)]
         for node in np.nonzero(n_minor)[0].tolist():
@@ -240,7 +247,6 @@ def native_spr_supported(rt, abayes_on, network_output, check_each_spr):
     return (isinstance(rt.kern, NativeBackend)
             and not abayes_on and not network_output
             and not check_each_spr
-            and not rt.tree.use_hnz
             and not rt.do_time_tree
             and not cfg.deeperSearchForLongBranches
             and not cfg.doNotImproveTopology
@@ -323,6 +329,10 @@ def run_native_spr_pass(rt, root, strict_stop, allowed_fails,
                       P(upr, C.c_int64), P(upl, C.c_int64),
                       P(totup, C.c_int64), P(minor_counts, C.c_int32),
                       P(n_muts, C.c_int32), P(muts_flat, C.c_int32), root)
+    if tree.use_hnz:
+        lib.engine_set_hnz(h, rt.cfg.HnZ)
+        nd0 = np.asarray(tree.nDesc0, i32)
+        lib.engine_import_ndesc0(h, P(nd0, C.c_int32))
     lib.engine_set_spr_params(
         h, dc.thresholdLogLKoptimizationTopology,
         threshold_topology_placement, rt.cfg.defaultBLen,
@@ -370,6 +380,10 @@ def run_native_spr_pass(rt, root, strict_stop, allowed_fails,
     tree.nDesc = e_nd.tolist()
     tree.dirty = [bool(x) for x in e_dirty.tolist()]
     tree.replacements = e_repl.tolist()
+    if tree.use_hnz:
+        e_nd0 = np.empty(n, i32)
+        lib.engine_export_ndesc0(h, P(e_nd0, C.c_int32))
+        tree.nDesc0 = e_nd0.tolist()
     for node in range(n):
         cnt = int(e_nm[node])
         if cnt != len(tree.mutations[node]):
@@ -471,6 +485,10 @@ def _import_engine(rt, root, transfer):
                       P(upr, C.c_int64), P(upl, C.c_int64),
                       P(totup, C.c_int64), P(minor_counts, C.c_int32),
                       P(n_muts, C.c_int32), P(muts_flat, C.c_int32), root)
+    if tree.use_hnz:
+        lib.engine_set_hnz(h, rt.cfg.HnZ)
+        nd0 = np.asarray(tree.nDesc0, i32)
+        lib.engine_import_ndesc0(h, P(nd0, C.c_int32))
     return h
 
 
@@ -519,13 +537,16 @@ def _export_engine(rt, h, raise_on=None):
     tree.probVectUpRight = wrap(e_upr)
     tree.probVectUpLeft = wrap(e_upl)
     tree.probVectTotUp = wrap(e_tot)
+    if tree.use_hnz:
+        e_nd0 = np.empty(n, i32)
+        lib.engine_export_ndesc0(h, P(e_nd0, C.c_int32))
+        tree.nDesc0 = e_nd0.tolist()
 
 
 def native_phase_supported(rt) -> bool:
     from ..core.backend import NativeBackend
     return (isinstance(rt.kern, NativeBackend)
-            and rt.time is None
-            and not rt.tree.use_hnz)
+            and rt.time is None)
 
 
 def run_native_recalculate(rt, root) -> bool:

@@ -2796,6 +2796,54 @@ struct Engine {
     double default_blen = 0;
     int max_replacements = 0;
     std::vector<int32_t> replacements;
+    // HnZ lineage-abundance modifiers (reference :305-328); hnz_mode 0 =
+    // off.  nDesc0 = effective-multifurcation sizes; hnz_vec memoizes the
+    // per-mode score exactly like models/hnz.get_hnz (same float-op
+    // order: mode 1 accumulates log(2n-3), mode 2 computes n*log(n)).
+    int hnz_mode = 0;
+    std::vector<int32_t> nDesc0;
+    std::vector<double> hnz_vec;
+    double hnz(int n) {
+        if (n <= 0) { error = "HnZ score for non-positive nDesc0"; return 0.0; }
+        if (hnz_vec.empty()) {
+            hnz_vec = {0.0, 0.0, hnz_mode == 1 ? 0.0 : 2 * std::log(2.0)};
+        }
+        while ((int)hnz_vec.size() <= n) {
+            int cur = (int)hnz_vec.size();
+            if (hnz_mode == 1)
+                hnz_vec.push_back(hnz_vec.back() + std::log(2.0 * cur - 3));
+            else
+                hnz_vec.push_back(cur * std::log((double)cur));
+        }
+        return hnz_vec[n];
+    }
+    // partials.update_ndesc0_changing_dist (reference :5361-5380)
+    void nd0_changing_dist(int node, double new_dist) {
+        int32_t addendum;
+        if (dist[node] > eff0 && new_dist <= eff0)
+            addendum = nDesc0[node] - 1;
+        else if (dist[node] <= eff0 && new_dist > eff0)
+            addendum = 1 - nDesc0[node];
+        else
+            return;
+        int parent = up[node];
+        nDesc0[parent] += addendum;
+        while (up[parent] >= 0 && dist[parent] <= eff0) {
+            parent = up[parent];
+            nDesc0[parent] += addendum;
+        }
+    }
+    // placement.py try_absorb_minor nDesc0 bump (:102-108)
+    void nd0_absorb(int node) {
+        nDesc0[node] += 1;
+        if (dist[node] <= eff0 && up[node] >= 0) {
+            int p0 = node;
+            while (dist[p0] <= eff0 && up[p0] >= 0) {
+                p0 = up[p0];
+                nDesc0[p0] += 1;
+            }
+        }
+    }
     // accumulators / stats
     double counts[16] = {};
     int num_refs = 0;
@@ -2841,6 +2889,7 @@ struct Engine {
         dist.push_back(0.0); name.push_back(-1); nDesc.push_back(0);
         dirty.push_back(1);
         replacements.push_back(0);
+        nDesc0.push_back(1);
         minorSeqs.emplace_back(); muts.emplace_back();
         pv.push_back(-1); upR.push_back(-1); upL.push_back(-1);
         totUp.push_back(-1);
@@ -2985,6 +3034,7 @@ static void E_update_blen(Engine *E, int c_node, bool add_to_list,
     int64_t vect_up = c_num == 0 ? E->upR[node] : E->upL[node];
     vect_up = E_pass_down(E, vect_up, c_node);
     double best = E_blen(E, vect_up, E->pv[c_node], E->is_tip(c_node));
+    if (E->hnz_mode) E->nd0_changing_dist(c_node, best);
     E->dist[c_node] = best;
     E->dirty[node] = 1;
     E->dirty[c_node] = 1;
@@ -3387,6 +3437,7 @@ static int E_try_absorb_minor(Engine *E, int node, int64_t diffs_at,
                                 E->S->v(diffs_at), E->only_identical);
     if (cmp == 1) {
         E->minorSeqs[node].push_back(sample);
+        if (E->hnz_mode) E->nd0_absorb(node);
         E->num_minors_found++;
         return 1;
     }
@@ -3421,6 +3472,9 @@ static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
     }
     int64_t root_vect = E_root_vector(E, E->pv[root], 0.0, false, root);
     double best_lk_diff = E_append(E, root_vect, diffs, true, E->one_mut);
+    if (E->hnz_mode)
+        best_lk_diff += E->hnz(E->nDesc0[root] + 1)
+                        - E->hnz(E->nDesc0[root]);
     double original_lk_diff = best_lk_diff;
 
     // speculative score workers: worth it once the tree is large
@@ -3501,6 +3555,7 @@ static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
                                     E->S->v(diffs_at), E->only_identical);
             if (cmp == 1) {
                 E->minorSeqs[t1].push_back(sample);
+                if (E->hnz_mode) E->nd0_absorb(t1);
                 E->num_minors_found++;
                 if (pool_on) E->pool->cancel_unconsumed();
                 R.absorbed = 1;
@@ -3526,6 +3581,9 @@ static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
                 ? E->pool->consume((size_t)it.ts)
                 : E_append(E, E->totUp[t1], diffs_at, true, E->one_mut);
             PROF_ADD(E->p_append_cy, pt0);
+            // HnZ mid-branch term (placement.py :199-207); dist[t1] >
+            // eff0 holds on this branch, so only the generic term applies
+            if (E->hnz_mode) lk_diff += E->hnz(2) - E->hnz(1);
             if (lk_diff >= best_lk_diff) {
                 if (!pool_on) {
                     E_shorten(E, diffs_at);
@@ -3604,6 +3662,43 @@ static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
         double new_partial_cost = E_append(E, up_vect, E->pv[node], is_tip,
                                            bb + bt);
         double optimized = appending_cost + new_partial_cost - initial_cost;
+        if (E->hnz_mode) {
+            // placement.py _hnz_optimize_placement (:324-362), incl. the
+            // 0-length-bottom alternative
+            double eff0 = E->eff0;
+            if (bt > eff0 && bb > eff0) {
+                optimized += E->hnz(2) - E->hnz(1);
+            } else if (bt > eff0) {
+                optimized += E->hnz(E->nDesc0[node] + 1)
+                             - E->hnz(E->nDesc0[node]);
+            } else {
+                int p0 = E->up[node];
+                while (E->dist[p0] <= eff0 && E->up[p0] >= 0)
+                    p0 = E->up[p0];
+                optimized += E->hnz(E->nDesc0[p0] + 1)
+                             - E->hnz(E->nDesc0[p0]);
+            }
+            if (bb > eff0 && E->dist[node] > eff0) {
+                int64_t alt_mid = E_merge(E, up_vect, bt + bb, false,
+                                          E->pv[node], 0.0, is_tip, true);
+                if (alt_mid >= 0) {
+                    double alt_cost = E_append(E, alt_mid, diffs_at, true,
+                                               ba);
+                    double ic2 = E_append(E, up_vect, E->pv[node], is_tip,
+                                          E->dist[node]);
+                    double np2 = E_append(E, up_vect, E->pv[node], is_tip,
+                                          bb + bt);
+                    double alt_optimized = alt_cost + np2 - ic2;
+                    alt_optimized += E->hnz(E->nDesc0[node] + 1)
+                                     - E->hnz(E->nDesc0[node]);
+                    if (alt_optimized > optimized) {
+                        optimized = alt_optimized;
+                        bt = bt + bb;
+                        bb = 0.0;
+                    }
+                }
+            }
+        }
         if (optimized >= best_score) {
             best_node = node;
             best_score = optimized;
@@ -3670,6 +3765,8 @@ static int E_place_sample(Engine *E, int node, int64_t new_partials,
                 if (best_down_length == 0.0
                         || best_down_length > 1.01 * E->dist[node]
                         || best_down_length < 0.99 * E->dist[node]) {
+                    if (E->hnz_mode)
+                        E->nd0_changing_dist(node, best_down_length);
                     E->dist[node] = best_down_length;
                     std::vector<WorkItem> wl;
                     wl.push_back({(int32_t)node, 2, 1});
@@ -3714,6 +3811,7 @@ static int E_place_sample(Engine *E, int node, int64_t new_partials,
         double prob_root = E_append(E, root_up_left, root_new_partials,
                                     true, best_right);
         prob_root += E_find_prob_root(E, prob_vect_root, node);
+        if (E->hnz_mode) prob_root += E->hnz(2) - E->hnz(1);
         double parent_lk_diff = prob_root - prob_old_root;
         if (parent_lk_diff <= new_child_lk) {
             best_right = best_appending_length;
@@ -3739,6 +3837,9 @@ static int E_place_sample(Engine *E, int node, int64_t new_partials,
         E->muts[node].clear();
         E->up[node] = new_root;
         E->dist[node] = best_left;
+        if (E->hnz_mode)
+            E->nDesc0[new_root] = best_left > E->eff0
+                ? 2 : E->nDesc0[node] + 1;
         E->c0[new_root] = node;
         if (!E->is_leaf(node)) E->nDesc[new_root] += E->nDesc[node];
         if (best_left != 0.0) E->nDesc[new_root]++;
@@ -3783,7 +3884,11 @@ static int E_place_sample(Engine *E, int node, int64_t new_partials,
     E->up[new_internal] = E->up[node];
     E->c0[new_internal] = node;
     E->up[node] = new_internal;
+    double old_len = E->dist[node];
     E->dist[node] = best_down_length;
+    if (E->hnz_mode)
+        E->nDesc0[new_internal] = best_down_length > E->eff0
+            ? 2 : E->nDesc0[node] + 1;
     bool pass_up_mutations = false;
     int descendants_to_pass = 0;
     if (!E->muts[node].empty() && best_down_length == 0.0) {
@@ -3826,6 +3931,17 @@ static int E_place_sample(Engine *E, int node, int64_t new_partials,
     E->up[new_node] = new_internal;
     E->c1[new_internal] = new_node;
     E->dist[new_internal] = best_up_length;
+    if (E->hnz_mode && best_up_length <= E->eff0) {
+        // placement.py :717-724
+        int p0 = new_internal;
+        int32_t addendum = 1;
+        if (best_down_length <= E->eff0 && old_len > E->eff0)
+            addendum = E->nDesc0[node];
+        while (E->up[p0] >= 0 && E->dist[p0] <= E->eff0) {
+            p0 = E->up[p0];
+            E->nDesc0[p0] += addendum;
+        }
+    }
 
     int64_t pv_new_node = new_partials;
     if (pass_up_mutations) pv_new_node = E_pass_up(E, new_partials, node);
@@ -4030,12 +4146,59 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
     int64_t original_removed = best_removed;
     double orig_top, orig_bottom;
 
+    // original_parent0 (spr.py :76-78) and the removed-subtree nDesc0
+    // compensation helper (:89-94) for HnZ crawls
+    int original_parent0 = node;
+    while (dist[original_parent0] <= eff0 && up[original_parent0] >= 0)
+        original_parent0 = up[original_parent0];
+    auto ndesc0_to_add_for = [&](bool anchor_dist_small) -> int32_t {
+        if (!(E->hnz_mode && anchor_dist_small)) return 0;
+        if (dist[pruned] >= eff0) return -1;
+        return -E->nDesc0[pruned];
+    };
+    // HnZ mid-correction during the crawl (spr.py hnz_mid_correction
+    // :156-188); the engine has no deeper search, so best_top =
+    // best_bottom = distance/2 and best_appending = removed_blen
+    auto hnz_mid_correction = [&](int t1, double best_top,
+                                  double best_bottom, double best_appending,
+                                  int32_t nd_add, bool at_root_like,
+                                  bool from_above) -> double {
+        auto &nd = E->nDesc0;
+        if (at_root_like) {
+            int p0 = t1;
+            while (dist[p0] <= eff0 && up[p0] >= 0) p0 = up[p0];
+            if (best_appending > eff0)
+                return E->hnz(nd[p0] + nd_add + 1) - E->hnz(nd[p0] + nd_add);
+            return E->hnz(nd[pruned] + nd[p0] + nd_add)
+                   - (E->hnz(nd[pruned]) + E->hnz(nd[p0] + nd_add));
+        }
+        if (best_bottom <= eff0) {
+            int32_t a = from_above ? 0 : nd_add;
+            if (best_appending > eff0)
+                return E->hnz(nd[t1] + a + 1) - E->hnz(nd[t1] + a);
+            return E->hnz(nd[pruned] + nd[t1] + a)
+                   - (E->hnz(nd[pruned]) + E->hnz(nd[t1] + a));
+        }
+        if (best_top <= eff0) {
+            int32_t a = from_above ? nd_add : 0;
+            int p0 = up[t1];
+            while (dist[p0] <= eff0 && up[p0] >= 0) p0 = up[p0];
+            if (best_appending > eff0)
+                return E->hnz(nd[p0] + a + 1) - E->hnz(nd[p0] + a);
+            return E->hnz(nd[pruned] + nd[p0] + a)
+                   - (E->hnz(nd[pruned]) + E->hnz(nd[p0] + a));
+        }
+        if (best_appending > eff0) return E->hnz(2) - E->hnz(1);
+        return E->hnz(nd[pruned] + 1) - E->hnz(nd[pruned]);
+    };
+
     struct CrawlItem {
         int32_t t1; int32_t direction;
         uint8_t fresh;
         int64_t passed; double distance;
         double last_lk; int32_t failed;
         int64_t removed_rel;
+        int32_t nd_add;
     };
     std::vector<CrawlItem> stack;
 
@@ -4051,7 +4214,8 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
         }
         stack.push_back({(int32_t)up[node], (int32_t)child_up, 1,
                          prob_vect1, dist[best_node] + dist[node],
-                         best_lk_diff, 0, removed_rel1});
+                         best_lk_diff, 0, removed_rel1,
+                         ndesc0_to_add_for(dist[node] < eff0)});
         int64_t vect_down = vect_up_up;
         if (!muts[node].empty())
             vect_down = E_pass_down(E, vect_down, node);
@@ -4062,7 +4226,8 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
         }
         stack.push_back({(int32_t)best_node, 0, 1, vect_down,
                          dist[best_node] + dist[node], best_lk_diff, 0,
-                         removed_rel1});
+                         removed_rel1,
+                         ndesc0_to_add_for(dist[best_node] < eff0)});
         orig_top = dist[node];
         orig_bottom = dist[best_node];
     } else {
@@ -4077,7 +4242,9 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                 vect_up1 = E_pass_down(E, vect_up1, child1);
             }
             stack.push_back({(int32_t)child1, 0, 1, vect_up1, dist[child1],
-                             best_lk_diff, 0, removed_rel1});
+                             best_lk_diff, 0, removed_rel1,
+                             ndesc0_to_add_for(dist[child1] < eff0
+                                               && dist[best_node] < eff0)});
             int64_t vect_up2 = E_pass_up(E, E->pv[child1], child1);
             vect_up2 = E_root_vector(E, vect_up2, dist[child1],
                                      E->is_tip(child1), node);
@@ -4087,7 +4254,9 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                 vect_up2 = E_pass_down(E, vect_up2, child2);
             }
             stack.push_back({(int32_t)child2, 0, 1, vect_up2, dist[child2],
-                             best_lk_diff, 0, removed_rel2});
+                             best_lk_diff, 0, removed_rel2,
+                             ndesc0_to_add_for(dist[child2] < eff0
+                                               && dist[best_node] < eff0)});
         }
         orig_top = 0.0;
         orig_bottom = dist[best_node];
@@ -4107,6 +4276,7 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
         double last_lk = it.last_lk;
         int failed = it.failed;
         int64_t removed_here = it.removed_rel;
+        int32_t nd_add = it.nd_add;
         double mid_prob;
 
         if (direction == 0) {
@@ -4128,6 +4298,11 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                 if (mid_tot < 0) continue;
                 mid_prob = E_append(E, mid_tot, removed_here,
                                     is_removed_tip, removed_blen);
+                if (E->hnz_mode)
+                    mid_prob += hnz_mid_correction(
+                        t1, distance / 2, distance / 2, removed_blen,
+                        nd_add,
+                        up[up[t1]] < 0 && distance <= eff0, true);
                 if (mid_prob > best_lk_diff - threshold_opt) {
                     if (needs_updating)
                         best_nodes.push_back({(int32_t)t1, mid_prob, 1,
@@ -4175,16 +4350,19 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                     if (!muts[child1].empty())
                         removed_rel1 = E_pass_down(E, removed_here,
                                                    child1);
+                    int32_t nd_pass = (nd_add && dist[child1] < eff0)
+                                          ? nd_add : 0;
                     if (needs_updating) {
                         if (!muts[child1].empty())
                             vect_next = E_pass_down(E, vect_next, child1);
                         stack.push_back({(int32_t)child1, 0, 1, vect_next,
                                          dist[child1], mid_prob,
-                                         (int32_t)failed, removed_rel1});
+                                         (int32_t)failed, removed_rel1,
+                                         nd_pass});
                     } else {
                         stack.push_back({(int32_t)child1, 0, 0, -1, 0.0,
                                          mid_prob, (int32_t)failed,
-                                         removed_rel1});
+                                         removed_rel1, nd_pass});
                     }
                 }
             }
@@ -4221,6 +4399,11 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                 if (mid_tot < 0) continue;
                 mid_prob = E_append(E, mid_tot, removed_here,
                                     is_removed_tip, removed_blen);
+                if (E->hnz_mode)
+                    mid_prob += hnz_mid_correction(
+                        t1, dist[t1] / 2, dist[t1] / 2, removed_blen,
+                        nd_add,
+                        up[up[t1]] < 0 && dist[t1] <= eff0, false);
                 if (mid_prob >= best_lk_diff - threshold_opt) {
                     if (needs_updating)
                         best_nodes.push_back({(int32_t)t1, mid_prob, 1,
@@ -4267,6 +4450,9 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                         if (!muts[other_child].empty())
                             removed_rel1 = E_pass_down(E, removed_here,
                                                        other_child);
+                        int32_t nd_pass =
+                            (nd_add && dist[other_child] < eff0) ? nd_add
+                                                                 : 0;
                         if (needs_updating) {
                             if (!muts[other_child].empty())
                                 vect_up2 = E_pass_down(E, vect_up2,
@@ -4274,12 +4460,12 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                             stack.push_back({(int32_t)other_child, 0, 1,
                                              vect_up2, dist[other_child],
                                              mid_prob, (int32_t)failed,
-                                             removed_rel1});
+                                             removed_rel1, nd_pass});
                         } else {
                             stack.push_back({(int32_t)other_child, 0, 0,
                                              -1, 0.0, mid_prob,
                                              (int32_t)failed,
-                                             removed_rel1});
+                                             removed_rel1, nd_pass});
                         }
                     }
                     // continue crawling up
@@ -4298,6 +4484,8 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                         int64_t removed_rel1 = removed_here;
                         if (!muts[t1].empty())
                             removed_rel1 = E_pass_up(E, removed_here, t1);
+                        int32_t nd_pass = (nd_add && dist[t1] < eff0)
+                                              ? nd_add : 0;
                         if (needs_updating) {
                             if (!muts[t1].empty())
                                 mid_bottom = E_pass_up(E, mid_bottom, t1);
@@ -4305,13 +4493,13 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                                              (int32_t)(up_child + 1), 1,
                                              mid_bottom, dist[t1],
                                              mid_prob, (int32_t)failed,
-                                             removed_rel1});
+                                             removed_rel1, nd_pass});
                         } else {
                             stack.push_back({(int32_t)up[t1],
                                              (int32_t)(up_child + 1), 0,
                                              -1, 0.0, mid_prob,
                                              (int32_t)failed,
-                                             removed_rel1});
+                                             removed_rel1, nd_pass});
                         }
                     }
                 } else {
@@ -4327,15 +4515,17 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                     if (!muts[other_child].empty())
                         removed_rel1 = E_pass_down(E, removed_here,
                                                    other_child);
+                    int32_t nd_pass = (nd_add && dist[other_child] < eff0)
+                                          ? nd_add : 0;
                     if (needs_updating) {
                         stack.push_back({(int32_t)other_child, 0, 1,
                                          vect_up2, dist[other_child],
                                          mid_prob, (int32_t)failed,
-                                         removed_rel1});
+                                         removed_rel1, nd_pass});
                     } else {
                         stack.push_back({(int32_t)other_child, 0, 0, -1,
                                          0.0, mid_prob, (int32_t)failed,
-                                         removed_rel1});
+                                         removed_rel1, nd_pass});
                     }
                 }
             }
@@ -4386,6 +4576,156 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
         double new_partial_cost = E_append(E, up_vect, down_vect,
                                            from_tip1, ev.bottom + ev.top);
         double optimized = ev.cost + new_partial_cost - initial_cost;
+        if (E->hnz_mode) {
+            // spr.py _hnz_spr_correction (:544-678) — HnZ corrections
+            // for the optimized SPR placement + the 0-bottom alternative
+            auto &nd = E->nDesc0;
+            auto H = [&](int n) { return E->hnz(n); };
+            const double NEG_INF =
+                -std::numeric_limits<double>::infinity();
+            double b_top = ev.top, b_bottom = ev.bottom;
+            double b_app = ev.appending;
+            bool below_t1 = false;
+            int opn0 = node;
+            if (opn0 == t1) below_t1 = true;
+            while (dist[opn0] <= eff0 && up[opn0] >= 0) {
+                opn0 = up[opn0];
+                if (opn0 == t1) below_t1 = true;
+            }
+            int pn0 = up[t1];
+            while (dist[pn0] <= eff0 && up[pn0] >= 0) pn0 = up[pn0];
+            int32_t comp = 0;
+            if (pn0 == opn0)
+                comp = dist[pruned] != 0.0 ? -1 : -nd[pruned];
+            int32_t comp_t1 = 0;
+            if (below_t1)
+                comp_t1 = dist[pruned] != 0.0 ? -1 : -nd[pruned];
+            double addendum;
+            if (b_top > eff0 && b_bottom > eff0) {
+                if (b_app > eff0) addendum = H(2) - H(1);
+                else addendum = H(nd[pruned] + 1) - H(nd[pruned]);
+                if (dist[t1] <= eff0)
+                    addendum += H(nd[pn0] + 1 - comp_t1 + comp - nd[t1])
+                                + H(nd[t1] + comp_t1)
+                                - H(nd[pn0] + comp);
+            } else if (b_bottom > eff0) {
+                if (pn0 == original_parent0) {
+                    addendum = NEG_INF;
+                } else if (b_app > eff0) {
+                    if (dist[t1] <= eff0)
+                        addendum = H(nd[pn0] + comp + 2 - comp_t1
+                                     - nd[t1]) + H(nd[t1] + comp_t1)
+                                   - H(nd[pn0] + comp);
+                    else
+                        addendum = H(nd[pn0] + comp + 1)
+                                   - H(nd[pn0] + comp);
+                } else {
+                    if (dist[t1] <= eff0)
+                        addendum = H(nd[pn0] + comp + 1 - comp_t1
+                                     + nd[pruned] - nd[t1])
+                                   + H(nd[t1] + comp_t1)
+                                   - (H(nd[pruned]) + H(nd[pn0] + comp));
+                    else
+                        addendum = H(nd[pn0] + comp + nd[pruned])
+                                   - (H(nd[pruned]) + H(nd[pn0] + comp));
+                }
+            } else if (b_top > eff0) {
+                if (t1 == original_parent0) {
+                    addendum = NEG_INF;
+                } else if (dist[t1] <= eff0) {
+                    if (b_app > eff0)
+                        addendum = H(nd[t1] + comp_t1 + 1)
+                                   + H(nd[pn0] + 1 + comp - comp_t1
+                                       - nd[t1])
+                                   - H(nd[pn0] + comp);
+                    else
+                        addendum = H(nd[t1] + comp_t1 + nd[pruned])
+                                   + H(nd[pn0] + 1 + comp - comp_t1
+                                       - nd[t1])
+                                   - (H(nd[pruned]) + H(nd[pn0] + comp));
+                } else {
+                    if (b_app > eff0)
+                        addendum = H(nd[t1] + comp_t1 + 1)
+                                   - H(nd[t1] + comp_t1);
+                    else
+                        addendum = H(nd[t1] + comp_t1 + nd[pruned])
+                                   - (H(nd[pruned])
+                                      + H(nd[t1] + comp_t1));
+                }
+            } else {
+                if (pn0 == original_parent0 || t1 == original_parent0) {
+                    addendum = NEG_INF;
+                } else if (dist[t1] <= eff0) {
+                    if (b_app > eff0)
+                        addendum = H(nd[pn0] + comp + 1)
+                                   - H(nd[pn0] + comp);
+                    else
+                        addendum = H(nd[pn0] + comp + nd[pruned])
+                                   - (H(nd[pruned]) + H(nd[pn0] + comp));
+                } else {
+                    if (b_app > eff0)
+                        addendum = H(nd[pn0] + comp + nd[t1] + comp_t1
+                                     + 1)
+                                   - (H(nd[pn0] + comp)
+                                      + H(nd[t1] + comp_t1));
+                    else
+                        addendum = H(nd[pn0] + comp + nd[t1] + comp_t1
+                                     + nd[pruned])
+                                   - (H(nd[pruned]) + H(nd[pn0] + comp)
+                                      + H(nd[t1] + comp_t1));
+                }
+            }
+            optimized += addendum;
+
+            if (b_bottom > eff0 && dist[t1] > eff0) {
+                int64_t alt_mid = E_merge(E, up_vect, b_top + b_bottom,
+                                          false, down_vect, 0.0,
+                                          from_tip1, true);
+                if (alt_mid >= 0) {
+                    double alt_cost = E_append(E, alt_mid, bc.removed,
+                                               is_removed_tip, b_app);
+                    double ic2 = E_append(E, up_vect, down_vect,
+                                          from_tip1, distance);
+                    double np2 = E_append(E, up_vect, down_vect,
+                                          from_tip1, b_bottom + b_top);
+                    double alt_optimized = alt_cost + np2 - ic2;
+                    if ((b_top + b_bottom) > eff0) {
+                        if (t1 == original_parent0)
+                            addendum = NEG_INF;
+                        else if (b_app > eff0)
+                            addendum = H(nd[t1] + comp_t1 + 1)
+                                       - H(nd[t1] + comp_t1);
+                        else
+                            addendum = H(nd[t1] + comp_t1 + nd[pruned])
+                                       - (H(nd[pruned])
+                                          + H(nd[t1] + comp_t1));
+                    } else {
+                        if (pn0 == original_parent0
+                                || t1 == original_parent0)
+                            addendum = NEG_INF;
+                        else if (b_app > eff0)
+                            addendum = H(nd[pn0] + comp + nd[t1]
+                                         + comp_t1 + 1)
+                                       - (H(nd[pn0] + comp)
+                                          + H(nd[t1] + comp_t1));
+                        else
+                            addendum = H(nd[pn0] + comp + nd[t1]
+                                         + comp_t1 + nd[pruned])
+                                       - (H(nd[pruned])
+                                          + H(nd[pn0] + comp)
+                                          + H(nd[t1] + comp_t1));
+                    }
+                    alt_optimized += addendum;
+                    if (alt_optimized > optimized) {
+                        optimized = alt_optimized;
+                        b_top = b_top + b_bottom;
+                        b_bottom = 0.0;
+                    }
+                }
+            }
+            ev.top = b_top;
+            ev.bottom = b_bottom;
+        }
         if (optimized >= best_score) {
             best_node_fine = t1;
             best_score = optimized;
@@ -4426,6 +4766,7 @@ static int E_place_subtree(Engine *E, int node, int64_t new_partials,
             try_new_root = true;
             if (best_down == 0.0 || best_down > 1.01 * dist[node]
                     || best_down < 0.99 * dist[node]) {
+                if (E->hnz_mode) E->nd0_changing_dist(node, best_down);
                 dist[node] = best_down;
                 std::vector<WorkItem> wl;
                 wl.push_back({(int32_t)node, 2, 1});
@@ -4508,6 +4849,13 @@ static int E_place_subtree(Engine *E, int node, int64_t new_partials,
         E->c1[new_root] = appended;
         dist[appended] = best_right;
         E->replacements[appended]++;
+        if (E->hnz_mode) {
+            // spr.py :789-793
+            E->nDesc0[new_root] = dist[node] > E->eff0
+                ? 1 : E->nDesc0[node];
+            E->nDesc0[new_root] += dist[appended] > E->eff0
+                ? 1 : E->nDesc0[appended];
+        }
         std::vector<WorkItem> wl;
         wl.push_back({(int32_t)node, 2, 1});
         wl.push_back({(int32_t)appended, 2, 1});
@@ -4621,9 +4969,32 @@ static int E_place_subtree(Engine *E, int node, int64_t new_partials,
     }
     E->install(&E->upL[new_internal], ul);
     E_shorten(E, E->upL[new_internal]);
+    double old_dist = dist[node];
     dist[appended] = best_appending;
     dist[new_internal] = best_up;
     dist[node] = best_down;
+    if (E->hnz_mode) {
+        // spr.py :884-904
+        auto &nd = E->nDesc0;
+        nd[new_internal] = dist[node] <= E->eff0 ? nd[node] : 1;
+        nd[new_internal] += dist[appended] > E->eff0 ? 1 : nd[appended];
+        int32_t to_add = 0;
+        if (old_dist > E->eff0 && dist[new_internal] <= E->eff0)
+            to_add = nd[new_internal] - 1;
+        else if (old_dist <= E->eff0 && dist[new_internal] > E->eff0)
+            to_add = 1 - nd[node];
+        else if (old_dist <= E->eff0 && dist[new_internal] <= E->eff0)
+            to_add = nd[new_internal] - nd[node];
+        if (to_add) {
+            int p0 = up[new_internal];
+            while (true) {
+                nd[p0] += to_add;
+                if (dist[p0] > E->eff0) break;
+                p0 = up[p0];
+                if (p0 < 0) break;
+            }
+        }
+    }
     if (best_appending == 0.0)
         E->install(&E->totUp[appended], -1);
     if (best_up != 0.0) {
@@ -4655,6 +5026,23 @@ static int E_cut_and_paste(Engine *E, int node, int best_node,
         child_p = (parent == E->c0[up[parent]]) ? 0 : 1;
         if (child_p == 0) E->c0[up[parent]] = sibling;
         else E->c1[up[parent]] = sibling;
+        if (E->hnz_mode && dist[parent] <= E->eff0) {
+            // spr.py :936-946
+            int32_t to_remove = dist[node] > E->eff0
+                ? -1 : -E->nDesc0[node];
+            if (dist[sibling] <= E->eff0
+                    && (dist[sibling] + dist[parent]) > E->eff0)
+                to_remove += 1 - E->nDesc0[sibling];
+            int p0 = parent;
+            while (dist[p0] <= E->eff0 && up[p0] >= 0) {
+                p0 = up[p0];
+                E->nDesc0[p0] += to_remove;
+                if (E->nDesc0[p0] <= 0) {
+                    E->error = "negative nDesc0 removing subtree";
+                    return -2;
+                }
+            }
+        }
     }
     up[sibling] = up[parent];
     dist[sibling] = dist[sibling] + dist[parent];
@@ -4714,9 +5102,23 @@ static int E_traverse_topology(Engine *E, int node, bool strict_stop,
     bool is_tip = E->is_tip(node);
     double original_lk = E_append(E, vect_up, E->pv[node], is_tip,
                                   best_curren_blen);
+    double genetic_lk = original_lk;
+    int pn0 = -1;
+    if (E->hnz_mode) {
+        // spr.py :1016-1026 — HnZ correction of the current placement
+        auto &nd = E->nDesc0;
+        pn0 = up[node];
+        while (dist[pn0] <= eff0 && up[pn0] >= 0) pn0 = up[pn0];
+        if (dist[node] > eff0)
+            original_lk += E->hnz(nd[pn0]) - E->hnz(nd[pn0] - 1);
+        else
+            original_lk += E->hnz(nd[pn0])
+                           - (E->hnz(nd[pn0] - nd[node])
+                              + E->hnz(nd[node]));
+    }
     double best_current_lk = original_lk;
     bool blen_changed = false;
-    if (original_lk < threshold_topology_placement
+    if (genetic_lk < threshold_topology_placement
             && up[up[node]] >= 0) {
         best_curren_blen = E_blen(E, vect_up, E->pv[node], is_tip);
         if (best_curren_blen != 0.0 || dist[node] != 0.0) {
@@ -4726,6 +5128,27 @@ static int E_traverse_topology(Engine *E, int node, bool strict_stop,
                 blen_changed = true;
             best_current_lk = E_append(E, vect_up, E->pv[node], is_tip,
                                        best_curren_blen);
+            if (E->hnz_mode) {
+                // spr.py :1038-1059
+                auto &nd = E->nDesc0;
+                double hz;
+                if (best_curren_blen > eff0) {
+                    if (dist[node] > eff0)
+                        hz = E->hnz(nd[pn0]) - E->hnz(nd[pn0] - 1);
+                    else
+                        hz = E->hnz(nd[pn0] + 1 - nd[node])
+                             - E->hnz(nd[pn0] - nd[node]);
+                } else {
+                    if (dist[node] > eff0)
+                        hz = E->hnz(nd[pn0] + nd[node] - 1)
+                             - (E->hnz(nd[pn0]) + E->hnz(nd[node]));
+                    else
+                        hz = E->hnz(nd[pn0])
+                             - (E->hnz(nd[pn0] - nd[node])
+                                + E->hnz(nd[node]));
+                }
+                best_current_lk += hz;
+            }
             if (best_current_lk < original_lk) {
                 best_curren_blen = dist[node];
                 best_current_lk = original_lk;
@@ -4740,7 +5163,7 @@ static int E_traverse_topology(Engine *E, int node, bool strict_stop,
     }
     bool topology_updated = false;
     if (best_current_lk < threshold_topology_placement
-            || dist[node] != 0.0) {
+            || dist[node] != 0.0 || E->hnz_mode) {
         TopoResult R;
         if (!E_find_best_parent_topology(E, parent, child,
                                          best_current_lk,
@@ -4794,6 +5217,7 @@ static int E_traverse_topology(Engine *E, int node, bool strict_stop,
     }
     if (!topology_updated && blen_changed) {
         (*blen_updates)++;
+        if (E->hnz_mode) E->nd0_changing_dist(node, best_curren_blen);
         dist[node] = best_curren_blen;
         std::vector<WorkItem> wl;
         wl.push_back({(int32_t)node, 2, 1});
@@ -4986,6 +5410,7 @@ static int E_recalculate(Engine *E) {
 static int E_tree_lk(Engine *E, double *out) {
     int root = E->root;
     double total = 0.0;
+    double total_hnz = 0.0;  // accumulated separately (partials.py :893)
     int node = root, last = -1, dir = 0;
     while (node >= 0) {
         if (dir == 0) {
@@ -5017,13 +5442,16 @@ static int E_tree_lk(Engine *E, double *out) {
             s->finish(id);
             E->own(id);
             total += lk;
+            if (E->hnz_mode && (E->dist[node] > E->eff0
+                                || E->up[node] < 0))
+                total_hnz += E->hnz(E->nDesc0[node]);
             last = node;
             node = E->up[node];
             dir = 1;
         }
     }
     total += E_find_prob_root(E, E->pv[root], root);
-    *out = total;
+    *out = total + total_hnz;
     return 0;
 }
 
@@ -5214,6 +5642,15 @@ static int E_blen_sweep(Engine *E, bool fast_pass, int64_t *updates_out) {
             s->finish(id);
             E->own(id);
             cost += E_find_prob_root(E, id, root);
+            if (E->hnz_mode) {
+                // blen.py :66-72
+                if (bl1 < E->eff0)
+                    cost += E->hnz(E->nDesc0[child1] + 1)
+                            - E->hnz(E->nDesc0[child1]);
+                if (bl2 < E->eff0)
+                    cost += E->hnz(E->nDesc0[child2] + 1)
+                            - E->hnz(E->nDesc0[child2]);
+            }
             if (cost > best_cost) {
                 best_cost = cost;
                 best_bl1 = bl1;
@@ -5221,6 +5658,7 @@ static int E_blen_sweep(Engine *E, bool fast_pass, int64_t *updates_out) {
         }
         double best_bl2 = std::max(dist[child1] + dist[child2] - best_bl1,
                                    0.0);
+        if (E->hnz_mode) E->nd0_changing_dist(child1, best_bl1);
         dist[child1] = best_bl1;
         if (!fast_pass) {
             std::vector<WorkItem> wl;
@@ -5228,6 +5666,7 @@ static int E_blen_sweep(Engine *E, bool fast_pass, int64_t *updates_out) {
             wl.push_back({(int32_t)root, 0, 1});
             if (!E_update_partials(E, std::move(wl))) return -1;
         }
+        if (E->hnz_mode) E->nd0_changing_dist(child2, best_bl2);
         dist[child2] = best_bl2;
         if (!fast_pass) {
             std::vector<WorkItem> wl;
@@ -5256,18 +5695,64 @@ static int E_blen_sweep(Engine *E, bool fast_pass, int64_t *updates_out) {
             bool is_tip = E->is_tip(node);
             double best = E_blen(E, up_vect, E->pv[node], is_tip);
             if (best != 0.0 || dist[node] != 0.0) {
-                if (best == 0.0 || dist[node] == 0.0
-                        || dist[node] / best > 1.01
-                        || dist[node] / best < 0.99) {
-                    dist[node] = best;
-                    updates++;
-                    if (!fast_pass) {
-                        std::vector<WorkItem> wl;
-                        wl.push_back({(int32_t)node, 2, 1});
-                        wl.push_back({(int32_t)E->up[node],
-                                      (int32_t)child, 1});
-                        if (!E_update_partials(E, std::move(wl)))
-                            return -1;
+                if (E->hnz_mode) {
+                    // blen.py :106-146 — HnZ cost comparison incl. the
+                    // 0-length alternative and the keep-current guard
+                    auto &nd = E->nDesc0;
+                    double current_cost = E_append(E, up_vect,
+                                                   E->pv[node], is_tip,
+                                                   dist[node]);
+                    double new_cost = E_append(E, up_vect, E->pv[node],
+                                               is_tip, best);
+                    int p0 = E->up[node];
+                    while (dist[p0] <= E->eff0 && E->up[p0] >= 0)
+                        p0 = E->up[p0];
+                    if (dist[node] > E->eff0) {
+                        current_cost += E->hnz(nd[p0]) + E->hnz(nd[node]);
+                        if (best > E->eff0)
+                            new_cost += E->hnz(nd[p0])
+                                        + E->hnz(nd[node]);
+                        else
+                            new_cost += E->hnz(nd[p0] + nd[node] - 1);
+                    } else {
+                        current_cost += E->hnz(nd[p0]);
+                        if (best > E->eff0)
+                            new_cost += E->hnz(nd[p0] + 1 - nd[node])
+                                        + E->hnz(nd[node]);
+                        else
+                            new_cost += E->hnz(nd[p0]);
+                    }
+                    if (dist[node] > E->eff0 && best > E->eff0) {
+                        double cost0 = E_append(E, up_vect, E->pv[node],
+                                                is_tip, 0.0);
+                        if (cost0 > -1000000) {
+                            cost0 += E->hnz(nd[p0] + nd[node] - 1);
+                            if (cost0 > new_cost) {
+                                best = 0.0;
+                                new_cost = cost0;
+                            }
+                        }
+                    }
+                    if (current_cost > new_cost)
+                        best = dist[node];
+                }
+                if (best != 0.0 || dist[node] != 0.0) {
+                    if (best == 0.0 || dist[node] == 0.0
+                            || dist[node] / best > 1.01
+                            || dist[node] / best < 0.99) {
+                        if (E->hnz_mode) E->nd0_changing_dist(node, best);
+                        dist[node] = best;
+                        updates++;
+                        if (!fast_pass) {
+                            std::vector<WorkItem> wl;
+                            wl.push_back({(int32_t)node, 2, 1});
+                            wl.push_back({(int32_t)E->up[node],
+                                          (int32_t)child, 1});
+                            if (!E_update_partials(E, std::move(wl)))
+                                return -1;
+                        }
+                    } else {
+                        E->dirty[node] = 0;
                     }
                 } else {
                     E->dirty[node] = 0;
@@ -5316,6 +5801,23 @@ Engine *engine_create(Store *s, int64_t root_vec, int32_t root_name,
 }
 
 void engine_free(Engine *E) { delete E; }
+
+// Enable the HnZ topology modifiers (reference --HnZ 1|2, :305-328).
+// Call right after engine_create / engine_import; nDesc0 starts at 1 per
+// node (the add_node default) for de-novo runs, or is loaded via
+// engine_import_ndesc0 for imported trees.
+void engine_set_hnz(Engine *E, int mode) {
+    E->hnz_mode = mode;
+    E->hnz_vec.clear();
+}
+
+void engine_import_ndesc0(Engine *E, const int32_t *nd) {
+    for (size_t i = 0; i < E->nDesc0.size(); i++) E->nDesc0[i] = nd[i];
+}
+
+void engine_export_ndesc0(Engine *E, int32_t *nd) {
+    for (size_t i = 0; i < E->nDesc0.size(); i++) nd[i] = E->nDesc0[i];
+}
 
 // Place one sample (diffs = global-frame terminal vector id; the engine
 // takes ownership).  Returns 1 if absorbed as a minor sequence, 0 if
@@ -5472,6 +5974,7 @@ void engine_import(Engine *E, int32_t n, const int32_t *up,
     E->upL.assign(upl, upl + n);
     E->totUp.assign(totup, totup + n);
     E->name.assign(n, -1);
+    E->nDesc0.assign(n, 1);
     E->minorSeqs.assign(n, {});
     E->muts.assign(n, {});
     const int32_t *m = muts_flat;
