@@ -126,6 +126,15 @@ class MapleConfig:
     device_batch_size: int = 64      # samples per device-scored batch
     kernel_backend: str = "native"   # "native" (C++ kernels) or "python"
     native_error_model: bool = True  # native kernels after error-model activation (alias-tagged)
+    # Best-first placement search: during stepwise addition, expand the
+    # highest-scoring frontier node first and stop after this many
+    # consecutive non-improving candidate scores (0 = reference-exact
+    # DFS).  Bounds the per-sample search at O(depth + budget) instead of
+    # O(tree size) — the scale lever for >=50k-sample runs.  Placements
+    # can differ from the reference's near-tied choices; final-LK
+    # closeness is pinned by tests/test_beam_placement.py.  Requires the
+    # native engine.
+    placementBudget: int = 0
 
     # fast-initial-search parameters (reference :220-224): fixed, not flags
     strictTopologyStopRulesInitial: bool = True

@@ -72,6 +72,8 @@ class NativePlacementEngine:
             cfg.maxNumDescendantsForMATClade, cfg.minNumNon4))
         if cfg.HnZ:
             self.lib.engine_set_hnz(self.h, cfg.HnZ)
+        if cfg.placementBudget:
+            self.lib.engine_set_search_budget(self.h, cfg.placementBudget)
 
     def _terminal_tuples(self, diffs):
         model = self.rt.model

@@ -298,6 +298,10 @@ class Run:
                 self.root = self._build_initial_tree_engine(
                     distances, first_sample)
                 return
+            if cfg.placementBudget:
+                print("WARNING: --placementBudget requires the native "
+                      "placement engine; this configuration falls back "
+                      "to the exact reference search.", flush=True)
             tree.probVect[0] = self.rt.terminal_vector(
                 self.data[first_sample])
             if dtt:

@@ -2883,6 +2883,10 @@ struct Engine {
     // lazily once the tree is big enough for threading to pay off.
     std::unique_ptr<ScorePool> pool;
     int place_threads = -1;  // -1 = decide from env/hw on first use
+    // Best-first placement search (opt-in, engine_set_search_budget):
+    // stop after this many consecutive non-improving scored nodes;
+    // 0 = exact reference DFS.
+    int64_t search_budget = 0;
 
     int add_node() {
         up.push_back(-1); c0.push_back(-1); c1.push_back(-1);
@@ -3455,6 +3459,93 @@ struct FindResult {
     int64_t best_diffs = -1;
 };
 
+// Fine phase shared by the exact DFS and the beam crawl: 3-way
+// branch-length optimization of every candidate within threshold_opt of
+// the crawl best (placement.py :248-322 + _hnz_optimize_placement).
+// Returns false on an impossible merge (E->error set).
+static bool E_fine_phase(Engine *E, const std::vector<BestCand> &best_nodes,
+                         double best_lk_diff, int &best_node,
+                         double &best_score, double &best_top,
+                         double &best_bottom, double &best_app,
+                         int64_t &best_diffs) {
+    PROF_T(pf0);
+    best_score = best_lk_diff;
+    for (const BestCand &bc : best_nodes) {
+        if (!(bc.score >= best_lk_diff - E->threshold_opt)) continue;
+        E->fine_evals++;
+        int node = bc.node;
+        int64_t diffs_at = bc.diffs;
+        int64_t up_vect = E->vect_up_for(node);
+        if (!E->muts[node].empty()) up_vect = E_pass_down(E, up_vect, node);
+        bool is_tip = E->is_tip(node);
+        double ba = E_blen(E, E->totUp[node], diffs_at, true);
+        int64_t mid_lower = E_merge(E, E->pv[node], E->dist[node] / 2,
+                                    is_tip, diffs_at, ba, true, false);
+        if (mid_lower < 0) { E->error = "impossible merge in fine phase"; return false; }
+        double bt = E_blen(E, up_vect, mid_lower, false);
+        int64_t mid_top = E_merge(E, up_vect, bt, false, diffs_at, ba, true,
+                                  true);
+        if (mid_top < 0) { E->error = "impossible merge in fine phase"; return false; }
+        double bb = E_blen(E, mid_top, E->pv[node], is_tip);
+        int64_t new_mid = E_merge(E, up_vect, bt, false, E->pv[node], bb,
+                                  is_tip, true);
+        if (new_mid < 0) { E->error = "impossible merge in fine phase"; return false; }
+        double appending_cost = E_append(E, new_mid, diffs_at, true, ba);
+        double initial_cost = E_append(E, up_vect, E->pv[node], is_tip,
+                                       E->dist[node]);
+        double new_partial_cost = E_append(E, up_vect, E->pv[node], is_tip,
+                                           bb + bt);
+        double optimized = appending_cost + new_partial_cost - initial_cost;
+        if (E->hnz_mode) {
+            // placement.py _hnz_optimize_placement (:324-362), incl. the
+            // 0-length-bottom alternative
+            double eff0 = E->eff0;
+            if (bt > eff0 && bb > eff0) {
+                optimized += E->hnz(2) - E->hnz(1);
+            } else if (bt > eff0) {
+                optimized += E->hnz(E->nDesc0[node] + 1)
+                             - E->hnz(E->nDesc0[node]);
+            } else {
+                int p0 = E->up[node];
+                while (E->dist[p0] <= eff0 && E->up[p0] >= 0)
+                    p0 = E->up[p0];
+                optimized += E->hnz(E->nDesc0[p0] + 1)
+                             - E->hnz(E->nDesc0[p0]);
+            }
+            if (bb > eff0 && E->dist[node] > eff0) {
+                int64_t alt_mid = E_merge(E, up_vect, bt + bb, false,
+                                          E->pv[node], 0.0, is_tip, true);
+                if (alt_mid >= 0) {
+                    double alt_cost = E_append(E, alt_mid, diffs_at, true,
+                                               ba);
+                    double ic2 = E_append(E, up_vect, E->pv[node], is_tip,
+                                          E->dist[node]);
+                    double np2 = E_append(E, up_vect, E->pv[node], is_tip,
+                                          bb + bt);
+                    double alt_optimized = alt_cost + np2 - ic2;
+                    alt_optimized += E->hnz(E->nDesc0[node] + 1)
+                                     - E->hnz(E->nDesc0[node]);
+                    if (alt_optimized > optimized) {
+                        optimized = alt_optimized;
+                        bt = bt + bb;
+                        bb = 0.0;
+                    }
+                }
+            }
+        }
+        if (optimized >= best_score) {
+            best_node = node;
+            best_score = optimized;
+            best_top = bt;
+            best_bottom = bb;
+            best_app = ba;
+            best_diffs = diffs_at;
+        }
+    }
+    PROF_ADD(E->p_fine_cy, pf0);
+    return true;
+}
+
 // placement.py find_best_parent_for_new_sample :36-246
 static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
     FindResult R;
@@ -3634,84 +3725,165 @@ static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
         }
     }
     // fine phase: optimize branch lengths on the best candidates
-    PROF_T(pf0);
-    double best_score = best_lk_diff;
-    for (const BestCand &bc : best_nodes) {
-        if (!(bc.score >= best_lk_diff - E->threshold_opt)) continue;
-        E->fine_evals++;
-        int node = bc.node;
-        int64_t diffs_at = bc.diffs;
-        int64_t up_vect = E->vect_up_for(node);
-        if (!E->muts[node].empty()) up_vect = E_pass_down(E, up_vect, node);
-        bool is_tip = E->is_tip(node);
-        double ba = E_blen(E, E->totUp[node], diffs_at, true);
-        int64_t mid_lower = E_merge(E, E->pv[node], E->dist[node] / 2,
-                                    is_tip, diffs_at, ba, true, false);
-        if (mid_lower < 0) { E->error = "impossible merge in fine phase"; return R; }
-        double bt = E_blen(E, up_vect, mid_lower, false);
-        int64_t mid_top = E_merge(E, up_vect, bt, false, diffs_at, ba, true,
-                                  true);
-        if (mid_top < 0) { E->error = "impossible merge in fine phase"; return R; }
-        double bb = E_blen(E, mid_top, E->pv[node], is_tip);
-        int64_t new_mid = E_merge(E, up_vect, bt, false, E->pv[node], bb,
-                                  is_tip, true);
-        if (new_mid < 0) { E->error = "impossible merge in fine phase"; return R; }
-        double appending_cost = E_append(E, new_mid, diffs_at, true, ba);
-        double initial_cost = E_append(E, up_vect, E->pv[node], is_tip,
-                                       E->dist[node]);
-        double new_partial_cost = E_append(E, up_vect, E->pv[node], is_tip,
-                                           bb + bt);
-        double optimized = appending_cost + new_partial_cost - initial_cost;
-        if (E->hnz_mode) {
-            // placement.py _hnz_optimize_placement (:324-362), incl. the
-            // 0-length-bottom alternative
-            double eff0 = E->eff0;
-            if (bt > eff0 && bb > eff0) {
-                optimized += E->hnz(2) - E->hnz(1);
-            } else if (bt > eff0) {
-                optimized += E->hnz(E->nDesc0[node] + 1)
-                             - E->hnz(E->nDesc0[node]);
-            } else {
-                int p0 = E->up[node];
-                while (E->dist[p0] <= eff0 && E->up[p0] >= 0)
-                    p0 = E->up[p0];
-                optimized += E->hnz(E->nDesc0[p0] + 1)
-                             - E->hnz(E->nDesc0[p0]);
-            }
-            if (bb > eff0 && E->dist[node] > eff0) {
-                int64_t alt_mid = E_merge(E, up_vect, bt + bb, false,
-                                          E->pv[node], 0.0, is_tip, true);
-                if (alt_mid >= 0) {
-                    double alt_cost = E_append(E, alt_mid, diffs_at, true,
-                                               ba);
-                    double ic2 = E_append(E, up_vect, E->pv[node], is_tip,
-                                          E->dist[node]);
-                    double np2 = E_append(E, up_vect, E->pv[node], is_tip,
-                                          bb + bt);
-                    double alt_optimized = alt_cost + np2 - ic2;
-                    alt_optimized += E->hnz(E->nDesc0[node] + 1)
-                                     - E->hnz(E->nDesc0[node]);
-                    if (alt_optimized > optimized) {
-                        optimized = alt_optimized;
-                        bt = bt + bb;
-                        bb = 0.0;
-                    }
-                }
-            }
-        }
-        if (optimized >= best_score) {
-            best_node = node;
-            best_score = optimized;
-            best_top = bt;
-            best_bottom = bb;
-            best_app = ba;
-            best_diffs = diffs_at;
-        }
-    }
-    PROF_ADD(E->p_fine_cy, pf0);
+    double best_score;
+    if (!E_fine_phase(E, best_nodes, best_lk_diff, best_node, best_score,
+                      best_top, best_bottom, best_app, best_diffs))
+        return R;
 #ifdef MAPLE_PROFILE
     E->p_gap_hist[min_gap < 0 ? 0 : (min_gap > 15 ? 15 : min_gap)]++;
 #endif
+    if (std::isinf(best_score) && best_score < 0)
+        best_score = original_lk_diff;
+    R.best_node = best_node;
+    R.best_score = best_score;
+    R.top = best_top;
+    R.bottom = best_bottom;
+    R.appending = best_app;
+    R.best_diffs = best_diffs;
+    return R;
+}
+
+// Best-first placement search with a non-improvement budget (opt-in via
+// --placementBudget / engine_set_search_budget).
+//
+// Same scoring kernel, thresholds, and per-path stop rules as
+// E_find_best_parent (reference :7912-8293), but the crawl order is
+// best-first: children are scored when discovered and a max-heap always
+// expands the highest-scoring frontier node next, so the search walks
+// straight down the score gradient to the optimal region instead of
+// sweeping the tree.  The budget is the adaptive cap the reference
+// lacks: stop after `search_budget` consecutive scored nodes that fail
+// to raise the best score.  On the flat low-divergence landscapes MAPLE
+// targets, the reference's consecutive-failure rule barely prunes and
+// the DFS visit count grows linearly with tree size (O(n^2) placement
+// overall); best-first + budget bounds each sample's search at
+// O(depth + budget) visits.  NOT byte-parity with the reference DFS:
+// visit order differs and the budget prunes plateau tails; placement
+// quality is pinned by LK-tolerance tests (tests/test_beam_placement.py).
+static FindResult E_find_best_parent_budget(Engine *E, int64_t diffs,
+                                            int sample) {
+    FindResult R;
+    int root = E->root;
+    std::vector<BestCand> best_nodes;
+    int best_node = root;
+    double best_top = 0.0, best_bottom = 0.0, best_app = E->one_mut;
+    if (!E->muts[root].empty()) diffs = E_pass_down(E, diffs, root);
+    int64_t best_diffs = diffs;
+    if (E->is_leaf(root)) {
+        if (E_try_absorb_minor(E, root, diffs, sample)) {
+            R.absorbed = 1;
+            return R;
+        }
+    }
+    int64_t root_vect = E_root_vector(E, E->pv[root], 0.0, false, root);
+    double best_lk_diff = E_append(E, root_vect, diffs, true, E->one_mut);
+    if (E->hnz_mode)
+        best_lk_diff += E->hnz(E->nDesc0[root] + 1)
+                        - E->hnz(E->nDesc0[root]);
+    double original_lk_diff = best_lk_diff;
+
+    struct HeapItem { double lk; int32_t node; int32_t failed;
+                      int64_t diffs; };
+    struct HeapLess {  // max-heap on lk for std::push_heap/pop_heap
+        bool operator()(const HeapItem &a, const HeapItem &b) const {
+            return a.lk < b.lk;
+        }
+    };
+    std::vector<HeapItem> heap;
+    int64_t since_improve = 0;
+    bool absorbed = false;
+    // Score-at-discovery: chase through zero-length internal nodes
+    // (polytomy chains), minor-check leaves, score every node with
+    // dist > eff0, and push scored/expandable nodes onto the heap.
+    std::vector<std::pair<int, int64_t>> chase;
+    auto discover = [&](int c_in, double plk, int failed_in,
+                        int64_t d_in) {
+        chase.clear();
+        chase.push_back({c_in, d_in});
+        while (!chase.empty()) {
+            auto [c, dcur] = chase.back();
+            chase.pop_back();
+            int64_t dcc = dcur;
+            if (!E->muts[c].empty()) dcc = E_pass_down(E, dcur, c);
+            bool leaf = E->is_leaf(c);
+            if (leaf) {
+                E->dfs_visits++;
+                int cmp = is_minor_sequence(*E->S, E->S->v(E->pv[c]),
+                                            E->S->v(dcc),
+                                            E->only_identical);
+                if (cmp == 1) {
+                    E->minorSeqs[c].push_back(sample);
+                    if (E->hnz_mode) E->nd0_absorb(c);
+                    E->num_minors_found++;
+                    absorbed = true;
+                    return;
+                }
+                if (cmp == 2) E->total_missed_minors++;
+            }
+            if (E->dist[c] > E->eff0 && E->up[c] >= 0) {
+                if (!leaf) E->dfs_visits++;
+                PROF_T(pt0);
+                double lk = E_append(E, E->totUp[c], dcc, true, E->one_mut);
+                PROF_ADD(E->p_append_cy, pt0);
+                if (E->hnz_mode) lk += E->hnz(2) - E->hnz(1);
+                int failed = failed_in;
+                since_improve++;
+                if (lk >= best_lk_diff) {
+                    E_shorten(E, dcc);
+                    best_lk_diff = lk;
+                    best_node = c;
+                    failed = 0;
+                    since_improve = 0;
+                    best_nodes.push_back({(int32_t)c, lk, dcc});
+                    best_diffs = dcc;
+                    best_top = E->dist[c] / 2;
+                    best_bottom = E->dist[c] / 4;
+                    best_app = E->one_mut;
+                } else if (lk > best_lk_diff - E->threshold_opt) {
+                    best_nodes.push_back({(int32_t)c, lk, dcc});
+                }
+                if (lk < plk - E->threshold_consec) failed++;
+                if (!leaf) {
+                    heap.push_back({lk, (int32_t)c, (int32_t)failed, dcc});
+                    std::push_heap(heap.begin(), heap.end(), HeapLess());
+                }
+            } else if (!leaf) {
+                // zero-length internal node: inherits the parent's score
+                // and failure count; expand in place
+                E->dfs_visits++;
+                chase.push_back({E->child(c, 0), dcc});
+                chase.push_back({E->child(c, 1), dcc});
+            }
+        }
+    };
+    for (int i = 0; i < 2 && !E->is_leaf(root); i++) {
+        discover(E->child(root, i), best_lk_diff, 0, diffs);
+        if (absorbed) { R.absorbed = 1; return R; }
+    }
+    while (!heap.empty() && since_improve < E->search_budget) {
+        std::pop_heap(heap.begin(), heap.end(), HeapLess());
+        HeapItem it = heap.back();
+        heap.pop_back();
+        // keep_going re-checked against the current best (reference
+        // :8080-8088 semantics; best may have risen since discovery)
+        bool keep_going;
+        if (E->strict_stop)
+            keep_going = it.failed <= E->allowed_fails
+                && it.lk > best_lk_diff - E->threshold_log_lk;
+        else
+            keep_going = it.failed <= E->allowed_fails
+                || it.lk > best_lk_diff - E->threshold_log_lk;
+        if (!keep_going) continue;
+        for (int i = 0; i < 2; i++) {
+            discover(E->child(it.node, i), it.lk, it.failed, it.diffs);
+            if (absorbed) { R.absorbed = 1; return R; }
+        }
+    }
+
+    double best_score;
+    if (!E_fine_phase(E, best_nodes, best_lk_diff, best_node, best_score,
+                      best_top, best_bottom, best_app, best_diffs))
+        return R;
     if (std::isinf(best_score) && best_score < 0)
         best_score = original_lk_diff;
     R.best_node = best_node;
@@ -5811,6 +5983,13 @@ void engine_set_hnz(Engine *E, int mode) {
     E->hnz_vec.clear();
 }
 
+// Enable the best-first placement search (see E_find_best_parent_budget):
+// budget = consecutive non-improving scored nodes before the search
+// stops (0 restores the exact reference DFS).
+void engine_set_search_budget(Engine *E, int64_t budget) {
+    E->search_budget = budget;
+}
+
 void engine_import_ndesc0(Engine *E, const int32_t *nd) {
     for (size_t i = 0; i < E->nDesc0.size(); i++) E->nDesc0[i] = nd[i];
 }
@@ -5825,7 +6004,9 @@ void engine_export_ndesc0(Engine *E, int32_t *nd) {
 int engine_place(Engine *E, int64_t diffs, int32_t sample) {
     E->own(diffs);
     PROF_T(pt0);
-    FindResult R = E_find_best_parent(E, diffs, sample);
+    FindResult R = E->search_budget > 0
+        ? E_find_best_parent_budget(E, diffs, sample)
+        : E_find_best_parent(E, diffs, sample);
     PROF_ADD(E->p_find_cy, pt0);
     if (!E->error.empty()) { E->end_call(); return -1; }
     if (R.absorbed) { E->end_call(); return 1; }

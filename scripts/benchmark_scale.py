@@ -112,6 +112,9 @@ def main():
     ap.add_argument("--full", action="store_true",
                     help="run the default pipeline instead of --fast")
     ap.add_argument("--devicePlacement", action="store_true")
+    ap.add_argument("--placementBudget", type=int, default=0,
+                    help="best-first budgeted placement search "
+                         "(0 = exact reference DFS)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -120,6 +123,8 @@ def main():
     extra = {}
     if args.devicePlacement:
         extra["device_placement"] = True
+    if args.placementBudget:
+        extra["placementBudget"] = args.placementBudget
 
     rows = []
     for n in sizes:
