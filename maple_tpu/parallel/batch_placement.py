@@ -36,11 +36,16 @@ from ..search.placement import PlacementStats, place_sample_on_tree
 
 
 class DeviceTreePool:
-    """Packed, device-resident anchor vectors for placement scoring."""
+    """Packed, device-resident anchor vectors for placement scoring.
 
-    def __init__(self, rt: TreeRuntime, dtype=jnp.float32):
+    With a ``mesh``, the pool arrays are device_put sharded over the
+    ``cand`` axis (each device holds a slice of the tree's anchors — the
+    tensor-parallel analogue for this workload, SURVEY.md §2.5)."""
+
+    def __init__(self, rt: TreeRuntime, dtype=jnp.float32, mesh=None):
         self.rt = rt
         self.dtype = dtype
+        self.mesh = mesh
         self.anchor_ids: List[int] = []
         self.pool = None
         self.budget = 64
@@ -95,7 +100,15 @@ class DeviceTreePool:
         vecs = vecs + [vecs[0]] * (n_pad - n)
         packed = OP.pack_genome_lists(vecs, rt.refd.lRef, self.budget, uer,
                                       dtype=np.float32)
-        self.pool = to_device(packed, dtype=self.dtype)
+        host = to_device(packed, dtype=self.dtype)
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+            mesh = self.mesh
+            spec = lambda v: NamedSharding(
+                mesh, PS("cand", *([None] * (v.ndim - 1))))
+            host = {k: jax.device_put(v, spec(v)) for k, v in host.items()}
+        self.pool = host
         return n
 
 
@@ -105,13 +118,19 @@ class BatchedPlacer:
 
     def __init__(self, rt: TreeRuntime, stats: PlacementStats,
                  batch_size: int = 64, query_chunk: int = 16,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, mesh=None):
         self.rt = rt
         self.stats = stats
         self.batch_size = batch_size
+        self.mesh = mesh
+        if mesh is not None:
+            # query chunks shard over dp: keep them divisible by the axis
+            dp = mesh.shape["dp"]
+            query_chunk = max(query_chunk, dp)
+            query_chunk += (-query_chunk) % dp
         self.query_chunk = query_chunk
         self.dtype = dtype
-        self.pool = DeviceTreePool(rt, dtype)
+        self.pool = DeviceTreePool(rt, dtype, mesh=mesh)
         self.dm: Optional[DeviceModel] = None
         self.dm_version = -1
         self.time_scoring = 0.0
@@ -185,8 +204,19 @@ class BatchedPlacer:
                 sub = {k: jnp.concatenate(
                     [v, jnp.repeat(v[:1], qc - n_sub, axis=0)], axis=0)
                     for k, v in sub.items()}
-            out = np.asarray(grid_append_scores(
-                self.pool.pool, sub, one_mut, True, dm))
+            if self.mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as PS
+                from .mesh import placement_scores
+                q_spec = lambda v: NamedSharding(
+                    self.mesh, PS("dp", *([None] * (v.ndim - 1))))
+                sub = {k: jax.device_put(v, q_spec(v))
+                       for k, v in sub.items()}
+                out = np.asarray(placement_scores(
+                    self.mesh, self.pool.pool, sub, one_mut, dm))
+            else:
+                out = np.asarray(grid_append_scores(
+                    self.pool.pool, sub, one_mut, True, dm))
             scores.append(out[:n_sub])
         scores = np.concatenate(scores, axis=0)[:, :n_anchors]  # [K, N]
         self.time_scoring += time.time() - t0

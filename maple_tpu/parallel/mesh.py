@@ -95,3 +95,28 @@ def placement_step(mesh: Mesh, pool: dict, queries: dict, blen,
             pool, queries, jnp.asarray(blen, dtype=dm.mut_matrix.dtype),
             dm.mut_matrix, dm.root_freqs, dm.site_rates, dm.error_rates,
             dm.global_tot_rate, dm.tot_error, dm.using_error_rate)
+
+
+@partial(jax.jit, static_argnames=("uer",))
+def _placement_scores_impl(pool, queries, blen, mm, root_freqs, site_rates,
+                           error_rates, global_tot_rate, tot_error, uer):
+    def score_one(q):
+        return _append_scores_impl(
+            pool, q, blen, True, mm, root_freqs, site_rates, error_rates,
+            global_tot_rate, tot_error, uer)
+
+    return jax.vmap(score_one)(queries)        # [K, N]
+
+
+def placement_scores(mesh: Mesh, pool: dict, queries: dict, blen,
+                     dm: DeviceModel):
+    """Sharded (dp x cand) scoring returning the full [K, N] score matrix
+    (each device computes its dp x cand tile; the host gather that feeds
+    the serial-apply fine phase assembles the tiles).  This is the
+    mesh-parallel twin of ops.append_batch.grid_append_scores used by the
+    production BatchedPlacer."""
+    with mesh:
+        return _placement_scores_impl(
+            pool, queries, jnp.asarray(blen, dtype=dm.mut_matrix.dtype),
+            dm.mut_matrix, dm.root_freqs, dm.site_rates, dm.error_rates,
+            dm.global_tot_rate, dm.tot_error, dm.using_error_rate)

@@ -424,10 +424,12 @@ class Run:
 
     # ------------------------------------------------------------------
     def build_initial_tree_device(self, warmup: int = 256,
-                                  batch_size: int = 64):
+                                  batch_size: int = 64, mesh=None):
         """TPU fast path: host-serial warmup, then device-batched scoring
         with exact host fine phase (see
-        maple_tpu.parallel.batch_placement)."""
+        maple_tpu.parallel.batch_placement).  ``mesh`` shards the scoring
+        over a (dp, cand) jax Mesh — queries data-parallel, anchor pool
+        candidate-parallel."""
         from .parallel.batch_placement import BatchedPlacer
         cfg = self.cfg
         dc = self.dc
@@ -443,7 +445,8 @@ class Run:
         tree.probVect[0] = self.rt.terminal_vector(self.data[first_sample])
         self.data[first_sample] = None
         num_samples = 1
-        placer = BatchedPlacer(self.rt, self.stats, batch_size=batch_size)
+        placer = BatchedPlacer(self.rt, self.stats, batch_size=batch_size,
+                               mesh=mesh)
         start_all = time.time()
         while distances:
             if cfg.model != "JC" and num_samples \
