@@ -92,15 +92,18 @@ def run_host_placement_subset(n_subset=3000):
     return n_subset / (time.time() - t0)
 
 
-def run_engine_placement_full():
-    """Default pipeline placement on the full 8,284-sample alignment: the
-    C++ placement engine (native/maple_native.cpp Engine) runs the DFS +
-    placement + dirty propagation; byte-identical to the Python loop."""
+def run_engine_placement_full(budget=0):
+    """Pipeline placement on the full 8,284-sample alignment via the C++
+    placement engine (native/maple_native.cpp Engine).  budget=0 is the
+    byte-identical reference DFS; budget>0 is the best-first budgeted
+    search (--placementBudget), quality-checked against the exact path by
+    the caller."""
     from maple_tpu.config import MapleConfig
     from maple_tpu.pipeline import Run
 
     cfg = MapleConfig(input=B1429, output="/tmp/maple_bench_out",
-                      model="UNREST", overwrite=True)
+                      model="UNREST", overwrite=True,
+                      placementBudget=budget)
     run = Run(cfg)
     run.load()
     n = len(run.data)
@@ -108,9 +111,9 @@ def run_engine_placement_full():
     run.build_initial_tree()
     dt = time.time() - t0
     lk = run.rt.calculate_tree_likelihood(run.root)
-    print(f"# placed {n} samples in {dt:.1f}s, LK {lk:.2f}",
-          file=sys.stderr)
-    return n / dt
+    print(f"# budget={budget}: placed {n} samples in {dt:.1f}s, "
+          f"LK {lk:.2f}", file=sys.stderr)
+    return n / dt, lk
 
 
 def main():
@@ -120,8 +123,21 @@ def main():
     # batched device scoring loses to the C++ placement engine.  The
     # device path remains available via MapleConfig(device_placement=True).
     try:
-        value = run_engine_placement_full()
-        metric = "placement_throughput_b1429_engine"
+        # headline: best-first budgeted search (--placementBudget 1000,
+        # quality-converged on this dataset), quality-gated in-bench
+        # against the byte-exact reference DFS run
+        value, lk_budget = run_engine_placement_full(budget=1000)
+        _, lk_exact = run_engine_placement_full(budget=0)
+        print(f"# LK delta budget-vs-exact: {lk_budget - lk_exact:.3f}",
+              file=sys.stderr)
+        if abs(lk_budget - lk_exact) > 5.0:
+            # quality gate failed: fall back to reporting the exact path
+            print("# budget search off quality gate; reporting exact",
+                  file=sys.stderr)
+            value, _ = run_engine_placement_full(budget=0)
+            metric = "placement_throughput_b1429_engine"
+        else:
+            metric = "placement_throughput_b1429_budget1000"
         baseline = FULL_BASELINE_SEQ_PER_S
     except Exception as exc:  # pragma: no cover - defensive bench fallback
         print(f"# engine path failed ({exc!r})", file=sys.stderr)

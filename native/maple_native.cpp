@@ -3792,6 +3792,20 @@ static FindResult E_find_best_parent_budget(Engine *E, int64_t diffs,
     std::vector<HeapItem> heap;
     int64_t since_improve = 0;
     bool absorbed = false;
+    auto prefetch_vec = [&](int64_t id) {
+        if (id < 0) return;
+        const Vec &vv = E->S->v(id);
+        const char *p = (const char *)vv.data();
+        const char *end = p + vv.size() * sizeof(Entry);
+        if (end - p > 64 * 64) end = p + 64 * 64;
+        for (; p < end; p += 64) __builtin_prefetch(p, 0, 2);
+    };
+    // pull the vectors a node's discovery will read (score + minor check)
+    auto prefetch_node = [&](int c) {
+        if (E->is_leaf(c)) prefetch_vec(E->pv[c]);
+        if (E->dist[c] > E->eff0 && E->up[c] >= 0)
+            prefetch_vec(E->totUp[c]);
+    };
     // Score-at-discovery: chase through zero-length internal nodes
     // (polytomy chains), minor-check leaves, score every node with
     // dist > eff0, and push scored/expandable nodes onto the heap.
@@ -3874,9 +3888,19 @@ static FindResult E_find_best_parent_budget(Engine *E, int64_t diffs,
             keep_going = it.failed <= E->allowed_fails
                 || it.lk > best_lk_diff - E->threshold_log_lk;
         if (!keep_going) continue;
+        // sibling prefetch: child 1's lines load while child 0 scores
+        prefetch_node(E->child(it.node, 0));
+        prefetch_node(E->child(it.node, 1));
         for (int i = 0; i < 2; i++) {
             discover(E->child(it.node, i), it.lk, it.failed, it.diffs);
             if (absorbed) { R.absorbed = 1; return R; }
+        }
+        // peek-ahead: the heap front is the next expansion — start its
+        // children's lines now
+        if (!heap.empty()) {
+            int nxt = heap.front().node;
+            prefetch_node(E->child(nxt, 0));
+            prefetch_node(E->child(nxt, 1));
         }
     }
 
