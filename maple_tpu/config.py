@@ -135,6 +135,14 @@ class MapleConfig:
     # closeness is pinned by tests/test_beam_placement.py.  Requires the
     # native engine.
     placementBudget: int = 0
+    # Time-aware SPR scoring (--datesFile runs only): carry sampling-time
+    # likelihood terms through the SPR crawl and candidate re-optimization
+    # so topology decisions weigh time as well as genetic likelihood —
+    # the reference's intended-but-unreachable design (appendProbNodeTime
+    # consumed at :7031/:7254/:7507; its own time placement crashes
+    # first).  Off by default: genetic-only SPR + full time recompute,
+    # the documented deviation in models/timetree.py.
+    timeAwareTopology: bool = False
 
     # fast-initial-search parameters (reference :220-224): fixed, not flags
     strictTopologyStopRulesInitial: bool = True

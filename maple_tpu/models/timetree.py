@@ -9,11 +9,15 @@ Poisson(#mutations | Δt·mutRate) with a growing coefficient cache.
 Deviations from the reference (documented): (1) incompatible merges
 return an unpackable ``(marker, -inf)`` pair instead of a bare ``-inf``
 that crashes every reference caller, so the resolveTimeInconsistency
-repair path actually runs; (2) SPR/root-search move scoring is
-genetic-only under time mode with a full time recompute afterwards —
+repair path actually runs; (2) by default SPR/root-search move scoring
+is genetic-only under time mode with a full time recompute afterwards —
 the reference's time-aware SPR terms are unreachable because its own
 placement phase crashes first (unguarded unpacks at :5544, :8649,
-:1461) for every date configuration tested.
+:1461) for every date configuration tested.  ``--timeAwareTopology``
+enables the repaired version of that design: the SPR crawl carries
+time-likelihood state and candidate/current scores include time terms
+(search/spr.py, gated by ``taw``), with ill-defined normalization terms
+dropped via :func:`finite_or` instead of crashing.
 
 Reference: getPoissonCoeff :413-438, getPartialVecTime :443-570,
 resolveTimeInconsistency :576-656, mergeVectorsTime :662-771,
@@ -300,6 +304,16 @@ def merge_vectors_time(ctx: TimeCtx, v1, bl1, v2, bl2, return_lk=False,
     if return_lk:
         return (max_t, min_t, pv), log(tot)
     return (max_t, min_t, pv)
+
+
+def finite_or(x: float, default: float = 0.0) -> float:
+    """x when finite, else default.  Used by the time-aware SPR scoring
+    (--timeAwareTopology) to drop ill-defined normalization terms —
+    cached time vectors can be truncated into mutual incompatibility, and
+    the reference's equivalents are unguarded -inf unpacks."""
+    if x == x and float("-inf") < x < float("inf"):
+        return x
+    return default
 
 
 def find_prob_root_time(vect) -> float:

@@ -73,6 +73,24 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
     threshold_consecutive = dc.thresholdLogLKconsecutivePlacement
     pruned = children[node][child]
 
+    # --timeAwareTopology: carry time-likelihood state through the crawl
+    # (reference's unreachable design; crawl items gain a trailing
+    # (passed_time, tdist) element, time vectors are frame-free so no MAT
+    # pass-downs apply; incompatible time merges drop the candidate)
+    taw = rt.do_time_tree and cfg.timeAwareTopology and rt.time is not None
+    if taw:
+        from ..models import timetree as tt
+        T = rt.time
+        probVectTime = tree.probVectTime
+        probVectUpRightTime = tree.probVectUpRightTime
+        probVectUpLeftTime = tree.probVectUpLeftTime
+        removed_time = probVectTime[pruned]
+
+        def t_upper(t1):
+            """Cached time upper of t1 as seen from its parent."""
+            return probVectUpRightTime[up[t1]] \
+                if t1 == children[up[t1]][0] else probVectUpLeftTime[up[t1]]
+
     original_parent0 = node
     while dist[original_parent0] <= eff0 and up[original_parent0] is not None:
         original_parent0 = up[original_parent0]
@@ -103,10 +121,14 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
         if tree.mutations[node]:
             prob_vect1 = rt.pass_up(prob_vect1, node)
             removed_rel1 = rt.pass_up(removed_rel, node)
-        nodes_to_visit.append(
-            (up[node], child_up, prob_vect1, dist[best_node] + dist[node],
-             best_lk_diff, 0, removed_rel1,
-             ndesc0_to_add_for(dist[node] < eff0)))
+        item = (up[node], child_up, prob_vect1,
+                dist[best_node] + dist[node],
+                best_lk_diff, 0, removed_rel1,
+                ndesc0_to_add_for(dist[node] < eff0))
+        if taw:
+            item += ((probVectTime[best_node],
+                      dist[best_node] + dist[node]),)
+        nodes_to_visit.append(item)
         # crawl down into the sibling
         vect_down = vect_up_up
         if tree.mutations[node]:
@@ -115,10 +137,14 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
         if tree.mutations[best_node]:
             vect_down = rt.pass_down(vect_down, best_node)
             removed_rel1 = rt.pass_down(removed_rel, best_node)
-        nodes_to_visit.append(
-            (best_node, 0, vect_down, dist[best_node] + dist[node],
-             best_lk_diff, 0, removed_rel1,
-             ndesc0_to_add_for(dist[best_node] < eff0)))
+        item = (best_node, 0, vect_down, dist[best_node] + dist[node],
+                best_lk_diff, 0, removed_rel1,
+                ndesc0_to_add_for(dist[best_node] < eff0))
+        if taw:
+            vect_up_up_time = probVectUpRightTime[up[node]] if child_up == 1 \
+                else probVectUpLeftTime[up[node]]
+            item += ((vect_up_up_time, dist[best_node] + dist[node]),)
+        nodes_to_visit.append(item)
         original_blens = (dist[node], dist[best_node], removed_blen)
     else:
         # pruning from the root: start at the sibling's children
@@ -132,11 +158,15 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                 vect_up1 = rt.pass_down(vect_up1, child1)
             else:
                 removed_rel1 = best_removed_partials
-            nodes_to_visit.append(
-                (child1, 0, vect_up1, dist[child1], best_lk_diff, 0,
-                 removed_rel1,
-                 ndesc0_to_add_for(dist[child1] < eff0
-                                   and dist[best_node] < eff0)))
+            item = (child1, 0, vect_up1, dist[child1], best_lk_diff, 0,
+                    removed_rel1,
+                    ndesc0_to_add_for(dist[child1] < eff0
+                                      and dist[best_node] < eff0))
+            if taw:
+                item += ((tt.root_vector_time(T, probVectTime[child2],
+                                              dist[child2]),
+                          dist[child1]),)
+            nodes_to_visit.append(item)
             vect_up2 = rt.pass_up(probVect[child1], child1)
             vect_up2 = rt.root_vector(vect_up2, dist[child1],
                                       tree.is_tip(child1), node)
@@ -145,11 +175,15 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                 vect_up2 = rt.pass_down(vect_up2, child2)
             else:
                 removed_rel2 = best_removed_partials
-            nodes_to_visit.append(
-                (child2, 0, vect_up2, dist[child2], best_lk_diff, 0,
-                 removed_rel2,
-                 ndesc0_to_add_for(dist[child2] < eff0
-                                   and dist[best_node] < eff0)))
+            item = (child2, 0, vect_up2, dist[child2], best_lk_diff, 0,
+                    removed_rel2,
+                    ndesc0_to_add_for(dist[child2] < eff0
+                                      and dist[best_node] < eff0))
+            if taw:
+                item += ((tt.root_vector_time(T, probVectTime[child1],
+                                              dist[child1]),
+                          dist[child2]),)
+            nodes_to_visit.append(item)
         original_blens = (0.0, dist[best_node], removed_blen)
     best_branch_lengths = original_blens
 
@@ -189,6 +223,9 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
 
     while nodes_to_visit:
         info = nodes_to_visit.pop()
+        if taw:
+            passed_time, tdist = info[-1]
+            info = info[:-1]
         if len(info) == 8:
             t1, direction, passed_partials, distance, last_lk, \
                 failed_passes, removed_rel_here, nd_add = info
@@ -234,6 +271,15 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                     best_bottom = distance / 2
                     best_top = distance / 2
                     best_appending = removed_blen
+                if taw:
+                    mtt = tt.merge_vectors_time(
+                        T, passed_time, tdist / 2, probVectTime[t1],
+                        tdist / 2, is_up_down=True, return_lk=True)
+                    if isinstance(mtt[0], int):
+                        mid_prob += float("-inf")
+                    else:
+                        mid_prob += mtt[1] + tt.append_prob_node_time(
+                            T, mtt[0], removed_time, best_appending)
                 if use_hnz:
                     mid_prob += hnz_mid_correction(
                         t1, best_top, best_bottom, best_appending, nd_add,
@@ -242,9 +288,12 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                         from_above=True)
                 if mid_prob > best_lk_diff - threshold_opt:
                     if needs_updating:
-                        best_nodes.append((t1, mid_prob, passed_partials,
-                                           probVect[t1], distance, mid_tot,
-                                           removed_rel_here))
+                        entry = (t1, mid_prob, passed_partials,
+                                 probVect[t1], distance, mid_tot,
+                                 removed_rel_here)
+                        if taw:
+                            entry += ((passed_time, probVectTime[t1]),)
+                        best_nodes.append(entry)
                     else:
                         best_nodes.append((t1, mid_prob, removed_rel_here))
                 if mid_prob > best_lk_diff:
@@ -278,6 +327,12 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                             else tree.probVectUpLeft[t1]
                     if vect_next is None:
                         continue
+                    if taw:
+                        vect_next_time = tt.merge_vectors_time(
+                            T, passed_time, tdist, probVectTime[other],
+                            dist[other], is_up_down=True)
+                        if isinstance(vect_next_time, int):
+                            continue
                     removed_rel1 = removed_rel_here
                     if tree.mutations[child1]:
                         removed_rel1 = rt.pass_down(removed_rel_here, child1)
@@ -286,18 +341,21 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                     if needs_updating:
                         if tree.mutations[child1]:
                             vect_next = rt.pass_down(vect_next, child1)
-                        nodes_to_visit.append(
-                            (child1, 0, vect_next, dist[child1], mid_prob,
-                             failed_passes, removed_rel1, nd_pass))
+                        item = (child1, 0, vect_next, dist[child1],
+                                mid_prob, failed_passes, removed_rel1,
+                                nd_pass)
                     else:
-                        nodes_to_visit.append(
-                            (child1, 0, mid_prob, failed_passes,
-                             removed_rel1, nd_pass))
+                        item = (child1, 0, mid_prob, failed_passes,
+                                removed_rel1, nd_pass)
+                    if taw:
+                        item += ((vect_next_time, dist[child1]),)
+                    nodes_to_visit.append(item)
         else:
             # crawling up from child number (direction-1)
             other_child = children[t1][2 - direction]
             mid_bottom = None
             vect_up = None
+            mbt = None  # time twin of mid_bottom (taw only)
             if up[t1] is not None and (dist[t1] > eff0
                                        or up[up[t1]] is None):
                 if needs_updating:
@@ -341,6 +399,23 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                     best_bottom = dist[t1] / 2
                     best_top = dist[t1] / 2
                     best_appending = removed_blen
+                if taw:
+                    mbt = tt.merge_vectors_time(
+                        T, passed_time, tdist, probVectTime[other_child],
+                        dist[other_child])
+                    vut = t_upper(t1)
+                    if isinstance(mbt, int):
+                        mid_prob += float("-inf")
+                        mbt = None
+                    else:
+                        mtt = tt.merge_vectors_time(
+                            T, vut, dist[t1] / 2, mbt, dist[t1] / 2,
+                            is_up_down=True, return_lk=True)
+                        if isinstance(mtt[0], int):
+                            mid_prob += float("-inf")
+                        else:
+                            mid_prob += mtt[1] + tt.append_prob_node_time(
+                                T, mtt[0], removed_time, best_appending)
                 if use_hnz:
                     mid_prob += hnz_mid_correction(
                         t1, best_top, best_bottom, best_appending, nd_add,
@@ -349,9 +424,11 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                         from_above=False)
                 if mid_prob >= (best_lk_diff - threshold_opt):
                     if needs_updating:
-                        best_nodes.append((t1, mid_prob, vect_up, mid_bottom,
-                                           dist[t1], mid_tot,
-                                           removed_rel_here))
+                        entry = (t1, mid_prob, vect_up, mid_bottom,
+                                 dist[t1], mid_tot, removed_rel_here)
+                        if taw:
+                            entry += ((vut, mbt),)
+                        best_nodes.append(entry)
                     else:
                         best_nodes.append((t1, mid_prob, removed_rel_here))
                 if mid_prob > best_lk_diff:
@@ -382,7 +459,15 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                     else:
                         vect_up2 = tree.probVectUpLeft[t1] if direction == 1 \
                             else tree.probVectUpRight[t1]
-                    if vect_up2 is not None:
+                    down_time_ok = True
+                    if taw:
+                        vuut = t_upper(t1)
+                        vect_up2_time = tt.merge_vectors_time(
+                            T, vuut, dist[t1], passed_time, tdist,
+                            is_up_down=True)
+                        if isinstance(vect_up2_time, int):
+                            down_time_ok = False
+                    if vect_up2 is not None and down_time_ok:
                         removed_rel1 = removed_rel_here
                         if tree.mutations[other_child]:
                             removed_rel1 = rt.pass_down(removed_rel_here,
@@ -393,14 +478,15 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                             if tree.mutations[other_child]:
                                 vect_up2 = rt.pass_down(vect_up2,
                                                         other_child)
-                            nodes_to_visit.append(
-                                (other_child, 0, vect_up2,
-                                 dist[other_child], mid_prob, failed_passes,
-                                 removed_rel1, nd_pass))
+                            item = (other_child, 0, vect_up2,
+                                    dist[other_child], mid_prob,
+                                    failed_passes, removed_rel1, nd_pass)
                         else:
-                            nodes_to_visit.append(
-                                (other_child, 0, mid_prob, failed_passes,
-                                 removed_rel1, nd_pass))
+                            item = (other_child, 0, mid_prob, failed_passes,
+                                    removed_rel1, nd_pass)
+                        if taw:
+                            item += ((vect_up2_time, dist[other_child]),)
+                        nodes_to_visit.append(item)
                     # continue crawling up
                     if needs_updating:
                         if mid_bottom is None:
@@ -411,20 +497,35 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                                 tree.is_tip(other_child))
                             if mid_bottom is None:
                                 continue
+                    up_time_ok = True
+                    if taw and mbt is None:
+                        mbt = tt.merge_vectors_time(
+                            T, passed_time, tdist, probVectTime[other_child],
+                            dist[other_child])
+                        if isinstance(mbt, int):
+                            mbt = None
+                            up_time_ok = False
                     removed_rel1 = removed_rel_here
                     if tree.mutations[t1]:
                         removed_rel1 = rt.pass_up(removed_rel_here, t1)
                     nd_pass = nd_add if (nd_add and dist[t1] < eff0) else 0
-                    if needs_updating:
+                    if not up_time_ok:
+                        pass
+                    elif needs_updating:
                         if tree.mutations[t1]:
                             mid_bottom = rt.pass_up(mid_bottom, t1)
-                        nodes_to_visit.append(
-                            (up[t1], up_child + 1, mid_bottom, dist[t1],
-                             mid_prob, failed_passes, removed_rel1, nd_pass))
+                        item = (up[t1], up_child + 1, mid_bottom, dist[t1],
+                                mid_prob, failed_passes, removed_rel1,
+                                nd_pass)
+                        if taw:
+                            item += ((mbt, dist[t1]),)
+                        nodes_to_visit.append(item)
                     else:
-                        nodes_to_visit.append(
-                            (up[t1], up_child + 1, mid_prob, failed_passes,
-                             removed_rel1, nd_pass))
+                        item = (up[t1], up_child + 1, mid_prob,
+                                failed_passes, removed_rel1, nd_pass)
+                        if taw:
+                            item += ((mbt, dist[t1]),)
+                        nodes_to_visit.append(item)
                 else:
                     # reached the root: reflect into the other child
                     if needs_updating:
@@ -439,13 +540,17 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
                     nd_pass = nd_add if (nd_add and dist[other_child]
                                          < eff0) else 0
                     if needs_updating:
-                        nodes_to_visit.append(
-                            (other_child, 0, vect_up2, dist[other_child],
-                             mid_prob, failed_passes, removed_rel1, nd_pass))
+                        item = (other_child, 0, vect_up2, dist[other_child],
+                                mid_prob, failed_passes, removed_rel1,
+                                nd_pass)
                     else:
-                        nodes_to_visit.append(
-                            (other_child, 0, mid_prob, failed_passes,
-                             removed_rel1, nd_pass))
+                        item = (other_child, 0, mid_prob, failed_passes,
+                                removed_rel1, nd_pass)
+                    if taw:
+                        item += ((tt.root_vector_time(T, passed_time,
+                                                      tdist),
+                                  dist[other_child]),)
+                    nodes_to_visit.append(item)
 
     # ---- fine optimization of candidates + SPRTA supports ----
     best_score = original_lk
@@ -471,16 +576,33 @@ def find_best_parent_topology(rt: TreeRuntime, node: int, child: int,
             down_vect = probVect[t1]
             distance = dist[t1]
             mid_tot = probVectTotUp[t1]
+            removed_partials = node_pair[2]
+            if taw:
+                time_up, time_down = t_upper(t1), probVectTime[t1]
         else:
             up_vect = node_pair[2]
             down_vect = node_pair[3]
             distance = node_pair[4]
             mid_tot = node_pair[5]
-        removed_partials = node_pair[-1]
+            removed_partials = node_pair[6]
+            if taw:
+                time_up, time_down = node_pair[7]
         from_tip1 = tree.is_tip(t1)
         appending_cost, best_bottom, best_top, best_appending = \
             evaluate_placement(rt, mid_tot, down_vect, up_vect, distance,
                                removed_partials, is_removed_tip, from_tip1)
+        if taw:
+            nmt = tt.merge_vectors_time(
+                T, time_up, best_top, time_down, best_bottom,
+                is_up_down=True, return_lk=True)
+            if isinstance(nmt[0], int):
+                appending_cost += float("-inf")
+            else:
+                appending_cost += nmt[1] \
+                    - tt.finite_or(tt.append_prob_node_time(
+                        T, time_up, time_down, distance)) \
+                    + tt.append_prob_node_time(T, nmt[0], removed_time,
+                                               best_appending)
         initial_cost = kern.append_prob_node(up_vect, down_vect, from_tip1,
                                           distance)
         new_partial_cost = kern.append_prob_node(up_vect, down_vect, from_tip1, best_bottom + best_top)
@@ -1013,6 +1135,42 @@ def traverse_tree_for_topology_update(rt: TreeRuntime, node: int,
     original_lk = kern.append_prob_node(vect_up, tree.probVect[node],
                                      is_tip, best_curren_blen)
     genetic_lk = original_lk
+    # --timeAwareTopology: the current placement's score includes its
+    # time-likelihood terms so the comparison against time-scored
+    # candidates is like-for-like (reference :9332-9346)
+    taw = rt.do_time_tree and cfg.timeAwareTopology and rt.time is not None
+    if taw:
+        from ..models import timetree as tt
+        from ..models.timetree import finite_or as _f
+        T = rt.time
+        pvT = tree.probVectTime
+        sibling = children[parent][1 - child]
+        # Ill-defined terms (cached time vectors truncated into mutual
+        # incompatibility, reference's unguarded -inf unpacks) drop to 0:
+        # that decision falls back to genetic-only comparison instead of
+        # poisoning the improvement bookkeeping with -inf/NaN.
+        if up[parent] is None:
+            mv = tt.merge_vectors_time(T, pvT[node], dist[node],
+                                       pvT[sibling], dist[sibling],
+                                       return_lk=True)
+            olt = _f(mv[1]) if not isinstance(mv[0], int) else 0.0
+            olt += tt.find_prob_root_time(pvT[parent]) \
+                - tt.find_prob_root_time(pvT[sibling])
+        else:
+            vect_up_time = tree.probVectUpRightTime[parent] if child == 0 \
+                else tree.probVectUpLeftTime[parent]
+            olt = _f(tt.append_prob_node_time(T, vect_up_time, pvT[node],
+                                              best_curren_blen))
+            vuut = tree.probVectUpRightTime[up[parent]] \
+                if parent == children[up[parent]][0] \
+                else tree.probVectUpLeftTime[up[parent]]
+            mv = tt.merge_vectors_time(T, vuut, dist[parent], pvT[sibling],
+                                       dist[sibling], is_up_down=True,
+                                       return_lk=True)
+            if not isinstance(mv[0], int):
+                olt += _f(mv[1]) - _f(tt.append_prob_node_time(
+                    T, vuut, pvT[sibling], dist[sibling] + dist[parent]))
+        original_lk += olt
     if tree.use_hnz:
         pn0 = up[node]
         while dist[pn0] <= eff0 and up[pn0] is not None:
@@ -1035,6 +1193,15 @@ def traverse_tree_for_topology_update(rt: TreeRuntime, node: int,
                     or dist[node] / best_curren_blen < 0.99:
                 blen_changed = True
             best_current_lk = kern.append_prob_node(vect_up, tree.probVect[node], is_tip, best_curren_blen)
+            if taw:
+                # same time terms as original_lk with the appending term
+                # re-evaluated at the re-estimated branch length
+                best_current_lk += olt \
+                    + _f(tt.append_prob_node_time(T, vect_up_time,
+                                                  pvT[node],
+                                                  best_curren_blen)) \
+                    - _f(tt.append_prob_node_time(T, vect_up_time,
+                                                  pvT[node], dist[node]))
             if tree.use_hnz:
                 if best_curren_blen > eff0:
                     if dist[node] > eff0:
@@ -1066,7 +1233,7 @@ def traverse_tree_for_topology_update(rt: TreeRuntime, node: int,
 
     topology_updated = False
     if ((best_current_lk < threshold_topology_placement or dist[node]
-         or tree.use_hnz) and not cfg.doNotImproveTopology) \
+         or tree.use_hnz or taw) and not cfg.doNotImproveTopology) \
             or ((dist[node] or cfg.supportFor0Branches) and abayes_on):
         best_node_so_far, best_lk_diff, best_blens, placements, support, \
             passed_vect = find_best_parent_topology(
