@@ -46,8 +46,21 @@ def test_analyse_mnms(tmp_path):
     if not os.path.isfile(tsv):
         pytest.skip("SPRTA golden missing")
     out = tmp_path / "mnms.tsv"
+    ctx = tmp_path / "ctx.tsv"
     _run("analyse_mnms.py", "--inputTSV", tsv, "--thresholdProb", "0.5",
-         "--output", str(out))
+         "--reference",
+         "/root/reference/example_files/MAPLE_alignment_example.txt",
+         "--output", str(out), "--contextOutput", str(ctx))
     body = out.read_text()
-    assert body.startswith("MNM\tsize\toccurrences")
+    assert body.startswith("MNM\tsize\toccurrences\texpected\tp_poisson")
     assert "G28280C-A28281T-T28282A" in body  # known B.1.1.7 MNM
+    # the known 3-site MNM recurs far above its independence expectation
+    for line in body.splitlines():
+        if line.startswith("G28280C-A28281T-T28282A"):
+            parts = line.split("\t")
+            assert int(parts[2]) >= 2
+            assert float(parts[4]) < 1e-3
+    ctx_body = ctx.read_text()
+    assert "# substitution spectrum" in ctx_body
+    assert "# trinucleotide contexts" in ctx_body
+    assert "# spacing between consecutive events" in ctx_body
