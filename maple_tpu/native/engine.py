@@ -10,8 +10,8 @@ vectors, refreshes the substitution model from pseudo-counts on the same
 cadence as the Python loop, and finally exports the C++ tree into the
 session's PhyloTree with zero-copy vector handles.
 
-Placement covers the de-novo path including rate variation; HnZ, time
-trees, error-model-active placement, and deeper-long-branch search fall
+Placement covers the de-novo path including rate variation, HnZ, and
+active error models; time trees and deeper-long-branch search fall
 back to the Python loop (callers gate on `native_engine_supported`).
 The module also hosts whole-phase helpers — run_native_spr_pass,
 run_native_recalculate, run_native_tree_lk, run_native_blen_sweep —
@@ -30,16 +30,16 @@ from ..core.backend import NV, NativeBackend
 
 def native_engine_supported(run) -> bool:
     """The engine covers the reference's de-novo placement configurations
-    incl. rate variation and HnZ; time trees, active error models, and
+    incl. rate variation, HnZ, and active error models; time trees and
     deeper-long-branch search fall back to the Python loop."""
     cfg = run.cfg
-    model = run.model
     # rate variation is supported natively: the store's per-site matrix
     # is mut[i][j] * site_rates[pos], exactly the python per-site tables
     # (byte parity pinned by the example_ratevar golden); HnZ placement
-    # corrections + nDesc0 bookkeeping run natively too
+    # corrections + nDesc0 bookkeeping run natively too; error-model
+    # placement works through the store's error rates + alias-tagged
+    # shared ambiguity lists (sweep_errfixed / sweep_errfile goldens)
     return (run.time_ctx is None
-            and not model.using_error_rate
             and not cfg.deeperSearchForLongBranches
             and not cfg.doNotPlaceNewSamples)
 
