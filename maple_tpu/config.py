@@ -135,6 +135,14 @@ class MapleConfig:
     # closeness is pinned by tests/test_beam_placement.py.  Requires the
     # native engine.
     placementBudget: int = 0
+    # SPR-crawl budget: during topology improvement, each pruned node's
+    # re-attachment crawl stops after this many consecutive non-improving
+    # candidate scores (0 = reference-exact stop rules only).  The crawl
+    # radiates outward from the prune point, so the budget confines it to
+    # the local neighborhood where SPR moves land — the scale lever for
+    # the topology phase, complementing placementBudget.  Requires the
+    # native SPR pass; quality pinned by tests/test_beam_placement.py.
+    topologyBudget: int = 0
     # Time-aware SPR scoring (--datesFile runs only): carry sampling-time
     # likelihood terms through the SPR crawl and candidate re-optimization
     # so topology decisions weigh time as well as genetic likelihood —

@@ -339,6 +339,8 @@ def run_native_spr_pass(rt, root, strict_stop, allowed_fails,
         h, dc.thresholdLogLKoptimizationTopology,
         threshold_topology_placement, rt.cfg.defaultBLen,
         rt.cfg.maxReplacements)
+    if rt.cfg.topologyBudget:
+        lib.engine_set_spr_budget(h, rt.cfg.topologyBudget)
     new_root = np.zeros(1, i32)
     improvement = np.zeros(1, f64)
     topo = np.zeros(1, np.int64)

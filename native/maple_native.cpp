@@ -2887,6 +2887,13 @@ struct Engine {
     // stop after this many consecutive non-improving scored nodes;
     // 0 = exact reference DFS.
     int64_t search_budget = 0;
+    // SPR-crawl budget (opt-in, engine_set_spr_budget): the per-node
+    // re-attachment crawl stops after this many consecutive
+    // non-improving scored candidates.  The crawl radiates outward from
+    // the prune point, so the budget bounds it to the local
+    // neighborhood where SPR moves actually land; 0 = exact reference
+    // stop rules only.
+    int64_t spr_budget = 0;
 
     int add_node() {
         up.push_back(-1); c0.push_back(-1); c1.push_back(-1);
@@ -4461,7 +4468,9 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
     double best_bottom = orig_bottom;
     double best_appending = removed_blen;
 
+    int64_t since_improve = 0;
     while (!stack.empty()) {
+        if (E->spr_budget > 0 && since_improve > E->spr_budget) break;
         CrawlItem it = stack.back();
         stack.pop_back();
         int t1 = it.t1;
@@ -4511,9 +4520,13 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                 if (mid_prob > best_lk_diff) {
                     best_lk_diff = mid_prob;
                     failed = 0;
+                    since_improve = 0;
                     E_shorten(E, removed_here);
                 } else if (mid_prob < last_lk - threshold_consec) {
                     failed++;
+                    since_improve++;
+                } else {
+                    since_improve++;
                 }
             } else {
                 mid_prob = last_lk;
@@ -4613,8 +4626,12 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                 if (mid_prob > best_lk_diff) {
                     best_lk_diff = mid_prob;
                     failed = 0;
+                    since_improve = 0;
                 } else if (mid_prob < last_lk - threshold_consec) {
                     failed++;
+                    since_improve++;
+                } else {
+                    since_improve++;
                 }
             } else {
                 mid_prob = last_lk;
@@ -6012,6 +6029,11 @@ void engine_set_hnz(Engine *E, int mode) {
 // stops (0 restores the exact reference DFS).
 void engine_set_search_budget(Engine *E, int64_t budget) {
     E->search_budget = budget;
+}
+
+// Bound the per-node SPR re-attachment crawl (see Engine::spr_budget).
+void engine_set_spr_budget(Engine *E, int64_t budget) {
+    E->spr_budget = budget;
 }
 
 void engine_import_ndesc0(Engine *E, const int32_t *nd) {

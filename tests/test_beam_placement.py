@@ -55,6 +55,22 @@ def test_budget_full_pipeline_matches_golden_lk(tmp_path):
     assert lk == pytest.approx(lk_gold, abs=1.0)
 
 
+def test_topology_budget_full_pipeline_lk(tmp_path):
+    """--topologyBudget bounds the SPR re-attachment crawl; on the
+    example it reproduces the exact final LK (observed byte-equal)."""
+    gp = os.path.join(GOLDEN_DIR, "example_gtr")
+    if not os.path.isfile(gp + "_LK.txt"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR",
+                      topologyBudget=500, placementBudget=200,
+                      overwrite=True)
+    run_inference(cfg)
+    lk = float(open(out + "_LK.txt").read().split()[-1])
+    lk_gold = float(open(gp + "_LK.txt").read().split()[-1])
+    assert lk == pytest.approx(lk_gold, abs=1.0)
+
+
 def test_budget_zero_is_exact_dfs(tmp_path):
     """placementBudget=0 (the default) must keep byte parity."""
     gp = os.path.join(GOLDEN_DIR, "example_gtr")
