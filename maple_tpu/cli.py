@@ -23,6 +23,7 @@ def build_parser() -> argparse.ArgumentParser:
     defaults = MapleConfig()
     snake_extras = {
         "device_placement": "devicePlacement",
+        "device_pallas": "devicePallas",
         "device_warmup": "deviceWarmup",
         "device_batch_size": "deviceBatchSize",
         "use_device_kernels": "useDeviceKernels",
@@ -58,6 +59,7 @@ def main(argv=None):
     kwargs = {}
     rev = {v: k for k, v in {
         "device_placement": "devicePlacement",
+        "device_pallas": "devicePallas",
         "device_warmup": "deviceWarmup",
         "device_batch_size": "deviceBatchSize",
         "use_device_kernels": "useDeviceKernels",

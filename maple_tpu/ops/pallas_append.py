@@ -1,0 +1,286 @@
+"""Pallas TPU kernel for batched placement scoring (appendProbNode).
+
+The Pallas twin of :func:`maple_tpu.ops.append_batch._append_scores_block`
+(reference semantics: MAPLEv0.7.5.4.py:6505-6785).  Same mathematics,
+different decomposition chosen for the TPU's VPU:
+
+Entry-pair identity.  The XLA kernel materializes the union breakpoint set
+(jnp.sort) and gathers each segment's covering entries with a one-hot
+contraction.  This kernel uses the fact that genome-list entries partition
+[0, lRef], so every union segment is the overlap of exactly one
+(P-entry, C-entry) pair — between ``max(prev_ends)`` and ``min(ends)`` of
+an overlapping pair there can be no other breakpoint.  Scoring therefore
+needs no sort and no gather: it is a masked sum of per-pair log-factors
+over the B1 x B2 entry grid, pure element-wise VPU work.
+
+Layout.  Grid = (K queries, N candidates); each program broadcasts one
+candidate's entry fields (1, B1) against one query's entry fields (B2, 1)
+into (B2, B1) planes (query entries on sublanes, candidate entry slots on
+lanes) and reduces the masked log-factor plane to one scalar in SMEM.
+Per-site model state (site rates, error rates) is pre-gathered per entry
+*outside* the kernel — the rate of a contributing pair is the rate at
+``min(ends) - 1``, so a per-entry gather plus an in-kernel select replaces
+the in-kernel table lookup.  The 4-vector algebra (getPartialVec
+evolution, root-frequency contractions, one-hot lookups into the 4x4 rate
+matrix) is unrolled into four scalar planes, so Mosaic only ever sees
+plain 2D tiles.
+
+Numerics match the XLA kernel exactly up to summation order (both sum
+log-factors; the host path's carry-rescue product remains the byte-parity
+reference).  Off-TPU the wrapper runs in interpret mode; tests compare
+against the XLA kernel in float64.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pack import TYPE_N, TYPE_O, TYPE_PAD, TYPE_R
+
+# field order in the stacked entry tensors
+_F_TYPE, _F_VAL, _F_BL1, _F_BL2, _F_HAS1, _F_HAS2, _F_FLAG = range(7)
+_F_P0, _F_P1, _F_P2, _F_P3 = 7, 8, 9, 10
+_F_END, _F_PREV, _F_RATE, _F_EPS = 11, 12, 13, 14
+_NFIELDS = 16  # padded to a power of two
+
+
+def _stack_fields(X, site_rates, error_rates, axis):
+    """Stack the packed dict's per-entry fields into one tensor along
+    ``axis`` (-2 for P: [N, F, B1]; -1 for C: [.., B2, F])."""
+    dtype = X["bl1"].dtype
+    ends = X["ends"]
+    pos = jnp.maximum(ends - 1, 0)
+    prev = jnp.concatenate(
+        [jnp.zeros_like(ends[..., :1]), ends[..., :-1]], axis=-1)
+    fields = [
+        X["types"].astype(dtype), X["vals"].astype(dtype),
+        X["bl1"].astype(dtype), X["bl2"].astype(dtype),
+        X["has_bl1"].astype(dtype), X["has_bl2"].astype(dtype),
+        X["flags"].astype(dtype),
+        X["probs"][..., 0], X["probs"][..., 1],
+        X["probs"][..., 2], X["probs"][..., 3],
+        ends.astype(dtype), prev.astype(dtype),
+        jnp.take(site_rates, pos).astype(dtype),
+        jnp.take(error_rates, pos).astype(dtype),
+        jnp.zeros_like(ends, dtype=dtype),
+    ]
+    return jnp.stack(fields, axis=axis)
+
+
+def _append_kernel(Pref, Cref, mmref, rfref, prmref, oref, *, uer):
+    """One program: one candidate (lanes) x one query (sublanes)."""
+    dtype = Pref.dtype
+    fP = lambda i: Pref[0, i:i + 1, :]               # (1, B1) planes
+    fC = lambda i: Cref[0, :, i:i + 1]               # (B2, 1) planes
+    cP = fP(_F_TYPE)
+    valP = fP(_F_VAL)
+    blP1 = fP(_F_BL1)
+    blP2 = fP(_F_BL2)
+    hasP1 = fP(_F_HAS1) > 0.5
+    hasP2 = fP(_F_HAS2) > 0.5
+    flagP = fP(_F_FLAG) > 0.5
+    pP = [fP(_F_P0 + k) for k in range(4)]
+    endP = fP(_F_END)
+    prevP = fP(_F_PREV)
+
+    cC = fC(_F_TYPE)
+    valC = fC(_F_VAL)
+    blC1 = fC(_F_BL1)
+    hasC1 = fC(_F_HAS1) > 0.5
+    flagC = fC(_F_FLAG) > 0.5
+    pC = [fC(_F_P0 + k) for k in range(4)]
+    endC = fC(_F_END)
+    prevC = fC(_F_PREV)
+
+    mm = [[mmref[0, 4 * i + j] for j in range(4)] for i in range(4)]
+    rf = [rfref[0, k] for k in range(4)]
+    blen = prmref[0, 0]
+    tip = prmref[0, 1]
+    gtr = prmref[0, 2]
+    tot_error = prmref[0, 3]
+
+    is_nucP = cP < 3.5
+    is_nucC = cC < 3.5
+    is_R_P = cP == float(TYPE_R)
+    is_O_P = cP == float(TYPE_O)
+    is_O_C = cC == float(TYPE_O)
+
+    overlap = (jnp.minimum(endP, endC) - jnp.maximum(prevP, prevC)) > 0.5
+    contributes = overlap \
+        & (cP != float(TYPE_N)) & (cC != float(TYPE_N)) \
+        & (cP != float(TYPE_PAD)) & (cC != float(TYPE_PAD)) \
+        & ~(is_R_P & (cC == float(TYPE_R))) \
+        & ~(is_nucP & (cP == cC))
+
+    # per-position model state: a contributing pair's position is
+    # min(ends) - 1, so select the pre-gathered rate of the earlier side
+    p_side = endP <= endC
+    rate = jnp.where(p_side, fP(_F_RATE), fC(_F_RATE))
+    if uer:
+        eps = jnp.where(p_side, fP(_F_EPS), fC(_F_EPS))
+    else:
+        eps = jnp.zeros_like(rate)
+
+    # total fixed branch length between the two observations
+    contrib = blen \
+        + jnp.where(is_O_P,
+                    jnp.where(hasP1, blP1, 0.0),
+                    jnp.where(hasP2, blP2,
+                              jnp.where(hasP1, blP1, 0.0))) \
+        + jnp.where(hasC1, blC1, 0.0)
+
+    refn = jnp.where(is_R_P, valC, valP)
+    i1 = jnp.where(is_nucP, cP, refn)
+    i2 = jnp.where(is_nucC, cC, refn)
+
+    def onehot4(idx):
+        return [jnp.where(idx == float(k), 1.0, 0.0).astype(dtype)
+                for k in range(4)]
+
+    h1 = onehot4(i1)
+    h2 = onehot4(i2)
+    if uer:
+        fCh = jnp.where((tip > 0.5) | flagC, 1.0, 0.0).astype(dtype)
+        fPh = jnp.where(flagP, 1.0, 0.0).astype(dtype)
+    else:
+        fCh = jnp.zeros_like(cC)
+        fPh = jnp.zeros_like(cP)
+
+    def mv(v):
+        return [mm[k][0] * v[0] + mm[k][1] * v[1]
+                + mm[k][2] * v[2] + mm[k][3] * v[3] for k in range(4)]
+
+    def evolve_down(base, t_eff):
+        m = mv(base)
+        out = [base[k] + t_eff * m[k] for k in range(4)]
+        bad = (out[0] < 0) | (out[1] < 0) | (out[2] < 0) | (out[3] < 0)
+        return [jnp.where(bad, 0.25, out[k]) for k in range(4)]
+
+    dot4 = lambda a, b: (a[0] * b[0] + a[1] * b[1]
+                         + a[2] * b[2] + a[3] * b[3])
+
+    t_eff = contrib * rate
+    pos_t = contrib > 0
+    # C is O: evolve its explicit 4-vector down contrib
+    evC_O_raw = evolve_down(pC, t_eff)
+    evC_O = [jnp.where(pos_t, evC_O_raw[k], pC[k]) for k in range(4)]
+    # C is concrete: evolve its (error-adjusted) one-hot
+    e3 = 0.33333 * eps
+    baseC = [fCh * (h2[k] * (1.0 - eps - e3) + e3)
+             + (1.0 - fCh) * h2[k] for k in range(4)]
+    evC_nuc = evolve_down(baseC, t_eff)
+    # P root-side half branch (two-length entries)
+    baseP = [fPh * (h1[k] * (1.0 - eps - e3) + e3)
+             + (1.0 - fPh) * h1[k] for k in range(4)]
+    evP_root = evolve_down(baseP, blP1 * rate)
+
+    rf_i1 = dot4(h1, rf)
+    m_i1_i2 = rate * dot4(h1, mv(h2))
+
+    # --- case factors (same ordering as the XLA kernel) ---
+    pcs_i1 = dot4(h1, pC)
+    simple_CO = jnp.where(pos_t, dot4(h1, evC_O), pcs_i1)
+    root_CO = (evC_O[0] * evP_root[0] * rf[0]
+               + evC_O[1] * evP_root[1] * rf[1]
+               + evC_O[2] * evP_root[2] * rf[2]
+               + evC_O[3] * evP_root[3] * rf[3]) / rf_i1
+    f_CO = jnp.where(pcs_i1 > 0.02, pcs_i1,
+                     jnp.where(hasP2, root_CO, simple_CO))
+
+    base_nn = jnp.minimum(0.25, m_i1_i2 * contrib)
+    not_R = jnp.where(is_R_P, 0.0, 1.0).astype(dtype)
+    plain_nn = base_nn + (fPh * not_R + fCh) * 0.33333 * eps
+    plain_rn = base_nn + fCh * 0.33333 * eps
+    root_nn = (evC_nuc[0] * evP_root[0] * rf[0]
+               + evC_nuc[1] * evP_root[1] * rf[1]
+               + evC_nuc[2] * evP_root[2] * rf[2]
+               + evC_nuc[3] * evP_root[3] * rf[3]) / rf_i1
+    f_nn = jnp.where(hasP2, root_nn,
+                     jnp.where(is_R_P, plain_rn, plain_nn))
+
+    f_OO = dot4(pP, evC_O)
+    pps_i2 = dot4(h2, pP)
+    f_On = jnp.where(pps_i2 > 0.02, pps_i2, dot4(pP, evC_nuc))
+
+    fac = jnp.where(is_O_P & is_O_C, f_OO,
+                    jnp.where(is_O_P, f_On,
+                              jnp.where(is_O_C, f_CO, f_nn)))
+    fac = jnp.where(contributes, fac, 1.0)
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+    log_f = jnp.where(fac > 0, jnp.log(jnp.maximum(fac, 1e-300)), neg_inf)
+
+    score = blen * gtr + jnp.sum(log_f)
+    if uer:
+        score = score + tip * tot_error
+    oref[0, 0] = score
+
+
+@partial(jax.jit, static_argnames=("uer", "interpret"))
+def _pallas_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
+                        error_rates, global_tot_rate, tot_error, uer,
+                        interpret):
+    dtype = mm.dtype
+    Pstk = _stack_fields(P, site_rates, error_rates, axis=-2)  # [N,F,B1]
+    Cstk = _stack_fields(C, site_rates, error_rates, axis=-1)  # [K,B2,F]
+    if Cstk.ndim == 2:
+        Cstk = Cstk[None]
+    K, B2, F = Cstk.shape
+    N, _, B1 = Pstk.shape
+    mm_flat = mm.reshape(1, 16).astype(dtype)
+    rf = root_freqs.reshape(1, 4).astype(dtype)
+    prm = jnp.stack([jnp.asarray(blen, dtype),
+                     jnp.asarray(tip_c, dtype),
+                     global_tot_rate.astype(dtype),
+                     tot_error.astype(dtype)]).reshape(1, 4)
+
+    out = pl.pallas_call(
+        partial(_append_kernel, uer=uer),
+        grid=(K, N),
+        in_specs=[
+            pl.BlockSpec((1, F, B1), lambda k, n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B2, F), lambda k, n: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda k, n: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda k, n: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda k, n: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda k, n: (k, n),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((K, N), dtype),
+        interpret=interpret,
+    )(Pstk, Cstk, mm_flat, rf, prm)
+    return out  # [K, N]
+
+
+def _auto_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def pallas_grid_append_scores(P: dict, C: dict, blen, tip_c: bool, dm,
+                              interpret=None):
+    """Scores [K, N] for K packed queries against N candidate uppers —
+    drop-in twin of :func:`append_batch.grid_append_scores`."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    dtype = dm.mut_matrix.dtype
+    return _pallas_scores_impl(
+        P, C, jnp.asarray(blen, dtype), jnp.asarray(float(tip_c), dtype),
+        dm.mut_matrix, dm.root_freqs, dm.site_rates, dm.error_rates,
+        dm.global_tot_rate, dm.tot_error, dm.using_error_rate,
+        bool(interpret))
+
+
+def pallas_batched_append_scores(P: dict, C: dict, blen, tip_c: bool, dm,
+                                 interpret=None):
+    """Scores [N] for one packed query against N candidate uppers — twin of
+    :func:`append_batch.batched_append_scores`."""
+    return pallas_grid_append_scores(P, C, blen, tip_c, dm,
+                                     interpret=interpret)[0]

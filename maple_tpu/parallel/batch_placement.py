@@ -118,11 +118,12 @@ class BatchedPlacer:
 
     def __init__(self, rt: TreeRuntime, stats: PlacementStats,
                  batch_size: int = 64, query_chunk: int = 16,
-                 dtype=jnp.float32, mesh=None):
+                 dtype=jnp.float32, mesh=None, use_pallas: bool = False):
         self.rt = rt
         self.stats = stats
         self.batch_size = batch_size
         self.mesh = mesh
+        self.use_pallas = use_pallas
         if mesh is not None:
             # query chunks shard over dp: keep them divisible by the axis
             dp = mesh.shape["dp"]
@@ -214,6 +215,10 @@ class BatchedPlacer:
                        for k, v in sub.items()}
                 out = np.asarray(placement_scores(
                     self.mesh, self.pool.pool, sub, one_mut, dm))
+            elif self.use_pallas:
+                from ..ops.pallas_append import pallas_grid_append_scores
+                out = np.asarray(pallas_grid_append_scores(
+                    self.pool.pool, sub, one_mut, True, dm))
             else:
                 out = np.asarray(grid_append_scores(
                     self.pool.pool, sub, one_mut, True, dm))

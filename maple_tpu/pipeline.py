@@ -446,7 +446,9 @@ class Run:
         self.data[first_sample] = None
         num_samples = 1
         placer = BatchedPlacer(self.rt, self.stats, batch_size=batch_size,
-                               mesh=mesh)
+                               mesh=mesh,
+                               use_pallas=getattr(cfg, "device_pallas",
+                                                  False))
         start_all = time.time()
         while distances:
             if cfg.model != "JC" and num_samples \

@@ -110,3 +110,16 @@ def test_batched_placer_with_mat_frames(tmp_path):
     assert n_frames > 0, "expected MAT promotions with clade size 10"
     assert _placed_count(run_d) == _placed_count(run_s) == 112
     assert abs(lk_d - lk_s) <= 0.001 * abs(lk_s), (lk_d, lk_s)
+
+
+def test_batched_placer_pallas_end_to_end(tmp_path):
+    """--devicePallas: same contract as the XLA scorer, scored by the
+    Pallas kernel (interpret mode off-TPU).  The two scorers agree to
+    float32 rounding, so the resulting trees should be equivalent in
+    likelihood."""
+    if not os.path.isfile(EXAMPLE):
+        pytest.skip("example data not available")
+    run_x, lk_x = _run_device(tmp_path)
+    run_p, lk_p = _run_device(tmp_path, device_pallas=True)
+    assert _placed_count(run_p) == _placed_count(run_x) == 112
+    assert abs(lk_p - lk_x) <= 0.001 * abs(lk_x), (lk_p, lk_x)
