@@ -13,22 +13,25 @@ an overlapping pair there can be no other breakpoint.  Scoring therefore
 needs no sort and no gather: it is a masked sum of per-pair log-factors
 over the B1 x B2 entry grid, pure element-wise VPU work.
 
-Layout.  Grid = (K queries, N candidates); each program broadcasts one
-candidate's entry fields (1, B1) against one query's entry fields (B2, 1)
-into (B2, B1) planes (query entries on sublanes, candidate entry slots on
-lanes) and reduces the masked log-factor plane to one scalar in SMEM.
-Per-site model state (site rates, error rates) is pre-gathered per entry
-*outside* the kernel — the rate of a contributing pair is the rate at
-``min(ends) - 1``, so a per-entry gather plus an in-kernel select replaces
-the in-kernel table lookup.  The 4-vector algebra (getPartialVec
-evolution, root-frequency contractions, one-hot lookups into the 4x4 rate
-matrix) is unrolled into four scalar planes, so Mosaic only ever sees
-plain 2D tiles.
+Layout.  Grid = (K queries, N/8 candidate tiles); each program holds an
+(8, B1) tile of candidate entry fields in VMEM (candidates on sublanes,
+entry slots on lanes) and walks the B2 query entries with a fori_loop,
+reading the current query entry's fields as SMEM scalars.  Query entries
+that can never contribute (N runs and padding — most of a padded tip
+list) are skipped with lax.cond, so per-program work tracks the *actual*
+query length, not the padded budget.  Per-site model state (site rates,
+error rates) is pre-gathered per entry *outside* the kernel — the rate of
+a contributing pair is the rate at ``min(ends) - 1``, so a per-entry
+gather plus an in-kernel select replaces the in-kernel table lookup.  The
+4-vector algebra (getPartialVec evolution, root-frequency contractions,
+one-hot lookups into the 4x4 rate matrix) is unrolled into four scalar
+planes, so Mosaic only ever sees plain 2D tiles.
 
 Numerics match the XLA kernel exactly up to summation order (both sum
 log-factors; the host path's carry-rescue product remains the byte-parity
-reference).  Off-TPU the wrapper runs in interpret mode; tests compare
-against the XLA kernel in float64.
+reference).  Off-TPU the wrapper runs in interpret mode; on TPU the
+kernel compiles via Mosaic (validated on a v5e chip).  Tests compare
+against the XLA kernel in float64 interpret mode.
 """
 from __future__ import annotations
 
@@ -46,6 +49,8 @@ _F_TYPE, _F_VAL, _F_BL1, _F_BL2, _F_HAS1, _F_HAS2, _F_FLAG = range(7)
 _F_P0, _F_P1, _F_P2, _F_P3 = 7, 8, 9, 10
 _F_END, _F_PREV, _F_RATE, _F_EPS = 11, 12, 13, 14
 _NFIELDS = 16  # padded to a power of two
+
+_TILE_N = 8  # candidates per program (f32 sublane count)
 
 
 def _stack_fields(X, site_rates, error_rates, axis):
@@ -71,11 +76,11 @@ def _stack_fields(X, site_rates, error_rates, axis):
     return jnp.stack(fields, axis=axis)
 
 
-def _append_kernel(Pref, Cref, mmref, rfref, prmref, oref, *, uer):
-    """One program: one candidate (lanes) x one query (sublanes)."""
+def _append_kernel(Pref, Cref, mmref, rfref, prmref, oref, *, uer, B2):
+    """One program: an (_TILE_N, B1) candidate tile x all B2 query
+    entries."""
     dtype = Pref.dtype
-    fP = lambda i: Pref[0, i:i + 1, :]               # (1, B1) planes
-    fC = lambda i: Cref[0, :, i:i + 1]               # (B2, 1) planes
+    fP = lambda i: Pref[:, i, :]                     # (TN, B1) planes
     cP = fP(_F_TYPE)
     valP = fP(_F_VAL)
     blP1 = fP(_F_BL1)
@@ -86,69 +91,26 @@ def _append_kernel(Pref, Cref, mmref, rfref, prmref, oref, *, uer):
     pP = [fP(_F_P0 + k) for k in range(4)]
     endP = fP(_F_END)
     prevP = fP(_F_PREV)
+    rateP = fP(_F_RATE)
+    epsP = fP(_F_EPS)
 
-    cC = fC(_F_TYPE)
-    valC = fC(_F_VAL)
-    blC1 = fC(_F_BL1)
-    hasC1 = fC(_F_HAS1) > 0.5
-    flagC = fC(_F_FLAG) > 0.5
-    pC = [fC(_F_P0 + k) for k in range(4)]
-    endC = fC(_F_END)
-    prevC = fC(_F_PREV)
-
-    mm = [[mmref[0, 4 * i + j] for j in range(4)] for i in range(4)]
-    rf = [rfref[0, k] for k in range(4)]
-    blen = prmref[0, 0]
-    tip = prmref[0, 1]
-    gtr = prmref[0, 2]
-    tot_error = prmref[0, 3]
+    mm = [[mmref[0, 0, 4 * i + j] for j in range(4)] for i in range(4)]
+    rf = [rfref[0, 0, k] for k in range(4)]
+    blen = prmref[0, 0, 0]
+    tip = prmref[0, 0, 1]
+    gtr = prmref[0, 0, 2]
+    tot_error = prmref[0, 0, 3]
 
     is_nucP = cP < 3.5
-    is_nucC = cC < 3.5
     is_R_P = cP == float(TYPE_R)
     is_O_P = cP == float(TYPE_O)
-    is_O_C = cC == float(TYPE_O)
-
-    overlap = (jnp.minimum(endP, endC) - jnp.maximum(prevP, prevC)) > 0.5
-    contributes = overlap \
-        & (cP != float(TYPE_N)) & (cC != float(TYPE_N)) \
-        & (cP != float(TYPE_PAD)) & (cC != float(TYPE_PAD)) \
-        & ~(is_R_P & (cC == float(TYPE_R))) \
-        & ~(is_nucP & (cP == cC))
-
-    # per-position model state: a contributing pair's position is
-    # min(ends) - 1, so select the pre-gathered rate of the earlier side
-    p_side = endP <= endC
-    rate = jnp.where(p_side, fP(_F_RATE), fC(_F_RATE))
-    if uer:
-        eps = jnp.where(p_side, fP(_F_EPS), fC(_F_EPS))
-    else:
-        eps = jnp.zeros_like(rate)
-
-    # total fixed branch length between the two observations
-    contrib = blen \
-        + jnp.where(is_O_P,
-                    jnp.where(hasP1, blP1, 0.0),
-                    jnp.where(hasP2, blP2,
-                              jnp.where(hasP1, blP1, 0.0))) \
-        + jnp.where(hasC1, blC1, 0.0)
-
-    refn = jnp.where(is_R_P, valC, valP)
-    i1 = jnp.where(is_nucP, cP, refn)
-    i2 = jnp.where(is_nucC, cC, refn)
+    dead_P = (cP == float(TYPE_N)) | (cP == float(TYPE_PAD))
+    zero = jnp.zeros(cP.shape, dtype)
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
 
     def onehot4(idx):
         return [jnp.where(idx == float(k), 1.0, 0.0).astype(dtype)
                 for k in range(4)]
-
-    h1 = onehot4(i1)
-    h2 = onehot4(i2)
-    if uer:
-        fCh = jnp.where((tip > 0.5) | flagC, 1.0, 0.0).astype(dtype)
-        fPh = jnp.where(flagP, 1.0, 0.0).astype(dtype)
-    else:
-        fCh = jnp.zeros_like(cC)
-        fPh = jnp.zeros_like(cP)
 
     def mv(v):
         return [mm[k][0] * v[0] + mm[k][1] * v[1]
@@ -163,60 +125,117 @@ def _append_kernel(Pref, Cref, mmref, rfref, prmref, oref, *, uer):
     dot4 = lambda a, b: (a[0] * b[0] + a[1] * b[1]
                          + a[2] * b[2] + a[3] * b[3])
 
-    t_eff = contrib * rate
-    pos_t = contrib > 0
-    # C is O: evolve its explicit 4-vector down contrib
-    evC_O_raw = evolve_down(pC, t_eff)
-    evC_O = [jnp.where(pos_t, evC_O_raw[k], pC[k]) for k in range(4)]
-    # C is concrete: evolve its (error-adjusted) one-hot
-    e3 = 0.33333 * eps
-    baseC = [fCh * (h2[k] * (1.0 - eps - e3) + e3)
-             + (1.0 - fCh) * h2[k] for k in range(4)]
-    evC_nuc = evolve_down(baseC, t_eff)
-    # P root-side half branch (two-length entries)
-    baseP = [fPh * (h1[k] * (1.0 - eps - e3) + e3)
-             + (1.0 - fPh) * h1[k] for k in range(4)]
-    evP_root = evolve_down(baseP, blP1 * rate)
+    def body(j, acc):
+        g = lambda i: Cref[0, 0, j * _NFIELDS + i]   # SMEM scalars
+        cC = g(_F_TYPE)
+        active = (cC != float(TYPE_N)) & (cC != float(TYPE_PAD))
 
-    rf_i1 = dot4(h1, rf)
-    m_i1_i2 = rate * dot4(h1, mv(h2))
+        def contribution():
+            valC = g(_F_VAL)
+            blC1 = g(_F_BL1)
+            hasC1 = g(_F_HAS1) > 0.5
+            flagC = g(_F_FLAG) > 0.5
+            pC = [g(_F_P0 + k) for k in range(4)]
+            endC = g(_F_END)
+            prevC = g(_F_PREV)
+            rateC = g(_F_RATE)
+            epsC = g(_F_EPS)
+            is_nucC = cC < 3.5
+            is_O_C = cC == float(TYPE_O)
 
-    # --- case factors (same ordering as the XLA kernel) ---
-    pcs_i1 = dot4(h1, pC)
-    simple_CO = jnp.where(pos_t, dot4(h1, evC_O), pcs_i1)
-    root_CO = (evC_O[0] * evP_root[0] * rf[0]
-               + evC_O[1] * evP_root[1] * rf[1]
-               + evC_O[2] * evP_root[2] * rf[2]
-               + evC_O[3] * evP_root[3] * rf[3]) / rf_i1
-    f_CO = jnp.where(pcs_i1 > 0.02, pcs_i1,
-                     jnp.where(hasP2, root_CO, simple_CO))
+            overlap = (jnp.minimum(endP, endC)
+                       - jnp.maximum(prevP, prevC)) > 0.5
+            contributes = overlap & ~dead_P \
+                & ~(is_R_P & (cC == float(TYPE_R))) \
+                & ~(is_nucP & (cP == cC))
 
-    base_nn = jnp.minimum(0.25, m_i1_i2 * contrib)
-    not_R = jnp.where(is_R_P, 0.0, 1.0).astype(dtype)
-    plain_nn = base_nn + (fPh * not_R + fCh) * 0.33333 * eps
-    plain_rn = base_nn + fCh * 0.33333 * eps
-    root_nn = (evC_nuc[0] * evP_root[0] * rf[0]
-               + evC_nuc[1] * evP_root[1] * rf[1]
-               + evC_nuc[2] * evP_root[2] * rf[2]
-               + evC_nuc[3] * evP_root[3] * rf[3]) / rf_i1
-    f_nn = jnp.where(hasP2, root_nn,
-                     jnp.where(is_R_P, plain_rn, plain_nn))
+            # per-position model state: position = min(ends) - 1
+            p_side = endP <= endC
+            rate = jnp.where(p_side, rateP, rateC)
+            if uer:
+                eps = jnp.where(p_side, epsP, epsC)
+            else:
+                eps = zero
 
-    f_OO = dot4(pP, evC_O)
-    pps_i2 = dot4(h2, pP)
-    f_On = jnp.where(pps_i2 > 0.02, pps_i2, dot4(pP, evC_nuc))
+            contrib = blen \
+                + jnp.where(is_O_P,
+                            jnp.where(hasP1, blP1, 0.0),
+                            jnp.where(hasP2, blP2,
+                                      jnp.where(hasP1, blP1, 0.0))) \
+                + jnp.where(hasC1, blC1, 0.0)
 
-    fac = jnp.where(is_O_P & is_O_C, f_OO,
-                    jnp.where(is_O_P, f_On,
-                              jnp.where(is_O_C, f_CO, f_nn)))
-    fac = jnp.where(contributes, fac, 1.0)
-    neg_inf = jnp.asarray(-jnp.inf, dtype)
-    log_f = jnp.where(fac > 0, jnp.log(jnp.maximum(fac, 1e-300)), neg_inf)
+            refn = jnp.where(is_R_P, valC, valP)
+            i1 = jnp.where(is_nucP, cP, refn)
+            i2 = jnp.where(is_nucC, cC, refn)
+            h1 = onehot4(i1)
+            h2 = onehot4(i2)
+            if uer:
+                fCh = jnp.where((tip > 0.5) | flagC, 1.0, 0.0) \
+                    .astype(dtype)
+                fPh = jnp.where(flagP, 1.0, 0.0).astype(dtype)
+            else:
+                fCh = jnp.asarray(0.0, dtype)
+                fPh = zero
 
-    score = blen * gtr + jnp.sum(log_f)
+            t_eff = contrib * rate
+            pos_t = contrib > 0
+            # C is O: evolve its explicit 4-vector down contrib
+            evC_O_raw = evolve_down([pC[k] + zero for k in range(4)],
+                                    t_eff)
+            evC_O = [jnp.where(pos_t, evC_O_raw[k], pC[k])
+                     for k in range(4)]
+            # C is concrete: evolve its (error-adjusted) one-hot
+            e3 = 0.33333 * eps
+            baseC = [fCh * (h2[k] * (1.0 - eps - e3) + e3)
+                     + (1.0 - fCh) * h2[k] for k in range(4)]
+            evC_nuc = evolve_down(baseC, t_eff)
+            # P root-side half branch (two-length entries)
+            baseP = [fPh * (h1[k] * (1.0 - eps - e3) + e3)
+                     + (1.0 - fPh) * h1[k] for k in range(4)]
+            evP_root = evolve_down(baseP, blP1 * rate)
+
+            rf_i1 = dot4(h1, rf)
+            m_i1_i2 = rate * dot4(h1, mv(h2))
+
+            # --- case factors (same ordering as the XLA kernel) ---
+            pcs_i1 = dot4(h1, pC)
+            simple_CO = jnp.where(pos_t, dot4(h1, evC_O), pcs_i1)
+            root_CO = (evC_O[0] * evP_root[0] * rf[0]
+                       + evC_O[1] * evP_root[1] * rf[1]
+                       + evC_O[2] * evP_root[2] * rf[2]
+                       + evC_O[3] * evP_root[3] * rf[3]) / rf_i1
+            f_CO = jnp.where(pcs_i1 > 0.02, pcs_i1,
+                             jnp.where(hasP2, root_CO, simple_CO))
+
+            base_nn = jnp.minimum(0.25, m_i1_i2 * contrib)
+            not_R = jnp.where(is_R_P, 0.0, 1.0).astype(dtype)
+            plain_nn = base_nn + (fPh * not_R + fCh) * 0.33333 * eps
+            plain_rn = base_nn + fCh * 0.33333 * eps
+            root_nn = (evC_nuc[0] * evP_root[0] * rf[0]
+                       + evC_nuc[1] * evP_root[1] * rf[1]
+                       + evC_nuc[2] * evP_root[2] * rf[2]
+                       + evC_nuc[3] * evP_root[3] * rf[3]) / rf_i1
+            f_nn = jnp.where(hasP2, root_nn,
+                             jnp.where(is_R_P, plain_rn, plain_nn))
+
+            f_OO = dot4(pP, evC_O)
+            pps_i2 = dot4(h2, pP)
+            f_On = jnp.where(pps_i2 > 0.02, pps_i2, dot4(pP, evC_nuc))
+
+            fac = jnp.where(is_O_P & is_O_C, f_OO,
+                            jnp.where(is_O_P, f_On,
+                                      jnp.where(is_O_C, f_CO, f_nn)))
+            fac = jnp.where(contributes, fac, 1.0)
+            return jnp.where(fac > 0,
+                             jnp.log(jnp.maximum(fac, 1e-300)), neg_inf)
+
+        return acc + jax.lax.cond(active, contribution, lambda: zero)
+
+    acc = jax.lax.fori_loop(0, B2, body, zero)
+    score = blen * gtr + jnp.sum(acc, axis=1, keepdims=True)  # (TN, 1)
     if uer:
         score = score + tip * tot_error
-    oref[0, 0] = score
+    oref[0, :, :] = score
 
 
 @partial(jax.jit, static_argnames=("uer", "interpret"))
@@ -228,36 +247,42 @@ def _pallas_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
     Cstk = _stack_fields(C, site_rates, error_rates, axis=-1)  # [K,B2,F]
     if Cstk.ndim == 2:
         Cstk = Cstk[None]
-    K, B2, F = Cstk.shape
-    N, _, B1 = Pstk.shape
-    mm_flat = mm.reshape(1, 16).astype(dtype)
-    rf = root_freqs.reshape(1, 4).astype(dtype)
+    K, B2, _ = Cstk.shape
+    N, F, B1 = Pstk.shape
+    n_pad = (-N) % _TILE_N
+    if n_pad:
+        Pstk = jnp.concatenate(
+            [Pstk, jnp.repeat(Pstk[:1], n_pad, axis=0)], axis=0)
+    Npad = N + n_pad
+    Cflat = Cstk.reshape(K, 1, B2 * _NFIELDS)
+    mm_flat = mm.reshape(1, 1, 16).astype(dtype)
+    rf = root_freqs.reshape(1, 1, 4).astype(dtype)
     prm = jnp.stack([jnp.asarray(blen, dtype),
                      jnp.asarray(tip_c, dtype),
                      global_tot_rate.astype(dtype),
-                     tot_error.astype(dtype)]).reshape(1, 4)
+                     tot_error.astype(dtype)]).reshape(1, 1, 4)
 
     out = pl.pallas_call(
-        partial(_append_kernel, uer=uer),
-        grid=(K, N),
+        partial(_append_kernel, uer=uer, B2=B2),
+        grid=(K, Npad // _TILE_N),
         in_specs=[
-            pl.BlockSpec((1, F, B1), lambda k, n: (n, 0, 0),
+            pl.BlockSpec((_TILE_N, F, B1), lambda k, n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B2, F), lambda k, n: (k, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16), lambda k, n: (0, 0),
+            pl.BlockSpec((1, 1, B2 * _NFIELDS), lambda k, n: (k, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda k, n: (0, 0),
+            pl.BlockSpec((1, 1, 16), lambda k, n: (0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda k, n: (0, 0),
+            pl.BlockSpec((1, 1, 4), lambda k, n: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 4), lambda k, n: (0, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda k, n: (k, n),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((K, N), dtype),
+        out_specs=pl.BlockSpec((1, _TILE_N, 1), lambda k, n: (k, n, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, Npad, 1), dtype),
         interpret=interpret,
-    )(Pstk, Cstk, mm_flat, rf, prm)
-    return out  # [K, N]
+    )(Pstk, Cflat, mm_flat, rf, prm)
+    return out[:, :N, 0]  # [K, N]
 
 
 def _auto_interpret() -> bool:

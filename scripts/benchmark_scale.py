@@ -115,6 +115,9 @@ def main():
     ap.add_argument("--placementBudget", type=int, default=0,
                     help="best-first budgeted placement search "
                          "(0 = exact reference DFS)")
+    ap.add_argument("--topologyBudget", type=int, default=0,
+                    help="bounded SPR re-attachment crawl "
+                         "(0 = exact reference stop rules)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -125,6 +128,8 @@ def main():
         extra["device_placement"] = True
     if args.placementBudget:
         extra["placementBudget"] = args.placementBudget
+    if args.topologyBudget:
+        extra["topologyBudget"] = args.topologyBudget
 
     rows = []
     for n in sizes:
