@@ -2919,6 +2919,20 @@ struct Engine {
         return c0[up[n]] == n ? upR[up[n]] : upL[up[n]];
     }
     void own(int64_t id) { if (id >= 0) owned.insert(id); }
+    // Eagerly reclaim an engine-owned temporary (no-op for tree-owned or
+    // foreign ids).  Long crawls (root search) allocate a handful of
+    // vectors per visited node; without eager release they all stay live
+    // until end_call(), which at 10k+ nodes means gigabytes of
+    // cache-hostile churn (measured 50x slower than the python crawl,
+    // whose refcounting frees intermediates immediately).
+    void release(int64_t id) {
+        if (id < 0) return;
+        auto it = owned.find(id);
+        if (it == owned.end()) return;
+        owned.erase(it);
+        S->v(id).clear();
+        S->free_slots.push_back(id);
+    }
     void install(int64_t *slot, int64_t id) {
         if (*slot >= 0 && *slot != id) owned.insert(*slot);
         if (id >= 0) owned.erase(id);
@@ -3001,9 +3015,12 @@ static int64_t E_root_vector(Engine *E, int64_t vec, double blen,
                              bool from_tip, int node) {
     std::vector<int> chain;
     int n = node;
+    int64_t orig = vec;
     while (n >= 0) {
         chain.push_back(n);
-        vec = E_pass_up(E, vec, n);
+        int64_t next = E_pass_up(E, vec, n);
+        if (next != vec && vec != orig) E->release(vec);
+        vec = next;
         n = E->up[n];
     }
     Store *s = E->S;
@@ -3013,9 +3030,13 @@ static int64_t E_root_vector(Engine *E, int64_t vec, double blen,
     s->v(id) = std::move(tmp);
     s->finish(id);
     E->own(id);
+    if (vec != orig) E->release(vec);
     vec = id;
-    for (auto it = chain.rbegin(); it != chain.rend(); ++it)
-        vec = E_pass_down(E, vec, *it);
+    for (auto it = chain.rbegin(); it != chain.rend(); ++it) {
+        int64_t next = E_pass_down(E, vec, *it);
+        if (next != vec) E->release(vec);
+        vec = next;
+    }
     E_shorten(E, vec);
     return vec;
 }
@@ -3023,11 +3044,16 @@ static int64_t E_root_vector(Engine *E, int64_t vec, double blen,
 // partials.py find_prob_root :163-171
 static double E_find_prob_root(Engine *E, int64_t vec, int node) {
     int n = node;
+    int64_t orig = vec;
     while (n >= 0) {
-        vec = E_pass_up(E, vec, n);
+        int64_t next = E_pass_up(E, vec, n);
+        if (next != vec && vec != orig) E->release(vec);
+        vec = next;
         n = E->up[n];
     }
-    return find_prob_root_frame(*E->S, E->S->v(vec));
+    double out = find_prob_root_frame(*E->S, E->S->v(vec));
+    if (vec != orig) E->release(vec);
+    return out;
 }
 
 static bool E_different(Engine *E, int64_t v1, int64_t v2) {
@@ -5740,6 +5766,7 @@ static int E_root_search(Engine *E, bool strict_stop, int allowed_fails,
                                prob_vects[1], dists[1], is_tips[1],
                                num_minors[0], num_minors[1], &lk);
         if (m < 0) return 2;  // raises out of find_best_root in python
+        E->release(m);
         new_lk_to_remove += lk;
         for (int i = 0; i < 2; i++) {
             bool traverse = false;
@@ -5764,6 +5791,7 @@ static int E_root_search(Engine *E, bool strict_stop, int allowed_fails,
                 } else {
                     double root_prob_lk =
                         E_find_prob_root(E, new_root_vect, it.t1);
+                    E->release(new_root_vect);
                     score = root_prob_lk + lk_root + lk_pass
                             - new_lk_to_remove;
                     if (score > best_lk_diff) {
@@ -5801,14 +5829,20 @@ static int E_root_search(Engine *E, bool strict_stop, int allowed_fails,
                 if (!E->muts[childs[i]].empty()) {
                     vect_to_pass = E_pass_down(E, up_vect, childs[i]);
                     E_shorten(E, vect_to_pass);
+                    E->release(up_vect);
                 } else {
                     vect_to_pass = up_vect;
                 }
                 stack.push_back({childs[i], vect_to_pass, dists[i], false,
                                  0, new_lk_to_remove_pass, score,
                                  failed_new});
+            } else {
+                E->release(up_vect);
             }
         }
+        E->release(prob_vects[0]);
+        E->release(prob_vects[1]);
+        E->release(it.passed);
     }
     *best_node_out = best_node;
     *best_lk_out = best_lk_diff;
@@ -5855,6 +5889,7 @@ static int E_blen_sweep(Engine *E, bool fast_pass, int64_t *updates_out) {
             s->finish(id);
             E->own(id);
             cost += E_find_prob_root(E, id, root);
+            E->release(id);
             if (E->hnz_mode) {
                 // blen.py :66-72
                 if (bl1 < E->eff0)
@@ -5869,6 +5904,8 @@ static int E_blen_sweep(Engine *E, bool fast_pass, int64_t *updates_out) {
                 best_bl1 = bl1;
             }
         }
+        E->release(v1);
+        E->release(v2);
         double best_bl2 = std::max(dist[child1] + dist[child2] - best_bl1,
                                    0.0);
         if (E->hnz_mode) E->nd0_changing_dist(child1, best_bl1);
@@ -5973,6 +6010,7 @@ static int E_blen_sweep(Engine *E, bool fast_pass, int64_t *updates_out) {
             } else {
                 E->dirty[node] = 0;
             }
+            E->release(up_vect);
         }
         if (E->c0[node] >= 0) {
             nodes.push_back(E->c0[node]);
