@@ -164,26 +164,33 @@ class Model:
         return m
 
     def refresh_cumulative_rate(self):
-        """Rebuild cumulative_rate (and per-site matrices if rate variation)."""
-        refi = self.refd.ref_indices
-        diag = [self.mut_matrix[i][i] for i in range(4)]
-        cum = [0.0] * (self.refd.lRef + 1)
+        """Rebuild cumulative_rate (and per-site matrices if rate variation).
+
+        Vectorized with ``np.add.accumulate``, whose left-to-right
+        sequential semantics produce bit-identical floats to the scalar
+        loop (np.cumsum/np.sum pairwise summation would not); ``.tolist()``
+        keeps the table as Python floats so downstream builtin ``sum()``
+        stays Neumaier-compensated.  Called every 25 placed samples
+        (reference updateSubMatrix cadence), so the O(lRef) Python loop it
+        replaces was ~3% of placement wall at 10k samples."""
+        refi = getattr(self.refd, "_ref_idx_np", None)
+        if refi is None:
+            refi = np.asarray(self.refd.ref_indices, dtype=np.intp)
+            self.refd._ref_idx_np = refi
+        diag = np.asarray([self.mut_matrix[i][i] for i in range(4)],
+                          dtype=np.float64)
+        vals = diag[refi]
         if self.site_rates is not None:
-            acc = 0.0
-            for i in range(self.refd.lRef):
-                acc += diag[refi[i]] * self.site_rates[i]
-                cum[i + 1] = acc
+            vals = vals * np.asarray(self.site_rates, dtype=np.float64)
             self.mut_matrices = [
                 [[self.mut_matrix[j][k] * r for k in range(4)] for j in range(4)]
                 for r in self.site_rates
             ]
             self.use_rate_variation = True
-        else:
-            acc = 0.0
-            for i in range(self.refd.lRef):
-                acc += diag[refi[i]]
-                cum[i + 1] = acc
-        self.cumulative_rate = cum
+        cum = np.empty(self.refd.lRef + 1, dtype=np.float64)
+        cum[0] = 0.0
+        np.add.accumulate(vals, out=cum[1:])
+        self.cumulative_rate = cum.tolist()
         self.version += 1
 
     def update_from_pseudo_counts(self) -> bool:
