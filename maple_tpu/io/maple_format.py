@@ -53,36 +53,53 @@ def read_maple_alignment(
             ref = "".join(chunks).lower()
         if only_ref:
             return ref
+        # Single pass with C-level file iteration (the nested readline()
+        # loops cost ~1 s per million diff lines in Python-call overhead
+        # alone); semantics identical to the reference reader: EOF or a
+        # blank line terminates parsing, '>' starts a sample, validation
+        # unchanged.
         data: Dict[str, SampleData] = {}
-        n_seqs = 0
-        while line != "" and line != "\n":
+        name: Optional[str] = None
+        seq: SampleData = []
+        pos = 0
+        if line != "" and line != "\n":
+            # the reference reader takes the first post-reference line as a
+            # sample name unconditionally (:3509)
             name = line.replace(">", "").strip()
-            line = f.readline()
-            seq: SampleData = []
-            pos = 0
-            while line != "" and line != "\n" and line[0] != ">":
-                parts = line.split()
-                if len(parts) < 2:
-                    raise ValueError(
-                        f"Malformed MAPLE line (needs >=2 columns): {line!r}")
-                if len(parts) > 2:
-                    entry = (parts[0].lower(), int(parts[1]), int(parts[2]))
-                else:
-                    entry = (parts[0].lower(), int(parts[1]))
-                ch, p = entry[0], entry[1]
-                if ref[p - 1] == ch and ch != "n" and ch != "-":
-                    raise ValueError(
-                        f"Diff equals reference at position {p} ({ch}); "
-                        "wrong reference or diff file?")
-                if p <= pos:
-                    raise ValueError(
-                        f"Unsorted/overlapping entry at position {p} in sample "
-                        f"{name!r}")
-                seq.append(entry)
-                pos = p if len(entry) == 2 else p + entry[2] - 1
-                line = f.readline()
+            seq = []
             data[name] = seq
-            n_seqs += 1
+        else:
+            f = iter(())
+        for line in f:
+            if line == "" or line == "\n":
+                break
+            if line[0] == ">":
+                name = line.replace(">", "").strip()
+                seq = []
+                data[name] = seq
+                pos = 0
+                continue
+            parts = line.split()
+            if len(parts) < 2:
+                raise ValueError(
+                    f"Malformed MAPLE line (needs >=2 columns): {line!r}")
+            ch = parts[0].lower()
+            p = int(parts[1])
+            if ref[p - 1] == ch and ch != "n" and ch != "-":
+                raise ValueError(
+                    f"Diff equals reference at position {p} ({ch}); "
+                    "wrong reference or diff file?")
+            if p <= pos:
+                raise ValueError(
+                    f"Unsorted/overlapping entry at position {p} in "
+                    f"sample {name!r}")
+            if len(parts) > 2:
+                length = int(parts[2])
+                seq.append((ch, p, length))
+                pos = p + length - 1
+            else:
+                seq.append((ch, p))
+                pos = p
     if extract_reference:
         return ref, data
     return data
