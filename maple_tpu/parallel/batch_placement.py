@@ -208,12 +208,14 @@ class BatchedPlacer:
             if self.mesh is not None:
                 import jax
                 from jax.sharding import NamedSharding, PartitionSpec as PS
-                from .mesh import placement_scores
+                from .mesh import placement_scores, placement_scores_pallas
                 q_spec = lambda v: NamedSharding(
                     self.mesh, PS("dp", *([None] * (v.ndim - 1))))
                 sub = {k: jax.device_put(v, q_spec(v))
                        for k, v in sub.items()}
-                out = np.asarray(placement_scores(
+                scorer = placement_scores_pallas if self.use_pallas \
+                    else placement_scores
+                out = np.asarray(scorer(
                     self.mesh, self.pool.pool, sub, one_mut, dm))
             elif self.use_pallas:
                 from ..ops.pallas_append import pallas_grid_append_scores

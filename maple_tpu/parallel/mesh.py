@@ -120,3 +120,42 @@ def placement_scores(mesh: Mesh, pool: dict, queries: dict, blen,
             pool, queries, jnp.asarray(blen, dtype=dm.mut_matrix.dtype),
             dm.mut_matrix, dm.root_freqs, dm.site_rates, dm.error_rates,
             dm.global_tot_rate, dm.tot_error, dm.using_error_rate)
+
+
+def placement_scores_pallas(mesh: Mesh, pool: dict, queries: dict, blen,
+                            dm: DeviceModel, interpret=None):
+    """Sharded (dp x cand) scoring through the Pallas kernel: shard_map
+    hands each device its query-rows x candidate-columns tile and the
+    kernel (ops/pallas_append) computes it locally; out_specs reassemble
+    the full [K, N] matrix.  Model state is replicated.  Off-TPU the
+    kernel runs in interpret mode (virtual-mesh tests)."""
+    from jax import shard_map
+    from ..ops.pallas_append import _auto_interpret, _pallas_scores_impl
+    if interpret is None:
+        interpret = _auto_interpret()
+    dtype = dm.mut_matrix.dtype
+    uer = dm.using_error_rate
+    blen = jnp.asarray(blen, dtype)
+    tip = jnp.asarray(1.0, dtype)
+
+    def local(pool_l, q_l, mm, rf, sr, er, gtr, te):
+        return _pallas_scores_impl(pool_l, q_l, blen, tip, mm, rf, sr, er,
+                                   gtr, te, uer, bool(interpret))
+
+    spec_pool = {k: P("cand", *([None] * (v.ndim - 1)))
+                 for k, v in pool.items()}
+    spec_q = {k: P("dp", *([None] * (v.ndim - 1)))
+              for k, v in queries.items()}
+    rep = lambda v: P(*([None] * v.ndim))
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_pool, spec_q, rep(dm.mut_matrix),
+                  rep(dm.root_freqs), rep(dm.site_rates),
+                  rep(dm.error_rates), P(), P()),
+        out_specs=P("dp", "cand"),
+        # pallas_call outputs carry no varying-mesh-axes annotation yet
+        check_vma=False)
+    with mesh:
+        return f(pool, queries, dm.mut_matrix, dm.root_freqs,
+                 dm.site_rates, dm.error_rates, dm.global_tot_rate,
+                 dm.tot_error)

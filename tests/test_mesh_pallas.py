@@ -1,0 +1,72 @@
+"""Sharded Pallas scoring on the virtual 8-device CPU mesh.
+
+placement_scores_pallas (shard_map + ops/pallas_append, interpret mode on
+CPU) must reproduce the XLA mesh scorer tile-for-tile: same [K, N] score
+matrix up to float32 summation order.
+"""
+import random
+
+import numpy as np
+
+from maple_tpu.config import DerivedConfig, MapleConfig
+from maple_tpu.refdata import Model, RefData
+
+
+def _rand_list(rng, lRef):
+    """Random genome list over the 'acgt'*N reference: R runs broken by
+    point mutations whose value field carries the local-reference
+    nucleotide (the genome-list invariant: a nuc entry differs from the
+    reference at its position)."""
+    entries, pos = [], 0
+    while pos < lRef:
+        end = min(pos + rng.randint(200, 2000), lRef)
+        entries.append((4, end))
+        pos = end
+        if pos < lRef:
+            ref_nuc = pos % 4  # ref is 'acgt' repeating
+            nuc = rng.choice([n for n in range(4) if n != ref_nuc])
+            entries.append((nuc, ref_nuc))
+            pos += 1
+    return entries
+
+
+def test_mesh_pallas_matches_xla_scorer():
+    import jax
+    import jax.numpy as jnp
+    from maple_tpu.ops import pack as OP
+    from maple_tpu.ops.append_batch import device_model_from, to_device
+    from maple_tpu.parallel.mesh import (make_mesh, placement_scores,
+                                         placement_scores_pallas,
+                                         shard_batch)
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8, dp=4)  # 4 dp x 2 cand
+
+    ref = "acgt" * 2500
+    refd = RefData.build(ref, model="GTR")
+    model = Model.initial(refd, "GTR")
+    cfg = MapleConfig(model="GTR")
+    dc = DerivedConfig.build(cfg, refd.lRef)
+    dm = device_model_from(model, dc, dtype=jnp.float32)
+
+    rng = random.Random(17)
+    cands = [_rand_list(rng, refd.lRef) for _ in range(64)]
+    queries = [_rand_list(rng, refd.lRef) for _ in range(8)]
+    B = OP.budget_for(cands + queries)
+    pool = to_device(OP.pack_genome_lists(
+        cands, refd.lRef, B, False, dtype=np.float32), dtype=jnp.float32)
+    Q = to_device(OP.pack_genome_lists(
+        queries, refd.lRef, B, False, dtype=np.float32), dtype=jnp.float32)
+    pool_dev, q_dev = shard_batch(mesh, pool, Q)
+
+    xla = np.asarray(placement_scores(mesh, pool_dev, q_dev,
+                                      dc.oneMutBLen, dm))
+    pal = np.asarray(placement_scores_pallas(mesh, pool_dev, q_dev,
+                                             dc.oneMutBLen, dm,
+                                             interpret=True))
+    assert pal.shape == xla.shape == (8, 64)
+    finite = np.isfinite(pal) & np.isfinite(xla)
+    assert np.array_equal(np.isfinite(pal), np.isfinite(xla))
+    assert finite.sum() > 0
+    np.testing.assert_allclose(pal[finite], xla[finite],
+                               rtol=2e-4, atol=2e-3)
