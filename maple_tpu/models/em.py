@@ -482,6 +482,12 @@ def _em_native(rt: TreeRuntime, root: int):
     minor = tree.minorSequences
     store = rt.kern._sync()
     store.em_reset()
+    if rt.native_session is not None:
+        # live engine session: the branch crawl itself runs engine-side
+        # (engine_em) over the resident tree — the python mirrors of
+        # up/children/dist/probVect are stale while a session is open
+        num_tips = rt.native_session.em_crawl()
+        return _em_native_finalize(rt, store, num_tips)
 
     def conv(ml):
         if not ml:
@@ -542,6 +548,18 @@ def _em_native(rt: TreeRuntime, root: int):
                 node = up[node]
                 direction = 1
 
+    return _em_native_finalize(rt, store, num_tips)
+
+
+def _em_native_finalize(rt: TreeRuntime, store, num_tips: int):
+    """Read the store's EM accumulation tables and produce the new model
+    estimates (shared tail of the host-driven and engine-session native
+    EM paths)."""
+    model = rt.model
+    refd = rt.refd
+    uer = model.using_error_rate
+    site_err = model.error_rate_site_specific
+    rate_var = model.use_rate_variation
     counts, waiting_times, error_count, observed_tot, tot_tree_length = \
         store.em_totals()
     if rate_var:
@@ -554,10 +572,10 @@ def _em_native(rt: TreeRuntime, root: int):
     else:
         observed_sites = error_count_sites = None
     return _finalize_em(
-        model.model_name, model.mut_matrix, refd.root_freqs, ref_indices,
-        lRef, uer, site_err, rate_var, False, counts, waiting_times,
-        error_count, observed_tot, num_tips, observed_sites,
-        error_count_sites, tot_tree_length, tracking_ns,
+        model.model_name, model.mut_matrix, refd.root_freqs,
+        refd.ref_indices, refd.lRef, uer, site_err, rate_var, False,
+        counts, waiting_times, error_count, observed_tot, num_tips,
+        observed_sites, error_count_sites, tot_tree_length, tracking_ns,
         waiting_times_sites, counts_sites)
 
 

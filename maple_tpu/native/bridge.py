@@ -165,6 +165,12 @@ def _load():
                                     p(C.c_int32), p(d), p(C.c_long),
                                     p(C.c_long)]
     lib.engine_export_replacements.argtypes = [C.c_void_p, p(C.c_int32)]
+    lib.engine_set_all_dirty.restype = None
+    lib.engine_set_all_dirty.argtypes = [C.c_void_p]
+    lib.engine_em.restype = C.c_int64
+    lib.engine_em.argtypes = [C.c_void_p]
+    lib.vec_type_counts.restype = None
+    lib.vec_type_counts.argtypes = [C.c_void_p, C.c_int64, p(C.c_int64)]
     lib.em_reset.argtypes = [C.c_void_p]
     lib.em_branch.argtypes = [C.c_void_p, C.c_int64, C.c_int64, d, C.c_int,
                               C.c_int, p(C.c_int32), p(C.c_int8), C.c_int]
@@ -340,6 +346,13 @@ class NativeStore:
     def release(self, vid: int):
         if self.h is not None:
             self.lib.vec_release(self.h, vid)
+
+    def type_counts(self, vid: int):
+        """Entry-category counts (nucs, Rs, Ns, Os) without a tuple
+        export — the genome-list statistics pass (reference :6299-6345)."""
+        out = np.zeros(4, np.int64)
+        self.lib.vec_type_counts(self.h, vid, _as_ptr(out, C.c_int64))
+        return out.tolist()
 
     def patch_tag(self, tag: int, probs4):
         """Propagate a mutated shared tip probability list to every live

@@ -262,6 +262,10 @@ def run_native_spr_pass(rt, root, strict_stop, allowed_fails,
     handles transfer ownership to the engine and come back re-wrapped.
     Returns (new_root_or_None, improvement, topo_updates, blen_updates)
     or None if the tree state is unsuitable (caller falls back)."""
+    ses = rt.native_session
+    if ses is not None:
+        return ses.spr_pass(strict_stop, allowed_fails, threshold_log_lk,
+                            threshold_topology_placement)
     store = rt.kern.store
     lib = store.lib
     tree = rt.tree
@@ -553,9 +557,209 @@ def native_phase_supported(rt) -> bool:
             and rt.time is None)
 
 
+class NativeSession:
+    """A persistent C++ Engine spanning several host-driver phases.
+
+    The one-shot phase helpers below (run_native_recalculate,
+    run_native_tree_lk, ...) each build a fresh Engine, run one phase, and
+    tear it down again — an O(n) import/export round-trip per call that at
+    pandemic scale costs more than the phases themselves.  A session
+    imports the tree ONCE (transfer mode: vector ownership moves to the
+    engine), runs any number of native phases against the resident state,
+    and exports once at close.
+
+    While a session is live the python-side tree arrays and vector handles
+    are STALE; every consumer inside the session scope must either be
+    routed through the session (the phase helpers check
+    ``rt.native_session`` first) or read only topology refreshed via
+    :meth:`sync_topology` (the newick writers).  Scopes are opened only
+    for configurations where that holds — see
+    ``pipeline.Run._native_session_eligible``.
+    """
+
+    def __init__(self, rt, root):
+        self.rt = rt
+        self.h = _import_engine(rt, root, transfer=True)
+        self.lib = rt.kern.store.lib if self.h is not None else None
+        if self.h is not None and rt.cfg.topologyBudget:
+            self.lib.engine_set_spr_budget(self.h, rt.cfg.topologyBudget)
+
+    # -- scalar phases -------------------------------------------------
+    def _sync(self):
+        self.rt.kern.store.sync_model(self.rt.model)
+
+    def _err(self, what):
+        msg = self.lib.engine_error(self.h).decode()
+        raise RuntimeError(f"native {what} (session): {msg}")
+
+    def recalculate(self):
+        self._sync()
+        if self.lib.engine_recalculate(self.h) != 0:
+            self._err("recalculate")
+
+    def tree_lk(self) -> float:
+        self._sync()
+        out = np.zeros(1, np.float64)
+        if self.lib.engine_tree_lk(
+                self.h, out.ctypes.data_as(C.POINTER(C.c_double))) != 0:
+            self._err("tree likelihood")
+        return float(out[0])
+
+    def blen_sweep(self, fast_pass=False) -> int:
+        self._sync()
+        updates = np.zeros(1, np.int64)
+        if self.lib.engine_blen_sweep(
+                self.h, 1 if fast_pass else 0,
+                updates.ctypes.data_as(C.POINTER(C.c_int64))) != 0:
+            self._err("blen sweep")
+        return int(updates[0])
+
+    def blen_loop(self, max_extra=20) -> int:
+        self._sync()
+        sub_rounds = np.zeros(1, np.int64)
+        if self.lib.engine_blen_loop(
+                self.h, max_extra,
+                sub_rounds.ctypes.data_as(C.POINTER(C.c_int64))) != 0:
+            self._err("blen loop")
+        return int(sub_rounds[0])
+
+    def set_all_dirty(self):
+        self.lib.engine_set_all_dirty(self.h)
+
+    def em_crawl(self) -> int:
+        """Run the EM branch accumulation over the resident tree
+        (engine_em); the caller must em_reset the store first and read
+        em_totals afterwards.  Returns num_tips."""
+        self._sync()
+        num_tips = self.lib.engine_em(self.h)
+        if num_tips < 0:
+            self._err("EM crawl")
+        return int(num_tips)
+
+    def spr_pass(self, strict_stop, allowed_fails, threshold_log_lk,
+                 threshold_topology_placement):
+        self._sync()
+        rt = self.rt
+        dc = rt.dc
+        self.lib.engine_set_spr_params(
+            self.h, dc.thresholdLogLKoptimizationTopology,
+            threshold_topology_placement, rt.cfg.defaultBLen,
+            rt.cfg.maxReplacements)
+        new_root = np.zeros(1, np.int32)
+        improvement = np.zeros(1, np.float64)
+        topo = np.zeros(1, np.int64)
+        blen = np.zeros(1, np.int64)
+        rc = self.lib.engine_spr_pass(
+            self.h, 1 if strict_stop else 0, allowed_fails,
+            threshold_log_lk,
+            new_root.ctypes.data_as(C.POINTER(C.c_int32)),
+            improvement.ctypes.data_as(C.POINTER(C.c_double)),
+            topo.ctypes.data_as(C.POINTER(C.c_long)),
+            blen.ctypes.data_as(C.POINTER(C.c_long)))
+        if rc != 0:
+            self._err("SPR pass")
+        nr = int(new_root[0])
+        return (nr if nr >= 0 else None, float(improvement[0]),
+                int(topo[0]), int(blen[0]))
+
+    def root_search(self, strict_stop, allowed_fails, threshold_log_lk,
+                    threshold_consecutive, threshold_opt):
+        self._sync()
+        n = self.lib.engine_node_count(self.h)
+        best_node = np.zeros(1, np.int32)
+        best_lk = np.zeros(1, np.float64)
+        cand_nodes = np.empty(n + 1, np.int32)
+        cand_scores = np.empty(n + 1, np.float64)
+        cand_count = np.zeros(1, np.int64)
+        rc = self.lib.engine_root_search(
+            self.h, 1 if strict_stop else 0, allowed_fails,
+            threshold_log_lk, threshold_consecutive, threshold_opt,
+            best_node.ctypes.data_as(C.POINTER(C.c_int32)),
+            best_lk.ctypes.data_as(C.POINTER(C.c_double)),
+            cand_nodes.ctypes.data_as(C.POINTER(C.c_int32)),
+            cand_scores.ctypes.data_as(C.POINTER(C.c_double)),
+            cand_count.ctypes.data_as(C.POINTER(C.c_int64)))
+        if rc != 0:
+            return None
+        k = int(cand_count[0])
+        best_nodes = dict(zip(cand_nodes[:k].tolist(),
+                              cand_scores[:k].tolist()))
+        return int(best_node[0]), float(best_lk[0]), best_nodes
+
+    # -- host-visible state ---------------------------------------------
+    def root(self) -> int:
+        return int(self.lib.engine_root(self.h))
+
+    def sync_topology(self):
+        """Refresh the python tree's TOPOLOGY mirror (up/children/dist)
+        from the resident engine so the newick writers can run mid-session.
+        Names, minor sequences, and supports are not touched by native SPR
+        phases, and vector handles stay engine-owned (still stale)."""
+        lib, h = self.lib, self.h
+        tree = self.rt.tree
+        n = len(tree.up)
+        i32, i64, f64, u8 = np.int32, np.int64, np.float64, np.uint8
+        e_up = np.empty(n, i32)
+        e_c0 = np.empty(n, i32)
+        e_c1 = np.empty(n, i32)
+        e_dist = np.empty(n, f64)
+        scratch32 = np.empty(n, i32)
+        scratch8 = np.empty(n, u8)
+        scratch64 = np.empty(n, i64)
+
+        def P(a, t):
+            return a.ctypes.data_as(C.POINTER(t))
+
+        lib.engine_export_nodes(
+            h, P(e_up, C.c_int32), P(e_c0, C.c_int32), P(e_c1, C.c_int32),
+            P(e_dist, C.c_double), P(scratch32, C.c_int32),
+            P(scratch32, C.c_int32), P(scratch8, C.c_uint8),
+            P(scratch64, C.c_int64), P(scratch64, C.c_int64),
+            P(scratch64, C.c_int64), P(scratch64, C.c_int64),
+            P(scratch32, C.c_int32), P(scratch32, C.c_int32))
+        tree.up = [u if u >= 0 else None for u in e_up.tolist()]
+        tree.children = [[] if a < 0 else [a, b]
+                         for a, b in zip(e_c0.tolist(), e_c1.tolist())]
+        tree.dist = e_dist.tolist()
+
+    def close(self) -> int:
+        """Export the engine's full state back into rt.tree and free the
+        engine; returns the final root."""
+        rt = self.rt
+        lib, h = self.lib, self.h
+        _export_engine(rt, h)
+        sbuf = np.zeros(9, np.float64)
+        lib.engine_stats(h, sbuf.ctypes.data_as(C.POINTER(C.c_double)))
+        rt.num_refs += int(sbuf[6])
+        root = int(lib.engine_root(h))
+        lib.engine_free(h)
+        self.h = None
+        rt.native_session = None
+        return root
+
+
+def open_native_session(rt, root):
+    """Open a persistent engine session if the tree state allows it
+    (aliased vector handles make a transfer unsafe); returns the session
+    or None.  The caller owns the eligibility decision (see
+    pipeline.Run._native_session_eligible) and MUST close() before any
+    python-side phase reads tree vectors again."""
+    if not native_phase_supported(rt) or rt.model.using_error_rate:
+        return None
+    ses = NativeSession(rt, root)
+    if ses.h is None:
+        return None
+    rt.native_session = ses
+    return ses
+
+
 def run_native_recalculate(rt, root) -> bool:
     """Steady-state full recompute in the C++ engine; returns False when
     unsupported (caller falls back to the python driver)."""
+    ses = rt.native_session
+    if ses is not None:
+        ses.recalculate()
+        return True
     if not native_phase_supported(rt) or rt.model.using_error_rate:
         # error-model recomputes interleave tip refreshes with merges
         # (shared-ambiguity drift) and stay on the python driver
@@ -577,6 +781,9 @@ def run_native_recalculate(rt, root) -> bool:
 def run_native_tree_lk(rt, root):
     """Full-tree log-likelihood in the C++ engine (read-only borrow of
     the session vectors); returns None when unsupported."""
+    ses = rt.native_session
+    if ses is not None:
+        return ses.tree_lk()
     if not native_phase_supported(rt):
         return None
     h = _import_engine(rt, root, transfer=False)
@@ -594,6 +801,9 @@ def run_native_tree_lk(rt, root):
 def run_native_blen_sweep(rt, root, fast_pass=False):
     """Dirty-gated branch-length sweep in the C++ engine; returns the
     update count, or None when unsupported (python fallback)."""
+    ses = rt.native_session
+    if ses is not None:
+        return ses.blen_sweep(fast_pass=fast_pass)
     if not native_phase_supported(rt):
         return None
     h = _import_engine(rt, root, transfer=True)
@@ -656,6 +866,9 @@ def run_native_blen_loop(rt, root, max_extra=20):
     sweeps) in one engine session — one import/export cycle instead of
     one per sweep.  Returns the python loop's sub_round counter, or None
     when unsupported."""
+    ses = rt.native_session
+    if ses is not None:
+        return ses.blen_loop(max_extra)
     if not native_phase_supported(rt):
         return None
     h = _import_engine(rt, root, transfer=True)

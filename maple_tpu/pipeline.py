@@ -594,51 +594,60 @@ class Run:
         self.data.clear()
         if (not cfg.inputTree) or cfg.largeUpdate or cfg.rateVariation \
                 or self.model.using_error_rate:
-            rt.recalculate_all(t1)
-            if cfg.model != "JC" or cfg.rateVariation \
-                    or cfg.estimateErrorRate \
-                    or cfg.estimateSiteSpecificErrorRate:
-                lk = rt.calculate_tree_likelihood(t1)
-                print(f"Tree LK before EM: {lk}")
-                self.run_em_step(rates_update="using")
+            ses = None
+            if self._native_session_eligible():
+                from .native.engine import open_native_session
+                ses = open_native_session(rt, t1)
+            try:
                 rt.recalculate_all(t1)
-                lk = rt.calculate_tree_likelihood(t1)
-                print(f"Tree LK after EM: {lk}")
-                if not cfg.doNotOptimiseBLengths:
-                    set_all_dirty(self.tree, t1)
-                    optimize_branch_lengths(rt, t1)
+                if cfg.model != "JC" or cfg.rateVariation \
+                        or cfg.estimateErrorRate \
+                        or cfg.estimateSiteSpecificErrorRate:
+                    lk = rt.calculate_tree_likelihood(t1)
+                    print(f"Tree LK before EM: {lk}")
+                    self.run_em_step(rates_update="using")
                     rt.recalculate_all(t1)
                     lk = rt.calculate_tree_likelihood(t1)
-                    print(f"Tree LK after branch length optimization: {lk}")
-                if cfg.estimateErrorRate \
-                        or cfg.estimateSiteSpecificErrorRate:
-                    old_lk = float("-inf")
-                    steps = 0
-                    while lk - old_lk > 1.0 and steps < 20:
-                        if not cfg.doNotOptimiseBLengths:
-                            set_all_dirty(self.tree, t1)
-                            optimize_branch_lengths(rt, t1)
-                            rt.recalculate_all(t1)
-                        self.run_em_step(rates_update="using")
+                    print(f"Tree LK after EM: {lk}")
+                    if not cfg.doNotOptimiseBLengths:
+                        self._set_all_dirty(t1)
+                        optimize_branch_lengths(rt, t1)
                         rt.recalculate_all(t1)
-                        old_lk = lk
                         lk = rt.calculate_tree_likelihood(t1)
-                        print(f"New LK step {steps}: {lk}")
-                        steps += 1
-            if not cfg.doNotOptimiseBLengths:
-                lk = rt.calculate_tree_likelihood(t1)
-                print(f"Now proper branch length optimization, LK before: "
-                      f"{lk}")
-                set_all_dirty(self.tree, t1)
-                improvement = optimize_branch_lengths(rt, t1)
-                sub_round = 0
-                while sub_round < 20:
-                    if not improvement:
-                        break
-                    sub_round += 1
+                        print(f"Tree LK after branch length optimization: "
+                              f"{lk}")
+                    if cfg.estimateErrorRate \
+                            or cfg.estimateSiteSpecificErrorRate:
+                        old_lk = float("-inf")
+                        steps = 0
+                        while lk - old_lk > 1.0 and steps < 20:
+                            if not cfg.doNotOptimiseBLengths:
+                                self._set_all_dirty(t1)
+                                optimize_branch_lengths(rt, t1)
+                                rt.recalculate_all(t1)
+                            self.run_em_step(rates_update="using")
+                            rt.recalculate_all(t1)
+                            old_lk = lk
+                            lk = rt.calculate_tree_likelihood(t1)
+                            print(f"New LK step {steps}: {lk}")
+                            steps += 1
+                if not cfg.doNotOptimiseBLengths:
+                    lk = rt.calculate_tree_likelihood(t1)
+                    print(f"Now proper branch length optimization, "
+                          f"LK before: {lk}")
+                    self._set_all_dirty(t1)
                     improvement = optimize_branch_lengths(rt, t1)
-                lk = rt.calculate_tree_likelihood(t1)
-                print(f"Final branch length optimization, LK: {lk}")
+                    sub_round = 0
+                    while sub_round < 20:
+                        if not improvement:
+                            break
+                        sub_round += 1
+                        improvement = optimize_branch_lengths(rt, t1)
+                    lk = rt.calculate_tree_likelihood(t1)
+                    print(f"Final branch length optimization, LK: {lk}")
+            finally:
+                if ses is not None:
+                    ses.close()
         if cfg.HnZ:
             from .runtime.tree import calculate_ndesc0
             calculate_ndesc0(self.tree, t1, self.dc.effectivelyNon0BLen)
@@ -646,8 +655,42 @@ class Run:
             self.run_time_em("post-initial-tree")
 
     # ------------------------------------------------------------------
+    def _native_session_eligible(self) -> bool:
+        """A persistent engine session (native/engine.py NativeSession)
+        may span whole phase sequences only when every consumer in the
+        scope is native-routed: no python-side vector readers (SPRTA /
+        estimateMAT / estimateErrors annotations, traces, parallel-SPR
+        forks, error-model tip refreshes, time trees, debug checks)."""
+        cfg = self.cfg
+        return (self.rt.kern.name == "native"
+                and self.rt.time is None
+                and not self.model.using_error_rate
+                and not self.error_model_requested()
+                and not cfg.SPRTA
+                and not cfg.estimateMAT
+                and not cfg.estimateErrors
+                and not cfg.networkOutput
+                and cfg.numCores == 1
+                and not cfg.debugging
+                and not cfg.deeperSearchForLongBranches
+                and not cfg.doNotImproveTopology
+                and getattr(self.rt, "trace", None) is None)
+
+    def _set_all_dirty(self, root: int):
+        """set_all_dirty routed through a live engine session (the python
+        tree mirror is stale while one is open)."""
+        ses = self.rt.native_session
+        if ses is not None:
+            ses.set_all_dirty()
+        else:
+            set_all_dirty(self.tree, root)
+
     def write_tree(self, suffix: str, root: Optional[int] = None,
                    annotations: Optional[AnnotationOptions] = None):
+        if self.rt.native_session is not None:
+            # refresh the topology mirror; names/minors/supports are not
+            # touched by native phases and vectors stay engine-resident
+            self.rt.native_session.sync_topology()
         root = self.root if root is None else root
         s = create_newick(
             self.tree, root, binary=not self.cfg.nonBinaryTree,

@@ -55,6 +55,10 @@ class TreeRuntime:
         # collected list's id must never be reused by a new list
         self._tag_lists = []
         self.num_nodes_stats = [0, 0, 0, 0, 0, 0]  # nodes, nucs, Rs, Ns, Os, MATmuts
+        # Live persistent engine session (native/engine.py NativeSession);
+        # when set, the native phase helpers run against the resident
+        # engine state instead of round-tripping the tree per call.
+        self.native_session = None
 
     # ------------------------------------------------------------------
     def ctx(self) -> K.KernelCtx:
@@ -906,6 +910,17 @@ class TreeRuntime:
             from ..native.engine import run_native_recalculate
             if run_native_recalculate(self, root):
                 return
+        if count_nodes and not (first_setup or count_pseudo_counts
+                                or data is not None) \
+                and self.kern.name == "native" \
+                and self.native_session is None:
+            # the statistics pass needs per-entry categories, not vector
+            # contents: run the recompute natively, then classify entries
+            # in C (vec_type_counts) instead of exporting every vector
+            from ..native.engine import run_native_recalculate
+            if run_native_recalculate(self, root):
+                self._count_nodes_native(root)
+                return
         tree = self.tree
         kern = self.kern
         dc = self.dc
@@ -1143,6 +1158,25 @@ class TreeRuntime:
             else:
                 stats[4] += 1
         stats[5] += len(self.tree.mutations[node])
+
+    def _count_nodes_native(self, root):
+        """The count_nodes statistics sweep without tuple exports: same
+        traversal membership as the recompute's count (every reachable
+        node), categories counted in C."""
+        tree = self.tree
+        stats = self.num_nodes_stats
+        store = self.kern.store
+        stack = [root]
+        while stack:
+            n = stack.pop()
+            stack.extend(tree.children[n])
+            stats[0] += 1
+            nuc, r, nn, o = store.type_counts(tree.probVect[n].vid)
+            stats[1] += nuc
+            stats[2] += r
+            stats[3] += nn
+            stats[4] += o
+            stats[5] += len(tree.mutations[n])
 
     def _collapse_minor_on_setup(self, node: int) -> int:
         """On first setup, collapse a tip into its sibling when one is

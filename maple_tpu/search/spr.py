@@ -1356,7 +1356,14 @@ def start_topology_updates(rt: TreeRuntime, node: int, strict_stop,
 
 # ----------------------------------------------------------------------
 def run_spr_rounds(run, rounds: List[tuple]):
-    """SPR rounds + subrounds driver (reference :12241-12555)."""
+    """SPR rounds + subrounds driver (reference :12241-12555).
+
+    When the configuration allows it, the whole rounds loop runs against
+    ONE persistent engine session (native/engine.py NativeSession): every
+    recompute, likelihood, branch-length sweep, SPR pass, and EM crawl
+    hits the resident C++ tree, and only the topology mirror is refreshed
+    for the round-tree newick writes — the per-phase import/export
+    round-trips that otherwise dominate large-tree wall time disappear."""
     import time as _time
     cfg = run.cfg
     rt = run.rt
@@ -1366,13 +1373,29 @@ def run_spr_rounds(run, rounds: List[tuple]):
         tree.support = [None] * len(tree.up)
         if cfg.networkOutput:
             tree.alternativePlacements = [[] for _ in range(len(tree.up))]
+    ses = None
+    if run._native_session_eligible():
+        from ..native.engine import open_native_session
+        ses = open_native_session(rt, run.root)
+    try:
+        _run_spr_rounds_body(run, rounds, _time)
+    finally:
+        if ses is not None:
+            ses.close()
+
+
+def _run_spr_rounds_body(run, rounds, _time):
+    cfg = run.cfg
+    rt = run.rt
+    tree = run.tree
+    abayes = cfg.SPRTA
     for n_round, (strict, fails, threshold, placement_thresh) in \
             enumerate(rounds):
         abayes_on = abayes
         print(f"Starting topological improvement traversal number "
               f"{n_round + 1}", flush=True)
         start = _time.time()
-        set_all_dirty(tree, run.root)
+        run._set_all_dirty(run.root)
         rt.recalculate_all(run.root)
         if not cfg.doNotOptimiseBLengths:
             from .blen import optimize_branch_lengths
@@ -1389,7 +1412,7 @@ def run_spr_rounds(run, rounds: List[tuple]):
             lk = rt.calculate_tree_likelihood(run.root)
             print(f"branch length finalization subround {sub_round + 1} "
                   f"final LK: {lk}", flush=True)
-        set_all_dirty(tree, run.root)
+        run._set_all_dirty(run.root)
         rt.recalculate_all(run.root)
         pre_lk = rt.calculate_tree_likelihood(run.root)
         print(f"Likelihood before SPR moves: {pre_lk}", flush=True)
@@ -1466,7 +1489,7 @@ def run_spr_rounds(run, rounds: List[tuple]):
             while lk - old_lk > 1.0 and num_steps < 20:
                 if not cfg.doNotOptimiseBLengths:
                     from .blen import optimize_branch_lengths
-                    set_all_dirty(tree, run.root)
+                    run._set_all_dirty(run.root)
                     optimize_branch_lengths(rt, run.root)
                     rt.recalculate_all(run.root)
                 run.run_em_step(rates_update="using")
@@ -1477,7 +1500,7 @@ def run_spr_rounds(run, rounds: List[tuple]):
         if not cfg.doNotOptimiseBLengths:
             from .blen import optimize_branch_lengths
             rt.recalculate_all(run.root)
-            set_all_dirty(tree, run.root)
+            run._set_all_dirty(run.root)
             improvement = optimize_branch_lengths(rt, run.root)
             sub_round = 0
             while sub_round < 20 and improvement:

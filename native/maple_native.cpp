@@ -2395,6 +2395,22 @@ void vec_release(Store *s, int64_t id) {
 
 int vec_size(Store *s, int64_t id) { return (int)s->v(id).size(); }
 
+// Entry-category counts for the genome-list statistics print
+// (partials.py _count_node; reference :6299-6345): out = [nucs, Rs, Ns,
+// Os].  Avoids a full tuple export just to classify entries.
+void vec_type_counts(Store *s, int64_t id, int64_t *out) {
+    const Vec &v = s->v(id);
+    int64_t nuc = 0, r = 0, n = 0, o = 0;
+    for (size_t k = 0; k < v.size(); k++) {
+        int t = v[k].type;
+        if (t < 4) nuc++;
+        else if (t == TYPE_R) r++;
+        else if (t == TYPE_N) n++;
+        else o++;
+    }
+    out[0] = nuc; out[1] = r; out[2] = n; out[3] = o;
+}
+
 void vec_export(Store *s, int64_t id, int8_t *types, int32_t *vals,
                 double *bl1, double *bl2, uint8_t *bits, double *probs) {
     const Vec &v = s->v(id);
@@ -6362,6 +6378,143 @@ int engine_spr_pass(Engine *E, int strict_stop, int allowed_fails,
 void engine_export_replacements(Engine *E, int32_t *out) {
     for (size_t i = 0; i < E->replacements.size(); i++)
         out[i] = E->replacements[i];
+}
+
+// runtime/tree.py set_all_dirty (reference setAllDirty :8715-8724): mark
+// the whole tree dirty and reset the SPR replacement counters, engine-side
+// so a live session needs no host round-trip.
+void engine_set_all_dirty(Engine *E) {
+    std::vector<int32_t> stack = {E->root};
+    while (!stack.empty()) {
+        int n = stack.back();
+        stack.pop_back();
+        E->dirty[n] = 1;
+        E->replacements[n] = 0;
+        if (E->c0[n] >= 0) {
+            stack.push_back(E->c0[n]);
+            stack.push_back(E->c1[n]);
+        }
+    }
+}
+
+// models/em.py pass_mutation_list_through_branch (reference
+// :10027-10076), over the engine-session EM crawl's (pos, nuc) pair list
+// with a branch's flat (pos, from, to) triples.
+static void em_pass_list(const Store &S, std::vector<int32_t> &pos_l,
+                         std::vector<int8_t> &alt_l,
+                         const std::vector<int32_t> &branch, bool dir_is_up) {
+    static thread_local std::vector<int32_t> out_pos;
+    static thread_local std::vector<int8_t> out_alt;
+    out_pos.clear();
+    out_alt.clear();
+    size_t i1 = 0, i2 = 0, n1 = pos_l.size(), n2 = branch.size() / 3;
+    while (true) {
+        if (i1 < n1) {
+            int pos1 = pos_l[i1];
+            if (i2 < n2) {
+                int pos2 = branch[i2 * 3];
+                if (pos1 < pos2) {
+                    out_pos.push_back(pos1);
+                    out_alt.push_back(alt_l[i1]);
+                    i1++;
+                } else {
+                    int end_nuc = dir_is_up ? branch[i2 * 3 + 1]
+                                            : branch[i2 * 3 + 2];
+                    if (end_nuc != S.ref_indices[pos2 - 1]) {
+                        out_pos.push_back(pos2);
+                        out_alt.push_back((int8_t)end_nuc);
+                    }
+                    i2++;
+                    if (pos1 == pos2) i1++;
+                }
+            } else {
+                out_pos.push_back(pos1);
+                out_alt.push_back(alt_l[i1]);
+                i1++;
+            }
+        } else if (i2 < n2) {
+            int pos2 = branch[i2 * 3];
+            int end_nuc = dir_is_up ? branch[i2 * 3 + 1]
+                                    : branch[i2 * 3 + 2];
+            if (end_nuc != S.ref_indices[pos2 - 1]) {
+                out_pos.push_back(pos2);
+                out_alt.push_back((int8_t)end_nuc);
+            }
+            i2++;
+        } else {
+            break;
+        }
+    }
+    pos_l = out_pos;
+    alt_l = out_alt;
+}
+
+// models/em.py _em_native traversal fully engine-side: the same pre-order
+// branch crawl (em_branch accumulation at first entry of every node with
+// a contributing branch; MAT frame-difference list maintained across
+// branches), reading the engine-resident tree so a live session never
+// touches stale host state.  The host must em_reset the store first and
+// reads the accumulated totals afterwards (em_totals & co) — float-op
+// order is identical to the host-driven crawl, so results stay
+// byte-identical.  Returns num_tips (leaves + minor sequences), or -1 on
+// error.
+int64_t engine_em(Engine *E) {
+    const Store &S = *E->S;
+    const bool uer = S.em_state.uer;
+    std::vector<int32_t> ml_pos;
+    std::vector<int8_t> ml_alt;
+    for (size_t k = 0; k * 3 < E->muts[E->root].size(); k++) {
+        ml_pos.push_back(E->muts[E->root][k * 3]);
+        ml_alt.push_back((int8_t)E->muts[E->root][k * 3 + 2]);
+    }
+    int64_t num_tips = 0;
+    int node = E->root, last = -1, dir = 0;
+    while (node >= 0) {
+        if (dir == 0) {
+            bool leafq = E->c0[node] < 0;
+            if (leafq) num_tips += 1 + (int64_t)E->minorSeqs[node].size();
+            if ((E->dist[node] != 0.0 || (uer && leafq))
+                    && E->up[node] >= 0) {
+                int64_t vP = E->vect_up_for(node);
+                int64_t tmp = -1;
+                if (!E->muts[node].empty()) {
+                    tmp = E_pass_down(E, vP, node);
+                    vP = tmp;
+                }
+                em_branch(E->S, vP, E->pv[node], E->dist[node],
+                          leafq ? 1 : 0, (int)E->minorSeqs[node].size(),
+                          ml_pos.empty() ? nullptr : ml_pos.data(),
+                          ml_alt.empty() ? nullptr : ml_alt.data(),
+                          (int)ml_pos.size());
+                if (tmp >= 0) E->release(tmp);
+            }
+            if (!leafq) {
+                node = E->c0[node];
+                if (!E->muts[node].empty())
+                    em_pass_list(S, ml_pos, ml_alt, E->muts[node], false);
+            } else {
+                last = node;
+                if (!E->muts[node].empty())
+                    em_pass_list(S, ml_pos, ml_alt, E->muts[node], true);
+                node = E->up[node];
+                dir = 1;
+            }
+        } else {
+            if (last == E->c0[node]) {
+                node = E->c1[node];
+                if (!E->muts[node].empty())
+                    em_pass_list(S, ml_pos, ml_alt, E->muts[node], false);
+                dir = 0;
+            } else {
+                last = node;
+                if (!E->muts[node].empty())
+                    em_pass_list(S, ml_pos, ml_alt, E->muts[node], true);
+                node = E->up[node];
+            }
+        }
+    }
+    E->end_call();
+    return num_tips;
 }
 
 }  // extern "C"
