@@ -171,6 +171,9 @@ def _load():
     lib.engine_em.argtypes = [C.c_void_p]
     lib.vec_type_counts.restype = None
     lib.vec_type_counts.argtypes = [C.c_void_p, C.c_int64, p(C.c_int64)]
+    lib.vec_from_diffs.restype = C.c_int64
+    lib.vec_from_diffs.argtypes = [C.c_void_p, C.c_int, p(C.c_int8),
+                                   p(C.c_int32), p(C.c_int32), C.c_int]
     lib.em_reset.argtypes = [C.c_void_p]
     lib.em_branch.argtypes = [C.c_void_p, C.c_int64, C.c_int64, d, C.c_int,
                               C.c_int, p(C.c_int32), p(C.c_int8), C.c_int]

@@ -84,10 +84,33 @@ class NativePlacementEngine:
             error_rate=model.error_rate,
             error_rates=model.error_rates)
 
+    def _terminal_vid(self, diffs) -> int:
+        """Build the sample's terminal genome list store-side
+        (vec_from_diffs) when the error model is inactive — the shared
+        ambiguity lists are pristine then, so the C table is exact; error
+        runs keep the python builder (mutable-aliasing semantics)."""
+        if diffs is not None and not self.rt.model.using_error_rate:
+            n = len(diffs)
+            chars = np.frombuffer(
+                "".join([m[0] for m in diffs]).encode("latin-1"), np.int8) \
+                if n else np.empty(0, np.int8)
+            if len(chars) == n:  # all single-character diff codes
+                pos = np.fromiter((m[1] for m in diffs), np.int32, n)
+                lens = np.fromiter(
+                    (m[2] if len(m) > 2 else 1 for m in diffs), np.int32, n)
+                vid = self.lib.vec_from_diffs(
+                    self.store.h, n, chars.ctypes.data_as(C.POINTER(C.c_int8)),
+                    pos.ctypes.data_as(C.POINTER(C.c_int32)),
+                    lens.ctypes.data_as(C.POINTER(C.c_int32)),
+                    1 if self.rt.cfg.onlyNambiguities else 0)
+                if vid >= 0:
+                    return vid
+        return self.store.from_tuples(self._terminal_tuples(diffs))
+
     def place(self, diffs, sample: int) -> bool:
         """Place one sample; returns True when absorbed as a minor
         sequence."""
-        vid = self.store.from_tuples(self._terminal_tuples(diffs))
+        vid = self._terminal_vid(diffs)
         status = self.lib.engine_place(self.h, vid, sample)
         if status < 0:
             msg = self.lib.engine_error(self.h).decode()
@@ -581,6 +604,7 @@ class NativeSession:
         self.rt = rt
         self.h = _import_engine(rt, root, transfer=True)
         self.lib = rt.kern.store.lib if self.h is not None else None
+        self._last_root = root
         if self.h is not None and rt.cfg.topologyBudget:
             self.lib.engine_set_spr_budget(self.h, rt.cfg.topologyBudget)
 
@@ -724,7 +748,11 @@ class NativeSession:
 
     def close(self) -> int:
         """Export the engine's full state back into rt.tree and free the
-        engine; returns the final root."""
+        engine; returns the final root.  Idempotent: a scope that closed
+        early (e.g. before a python-side re-root) is safe to close again
+        in the opener's finally block."""
+        if self.h is None:
+            return self._last_root
         rt = self.rt
         lib, h = self.lib, self.h
         _export_engine(rt, h)
@@ -734,8 +762,34 @@ class NativeSession:
         root = int(lib.engine_root(h))
         lib.engine_free(h)
         self.h = None
+        self._last_root = root
         rt.native_session = None
         return root
+
+
+def native_session_eligible(rt) -> bool:
+    """A persistent engine session may span whole phase sequences only
+    when every consumer in the scope is native-routed: no python-side
+    vector readers (SPRTA / estimateMAT / estimateErrors annotations,
+    traces, parallel-SPR forks, error-model tip refreshes, time trees,
+    debug checks)."""
+    cfg = rt.cfg
+    error_model_requested = bool(
+        cfg.errorRateSiteSpecificFile or cfg.errorRateFixed
+        or cfg.estimateErrorRate or cfg.estimateSiteSpecificErrorRate)
+    return (isinstance(rt.kern, NativeBackend)
+            and rt.time is None
+            and not rt.model.using_error_rate
+            and not error_model_requested
+            and not cfg.SPRTA
+            and not cfg.estimateMAT
+            and not cfg.estimateErrors
+            and not cfg.networkOutput
+            and cfg.numCores == 1
+            and not cfg.debugging
+            and not cfg.deeperSearchForLongBranches
+            and not cfg.doNotImproveTopology
+            and getattr(rt, "trace", None) is None)
 
 
 def open_native_session(rt, root):
@@ -831,6 +885,10 @@ def run_native_root_search(rt, root, strict_stop, allowed_fails,
     (best_node, best_lk_diff, best_nodes ordered dict) or None when
     unsupported (caller runs the Python crawl).  Re-rooting, candidate
     remapping, and abayes normalization stay on the host driver."""
+    ses = rt.native_session
+    if ses is not None:
+        return ses.root_search(strict_stop, allowed_fails, threshold_log_lk,
+                               threshold_consecutive, threshold_opt)
     if not native_phase_supported(rt):
         return None
     h = _import_engine(rt, root, transfer=False)

@@ -656,25 +656,8 @@ class Run:
 
     # ------------------------------------------------------------------
     def _native_session_eligible(self) -> bool:
-        """A persistent engine session (native/engine.py NativeSession)
-        may span whole phase sequences only when every consumer in the
-        scope is native-routed: no python-side vector readers (SPRTA /
-        estimateMAT / estimateErrors annotations, traces, parallel-SPR
-        forks, error-model tip refreshes, time trees, debug checks)."""
-        cfg = self.cfg
-        return (self.rt.kern.name == "native"
-                and self.rt.time is None
-                and not self.model.using_error_rate
-                and not self.error_model_requested()
-                and not cfg.SPRTA
-                and not cfg.estimateMAT
-                and not cfg.estimateErrors
-                and not cfg.networkOutput
-                and cfg.numCores == 1
-                and not cfg.debugging
-                and not cfg.deeperSearchForLongBranches
-                and not cfg.doNotImproveTopology
-                and getattr(self.rt, "trace", None) is None)
+        from .native.engine import native_session_eligible
+        return native_session_eligible(self.rt)
 
     def _set_all_dirty(self, root: int):
         """set_all_dirty routed through a live engine session (the python
@@ -953,19 +936,29 @@ class Run:
         rt = self.rt
         t1 = self.root
         print("Better root found")
-        if cfg.model != "JC" or cfg.rateVariation or cfg.estimateErrorRate \
-                or cfg.estimateSiteSpecificErrorRate:
-            self.run_em_step()
-            rt.recalculate_all(t1)
-        if not cfg.doNotOptimiseBLengths:
-            optimize_branch_lengths(rt, t1)
-            rt.recalculate_all(t1)
-        from .search.rootsearch import find_best_root
-        print("Looking a second time for possible better root", flush=True)
-        new_t1 = find_best_root(rt, t1, abayes_on=cfg.SPRTA)
-        if new_t1 != t1:
-            self.root = new_t1
-            rt.recalculate_all(self.root)
+        ses = None
+        if self._native_session_eligible():
+            from .native.engine import open_native_session
+            ses = open_native_session(rt, t1)
+        try:
+            if cfg.model != "JC" or cfg.rateVariation \
+                    or cfg.estimateErrorRate \
+                    or cfg.estimateSiteSpecificErrorRate:
+                self.run_em_step()
+                rt.recalculate_all(t1)
+            if not cfg.doNotOptimiseBLengths:
+                optimize_branch_lengths(rt, t1)
+                rt.recalculate_all(t1)
+            from .search.rootsearch import find_best_root
+            print("Looking a second time for possible better root",
+                  flush=True)
+            new_t1 = find_best_root(rt, t1, abayes_on=cfg.SPRTA)
+            if new_t1 != t1:
+                self.root = new_t1
+                rt.recalculate_all(self.root)
+        finally:
+            if ses is not None:
+                ses.close()
 
     def write_outputs(self, suffix_add=""):
         """Final outputs for one round (reference :12481-12555 and the

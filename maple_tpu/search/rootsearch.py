@@ -159,14 +159,29 @@ def find_best_root(rt: TreeRuntime, root: int, strict_stop=None,
     threshold_consecutive = dc.thresholdLogLKconsecutivePlacement
     threshold_opt = dc.thresholdLogLKoptimizationTopology
 
-    from ..native.engine import run_native_root_search
+    from ..native.engine import (native_session_eligible,
+                                 open_native_session,
+                                 run_native_root_search)
+    opened_here = False
+    if rt.native_session is None and not abayes_on \
+            and native_session_eligible(rt):
+        # the crawl is read-only against the resident engine; re-rooting
+        # (python tree+vector surgery) closes the session first
+        opened_here = open_native_session(rt, root) is not None
     native = run_native_root_search(rt, root, strict_stop, allowed_fails,
                                     threshold_log_lk,
                                     threshold_consecutive, threshold_opt)
     if native is not None:
         best_node, best_lk_diff, best_nodes = native
+        ses = rt.native_session
+        if ses is not None and (opened_here or best_node != root):
+            ses.close()
         return _apply_root_result(rt, root, best_node, best_nodes,
                                   abayes_on)
+    if rt.native_session is not None:
+        # native crawl unsupported: the python crawl below must read real
+        # host-side vectors, so any live session ends here
+        rt.native_session.close()
 
     best_node = root
     best_lk_diff = 0.0

@@ -2393,6 +2393,97 @@ void vec_release(Store *s, int64_t id) {
     s->free_slots.push_back(id);
 }
 
+// core/genomelist.py terminal_node_genome_list (reference
+// probVectTerminalNode :3882-3962) built directly in the store — the
+// per-sample python tuple construction + upload loop costs ~300 us/sample
+// at pandemic scale.  Gated by the host to runs WITHOUT an active error
+// model: in that regime the shared ambiguity indicator lists are pristine
+// (error refreshes are the only mutators, :3959), so the static table
+// below is exact.  chars = raw lowercase diff characters; lens[k] = run
+// length (1 for point entries).  Returns the new vector id, or -1 for an
+// unrecognized character (host falls back to the python builder).
+static const double *amb_probs(char c) {
+    static const struct { char c; double p[4]; } AMB[] = {
+        {'y', {0.0, 1.0, 0.0, 1.0}}, {'r', {1.0, 0.0, 1.0, 0.0}},
+        {'w', {1.0, 0.0, 0.0, 1.0}}, {'s', {0.0, 1.0, 1.0, 0.0}},
+        {'k', {0.0, 0.0, 1.0, 1.0}}, {'m', {1.0, 1.0, 0.0, 0.0}},
+        {'d', {1.0, 0.0, 1.0, 1.0}}, {'v', {1.0, 1.0, 1.0, 0.0}},
+        {'h', {1.0, 1.0, 0.0, 1.0}}, {'b', {0.0, 1.0, 1.0, 1.0}},
+    };
+    for (const auto &a : AMB)
+        if (a.c == c) return a.p;
+    return nullptr;
+}
+
+int64_t vec_from_diffs(Store *s, int n, const int8_t *chars,
+                       const int32_t *pos, const int32_t *lens,
+                       int only_n_ambiguities) {
+    int64_t id = s->alloc();
+    Vec &v = s->v(id);
+    v.reserve(2 * n + 1);
+    int cur_pos = 1;
+    const int lRef = s->lRef;
+    Entry e;
+    e.bits = 0;
+    e.bl1 = 0.0;
+    e.bl2 = 0.0;
+    e.probs[0] = e.probs[1] = e.probs[2] = e.probs[3] = 0.0;
+    e.tag = -1;
+    for (int k = 0; k < n; k++) {
+        int cur = pos[k];
+        if (cur > cur_pos) {
+            e.type = TYPE_R;
+            e.val = cur - 1;
+            v.push_back(e);
+            cur_pos = cur;
+        }
+        char c = (char)chars[k];
+        if (c == 'n' || c == '-') {
+            e.type = TYPE_N;
+            e.val = cur + lens[k] - 1;
+            v.push_back(e);
+            cur_pos = cur + lens[k];
+        } else if (c == 'a' || c == 'c' || c == 'g' || c == 't') {
+            int nuc = c == 'a' ? 0 : c == 'c' ? 1 : c == 'g' ? 2 : 3;
+            int refn = s->ref_indices[cur - 1];
+            if (nuc == refn) {
+                e.type = TYPE_R;
+                e.val = cur;
+            } else {
+                e.type = (int8_t)nuc;
+                e.val = refn;
+            }
+            v.push_back(e);
+            cur_pos = cur + 1;
+        } else {
+            if (only_n_ambiguities) {
+                e.type = TYPE_N;
+                e.val = cur;
+            } else {
+                const double *p = amb_probs(c);
+                if (!p) {
+                    v.clear();
+                    s->free_slots.push_back(id);
+                    return -1;
+                }
+                e.type = TYPE_O;
+                e.val = s->ref_indices[cur - 1];
+                for (int i = 0; i < 4; i++) e.probs[i] = p[i];
+            }
+            v.push_back(e);
+            cur_pos = cur + 1;
+            e.probs[0] = e.probs[1] = e.probs[2] = e.probs[3] = 0.0;
+        }
+    }
+    if (cur_pos <= lRef) {
+        e.type = TYPE_R;
+        e.val = lRef;
+        v.push_back(e);
+    }
+    s->finish(id);
+    return id;
+}
+
 int vec_size(Store *s, int64_t id) { return (int)s->v(id).size(); }
 
 // Entry-category counts for the genome-list statistics print
