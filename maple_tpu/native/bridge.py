@@ -165,8 +165,15 @@ def _load():
                                     p(C.c_int32), p(d), p(C.c_long),
                                     p(C.c_long)]
     lib.engine_export_replacements.argtypes = [C.c_void_p, p(C.c_int32)]
+    lib.engine_count_dirty.restype = None
+    lib.engine_count_dirty.argtypes = [C.c_void_p, p(C.c_int64)]
     lib.engine_set_all_dirty.restype = None
-    lib.engine_set_all_dirty.argtypes = [C.c_void_p]
+    lib.engine_set_all_dirty.argtypes = [C.c_void_p, C.c_int]
+    lib.engine_spr_pass_parallel.restype = C.c_int
+    lib.engine_spr_pass_parallel.argtypes = [
+        C.c_void_p, C.c_int, C.c_int, C.c_int, d, p(C.c_int32), p(d),
+        p(C.c_long), p(C.c_long), p(C.c_int64), p(C.c_int64),
+        p(C.c_int64)]
     lib.engine_em.restype = C.c_int64
     lib.engine_em.argtypes = [C.c_void_p]
     lib.vec_type_counts.restype = None

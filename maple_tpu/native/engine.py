@@ -444,6 +444,112 @@ def run_native_spr_pass(rt, root, strict_stop, allowed_fails,
             int(topo[0]), int(blen[0]))
 
 
+def run_native_spr_parallel(rt, root, num_cores, strict_stop, allowed_fails,
+                            threshold_log_lk, threshold_topology_placement):
+    """One search-parallel / apply-serial SPR pass with engine worker
+    THREADS instead of the reference's forked processes
+    (engine_spr_pass_parallel; host twin search/parallel_spr.py,
+    reference startTopologyUpdatesParallel :9580-9716 +
+    applySPRMovesParallel :9470-9484).  Proposals, sort order, and the
+    re-validated serial applies match the fork path move for move, so
+    outputs are byte-identical — without pickling, pool spin-up, or the
+    python crawl in the workers.  Returns (new_root_or_None, improvement)
+    or None when the tree state is unsuitable (caller forks)."""
+    ses = rt.native_session
+    if ses is not None:
+        return ses.spr_parallel(num_cores, strict_stop, allowed_fails,
+                                threshold_log_lk,
+                                threshold_topology_placement)
+    if rt.model.using_error_rate:
+        # tag-registry writes during worker merges would race
+        return None
+    store = rt.kern.store
+    lib = store.lib
+    h = _import_engine(rt, root, transfer=True)
+    if h is None:
+        return None
+    dc = rt.dc
+    lib.engine_set_spr_params(
+        h, dc.thresholdLogLKoptimizationTopology,
+        threshold_topology_placement, rt.cfg.defaultBLen,
+        rt.cfg.maxReplacements)
+    if rt.cfg.topologyBudget:
+        lib.engine_set_spr_budget(h, rt.cfg.topologyBudget)
+    new_root = np.zeros(1, np.int32)
+    improvement = np.zeros(1, np.float64)
+    topo = np.zeros(1, np.int64)
+    blen = np.zeros(1, np.int64)
+    searched = np.zeros(num_cores, np.int64)
+    proposed = np.zeros(num_cores, np.int64)
+    assigned = np.zeros(1, np.int64)
+
+    def P(a, t):
+        return a.ctypes.data_as(C.POINTER(t))
+
+    rc = lib.engine_spr_pass_parallel(
+        h, num_cores, 1 if strict_stop else 0, allowed_fails,
+        threshold_log_lk, P(new_root, C.c_int32),
+        P(improvement, C.c_double),
+        topo.ctypes.data_as(C.POINTER(C.c_long)),
+        blen.ctypes.data_as(C.POINTER(C.c_long)),
+        P(searched, C.c_int64), P(proposed, C.c_int64),
+        P(assigned, C.c_int64))
+    if rc == 2:
+        # unsupported state: hand the (unchanged) tree back and let the
+        # caller run the fork path
+        _export_engine(rt, h)
+        lib.engine_free(h)
+        return None
+    if rc != 0:
+        msg = lib.engine_error(h).decode()
+        lib.engine_free(h)
+        raise RuntimeError(f"native parallel SPR engine: {msg}")
+    if int(assigned[0]):
+        print(f"Assigned {num_cores} cores for {int(assigned[0])} nodes.")
+    for c in range(num_cores):
+        print(f"Searched {int(searched[c])} nodes within core {c} and "
+              f"found {int(proposed[c])} proposed SPR moves")
+    print("Found proposed SPR moves, merged, and sorted.")
+    _export_engine(rt, h)
+    tree = rt.tree
+    n = len(tree.up)
+    e_repl = np.empty(n, np.int32)
+    lib.engine_export_replacements(h, P(e_repl, C.c_int32))
+    tree.replacements = e_repl.tolist()
+    e_nm = np.empty(n, np.int32)
+    e_minor = np.empty(n, np.int32)
+    # _export_engine refreshed topology/vectors; mutations may have moved
+    # during applies (MAT relocation), so refresh them too
+    scratch = np.empty(n, np.int32)
+    scratch8 = np.empty(n, np.uint8)
+    scratch64 = np.empty(n, np.int64)
+    e_dist = np.empty(n, np.float64)
+    lib.engine_export_nodes(
+        h, P(scratch, C.c_int32), P(scratch, C.c_int32),
+        P(scratch, C.c_int32), P(e_dist, C.c_double),
+        P(scratch, C.c_int32), P(scratch, C.c_int32),
+        P(scratch8, C.c_uint8), P(scratch64, C.c_int64),
+        P(scratch64, C.c_int64), P(scratch64, C.c_int64),
+        P(scratch64, C.c_int64), P(e_minor, C.c_int32),
+        P(e_nm, C.c_int32))
+    for node in range(n):
+        cnt = int(e_nm[node])
+        if cnt:
+            buf = np.empty(cnt * 3, np.int32)
+            lib.engine_export_muts(h, node, P(buf, C.c_int32))
+            flat = buf.tolist()
+            tree.mutations[node] = [tuple(flat[k:k + 3])
+                                    for k in range(0, len(flat), 3)]
+        else:
+            tree.mutations[node] = []
+    sbuf = np.zeros(9, np.float64)
+    lib.engine_stats(h, P(sbuf, C.c_double))
+    rt.num_refs += int(sbuf[6])
+    nr = int(new_root[0])
+    lib.engine_free(h)
+    return (nr if nr >= 0 else None, float(improvement[0]))
+
+
 def _import_engine(rt, root, transfer):
     """Build a C++ Engine holding the session tree.  With ``transfer``
     the python NV handles are disarmed (ownership moves to the engine and
@@ -648,7 +754,7 @@ class NativeSession:
         return int(sub_rounds[0])
 
     def set_all_dirty(self):
-        self.lib.engine_set_all_dirty(self.h)
+        self.lib.engine_set_all_dirty(self.h, 1)
 
     def em_crawl(self) -> int:
         """Run the EM branch accumulation over the resident tree
@@ -685,6 +791,56 @@ class NativeSession:
         nr = int(new_root[0])
         return (nr if nr >= 0 else None, float(improvement[0]),
                 int(topo[0]), int(blen[0]))
+
+    def spr_parallel(self, num_cores, strict_stop, allowed_fails,
+                     threshold_log_lk, threshold_topology_placement):
+        """Threaded search-parallel/apply-serial pass on the resident
+        engine (engine_spr_pass_parallel); under a live session the fork
+        fallback states (tag registry, aliased imports) cannot occur, so
+        this never returns None."""
+        self._sync()
+        rt = self.rt
+        dc = rt.dc
+        self.lib.engine_set_spr_params(
+            self.h, dc.thresholdLogLKoptimizationTopology,
+            threshold_topology_placement, rt.cfg.defaultBLen,
+            rt.cfg.maxReplacements)
+        new_root = np.zeros(1, np.int32)
+        improvement = np.zeros(1, np.float64)
+        topo = np.zeros(1, np.int64)
+        blen = np.zeros(1, np.int64)
+        searched = np.zeros(num_cores, np.int64)
+        proposed = np.zeros(num_cores, np.int64)
+        assigned = np.zeros(1, np.int64)
+
+        def P(a, t):
+            return a.ctypes.data_as(C.POINTER(t))
+
+        rc = self.lib.engine_spr_pass_parallel(
+            self.h, num_cores, 1 if strict_stop else 0, allowed_fails,
+            threshold_log_lk, P(new_root, C.c_int32),
+            P(improvement, C.c_double),
+            topo.ctypes.data_as(C.POINTER(C.c_long)),
+            blen.ctypes.data_as(C.POINTER(C.c_long)),
+            P(searched, C.c_int64), P(proposed, C.c_int64),
+            P(assigned, C.c_int64))
+        if rc != 0:
+            self._err("parallel SPR pass")
+        if int(assigned[0]):
+            print(f"Assigned {num_cores} cores for {int(assigned[0])} "
+                  f"nodes.")
+        for c in range(num_cores):
+            print(f"Searched {int(searched[c])} nodes within core {c} "
+                  f"and found {int(proposed[c])} proposed SPR moves")
+        print("Found proposed SPR moves, merged, and sorted.")
+        nr = int(new_root[0])
+        return (nr if nr >= 0 else None, float(improvement[0]))
+
+    def count_dirty(self):
+        out = np.zeros(2, np.int64)
+        self.lib.engine_count_dirty(
+            self.h, out.ctypes.data_as(C.POINTER(C.c_int64)))
+        return int(out[0]), int(out[1])
 
     def root_search(self, strict_stop, allowed_fails, threshold_log_lk,
                     threshold_consecutive, threshold_opt):
@@ -785,7 +941,6 @@ def native_session_eligible(rt) -> bool:
             and not cfg.estimateMAT
             and not cfg.estimateErrors
             and not cfg.networkOutput
-            and cfg.numCores == 1
             and not cfg.debugging
             and not cfg.deeperSearchForLongBranches
             and not cfg.doNotImproveTopology

@@ -1355,6 +1355,30 @@ def start_topology_updates(rt: TreeRuntime, node: int, strict_stop,
 
 
 # ----------------------------------------------------------------------
+def _parallel_update(run, params, abayes_on):
+    """numCores>1 topology pass: the engine's threaded
+    search-parallel/apply-serial implementation when the state allows it
+    (native/engine.py run_native_spr_parallel), else the reference-style
+    fork path (parallel_spr.py) — outputs are byte-identical."""
+    rt = run.rt
+    cfg = run.cfg
+    tree = run.tree
+    strict, fails, threshold, placement_thresh = params
+    from ..native.engine import native_spr_supported, run_native_spr_parallel
+    if native_spr_supported(rt, abayes_on, cfg.networkOutput,
+                            cfg.debugging):
+        res = run_native_spr_parallel(rt, run.root, cfg.numCores, strict,
+                                      fails, threshold, placement_thresh)
+        if res is not None:
+            return res
+    from .parallel_spr import assign_core_numbers, parallel_topology_update
+    if getattr(tree, "coreNum", None) is None:
+        assign_core_numbers(tree, run.root, cfg.numCores)
+    return parallel_topology_update(
+        rt, run.root, params, SprCounters(), cfg.numCores,
+        abayes_on=abayes_on, network_output=cfg.networkOutput)
+
+
 def run_spr_rounds(run, rounds: List[tuple]):
     """SPR rounds + subrounds driver (reference :12241-12555).
 
@@ -1418,14 +1442,9 @@ def _run_spr_rounds_body(run, rounds, _time):
         print(f"Likelihood before SPR moves: {pre_lk}", flush=True)
         parallelize = cfg.numCores > 1
         if parallelize:
-            from .parallel_spr import (assign_core_numbers,
-                                       parallel_topology_update)
-            if n_round == 0:
-                assign_core_numbers(tree, run.root, cfg.numCores)
-            new_root, improvement = parallel_topology_update(
-                rt, run.root, (strict, fails, threshold, placement_thresh),
-                SprCounters(), cfg.numCores, abayes_on=abayes_on,
-                network_output=cfg.networkOutput)
+            new_root, improvement = _parallel_update(
+                run, (strict, fails, threshold, placement_thresh),
+                abayes_on)
         else:
             new_root, improvement = start_topology_updates(
                 rt, run.root, strict, fails, threshold, placement_thresh,
@@ -1446,15 +1465,15 @@ def _run_spr_rounds_body(run, rounds, _time):
         while sub_round < 20:
             print(f"Topological subround {sub_round + 1}", flush=True)
             if parallelize:
-                from ..runtime.tree import count_dirty_nodes
-                num_dirty, num_nodes = count_dirty_nodes(tree, run.root)
+                if rt.native_session is not None:
+                    num_dirty, num_nodes = rt.native_session.count_dirty()
+                else:
+                    from ..runtime.tree import count_dirty_nodes
+                    num_dirty, num_nodes = count_dirty_nodes(tree, run.root)
             if parallelize and num_dirty > 0.1 * num_nodes:
-                from .parallel_spr import parallel_topology_update
-                new_root, improvement = parallel_topology_update(
-                    rt, run.root,
-                    (strict, fails, threshold, placement_thresh),
-                    SprCounters(), cfg.numCores, abayes_on=abayes_on,
-                    network_output=cfg.networkOutput)
+                new_root, improvement = _parallel_update(
+                    run, (strict, fails, threshold, placement_thresh),
+                    abayes_on)
             else:
                 new_root, improvement = start_topology_updates(
                     rt, run.root, strict, fails, threshold,

@@ -150,7 +150,14 @@ struct Store {
                 tag_registry[vv[i].tag].emplace_back(id, i);
     }
 
+    // Slot allocation/recycling is guarded so the parallel SPR proposal
+    // workers can allocate temporaries concurrently (the chunk table is
+    // reserved once at store creation, so v(id) reads of existing slots
+    // never move; ~20 ns uncontended lock vs ~1 us per merge).
+    std::mutex slot_mu;
+
     int64_t alloc() {
+        std::lock_guard<std::mutex> g(slot_mu);
         if (!free_slots.empty()) {
             int64_t id = free_slots.back();
             free_slots.pop_back();
@@ -163,6 +170,13 @@ struct Store {
             vec_chunks.emplace_back(new Vec[VCHUNK]);
         }
         return (int64_t)vec_count++;
+    }
+
+    // clear + recycle one slot (lock-guarded counterpart of alloc)
+    void free_slot(int64_t id) {
+        v(id).clear();
+        std::lock_guard<std::mutex> g(slot_mu);
+        free_slots.push_back(id);
     }
     Vec &v(int64_t id) {
         return vec_chunks[id >> VCHUNK_BITS][id & (VCHUNK - 1)];
@@ -2994,6 +3008,11 @@ struct Engine {
     // stop after this many consecutive non-improving scored nodes;
     // 0 = exact reference DFS.
     int64_t search_budget = 0;
+    // Parallel SPR core assignment (parallel_spr.py assign_core_numbers,
+    // reference :12164-12195): computed lazily on the first parallel
+    // pass and kept for the run, like the host driver's round-0 call.
+    std::vector<int32_t> core_num;
+    int cores_assigned = 0;
     // SPR-crawl budget (opt-in, engine_set_spr_budget): the per-node
     // re-attachment crawl stops after this many consecutive
     // non-improving scored candidates.  The crawl radiates outward from
@@ -3025,7 +3044,14 @@ struct Engine {
     int64_t vect_up_for(int n) const {
         return c0[up[n]] == n ? upR[up[n]] : upL[up[n]];
     }
-    void own(int64_t id) { if (id >= 0) owned.insert(id); }
+    // Parallel SPR proposal workers (engine_spr_pass_parallel) run the
+    // read-only search concurrently; each carries its own temp-ownership
+    // set via this thread-local, so release()/end_call() stay wait-free.
+    static thread_local std::unordered_set<int64_t> *tl_owned;
+    std::unordered_set<int64_t> &own_set() {
+        return tl_owned ? *tl_owned : owned;
+    }
+    void own(int64_t id) { if (id >= 0) own_set().insert(id); }
     // Eagerly reclaim an engine-owned temporary (no-op for tree-owned or
     // foreign ids).  Long crawls (root search) allocate a handful of
     // vectors per visited node; without eager release they all stay live
@@ -3034,25 +3060,32 @@ struct Engine {
     // whose refcounting frees intermediates immediately).
     void release(int64_t id) {
         if (id < 0) return;
-        auto it = owned.find(id);
-        if (it == owned.end()) return;
-        owned.erase(it);
-        S->v(id).clear();
-        S->free_slots.push_back(id);
+        auto &o = own_set();
+        auto it = o.find(id);
+        if (it == o.end()) return;
+        o.erase(it);
+        S->free_slot(id);
     }
     void install(int64_t *slot, int64_t id) {
-        if (*slot >= 0 && *slot != id) owned.insert(*slot);
-        if (id >= 0) owned.erase(id);
+        auto &o = own_set();
+        if (*slot >= 0 && *slot != id) o.insert(*slot);
+        if (id >= 0) o.erase(id);
         *slot = id;
     }
     void end_call() {
-        for (int64_t id : owned) {
+        auto &o = own_set();
+        for (int64_t id : o) {
             S->v(id).clear();
-            S->free_slots.push_back(id);
         }
-        owned.clear();
+        {
+            std::lock_guard<std::mutex> g(S->slot_mu);
+            for (int64_t id : o) S->free_slots.push_back(id);
+        }
+        o.clear();
     }
 };
+
+thread_local std::unordered_set<int64_t> *Engine::tl_owned = nullptr;
 
 // --- kernel wrappers with temp ownership ---
 static int64_t E_merge(Engine *E, int64_t v1, double bl1, bool t1,
@@ -4458,6 +4491,24 @@ struct TopoResult {
     int64_t removed;
 };
 
+// Parallel-proposal workers must not write the shared tree, so the lazy
+// totUp cache fill inside the re-attachment crawl goes to a per-worker
+// side map instead (the fork-based reference workers cache into their
+// copy-on-write pages the same way — values are identical either way,
+// the main tree just stays unfilled until the serial apply).
+struct SprWorkerCache {
+    std::unordered_map<int, int64_t> tot_up;
+};
+static thread_local SprWorkerCache *tl_spr_cache = nullptr;
+
+static inline int64_t E_tot_up_cached(Engine *E, int t1) {
+    if (tl_spr_cache) {
+        auto it = tl_spr_cache->tot_up.find(t1);
+        if (it != tl_spr_cache->tot_up.end()) return it->second;
+    }
+    return E->totUp[t1];
+}
+
 // spr.py find_best_parent_topology :51-541 (no HnZ/abayes/deeper)
 static bool E_find_best_parent_topology(Engine *E, int node, int child,
                                         double best_lk_diff,
@@ -4627,10 +4678,10 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                                       E->pv[t1], distance / 2, is_tip,
                                       true);
                     if (mid_tot < 0) continue;
-                    if (!E_different(E, mid_tot, E->totUp[t1]))
+                    if (!E_different(E, mid_tot, E_tot_up_cached(E, t1)))
                         needs_updating = false;
                 } else {
-                    mid_tot = E->totUp[t1];
+                    mid_tot = E_tot_up_cached(E, t1);
                     distance = dist[t1];
                 }
                 if (mid_tot < 0) continue;
@@ -4727,16 +4778,20 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                     mid_tot = E_merge(E, vect_up, dist[t1] / 2, false,
                                       mid_bottom, dist[t1] / 2, false,
                                       true);
-                    if (E->totUp[t1] < 0) {
-                        E->install(&E->totUp[t1], E_merge(E, vect_up,
+                    if (E_tot_up_cached(E, t1) < 0) {
+                        int64_t filled = E_merge(E, vect_up,
                             dist[t1] / 2, false, E->pv[t1], dist[t1] / 2,
-                            false, true));
+                            false, true);
+                        if (tl_spr_cache)
+                            tl_spr_cache->tot_up[t1] = filled;
+                        else
+                            E->install(&E->totUp[t1], filled);
                     }
                     if (mid_tot < 0) continue;
-                    if (!E_different(E, mid_tot, E->totUp[t1]))
+                    if (!E_different(E, mid_tot, E_tot_up_cached(E, t1)))
                         needs_updating = false;
                 } else {
-                    mid_tot = E->totUp[t1];
+                    mid_tot = E_tot_up_cached(E, t1);
                 }
                 if (mid_tot < 0) continue;
                 mid_prob = E_append(E, mid_tot, removed_here,
@@ -4901,7 +4956,7 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                 up_vect = E_pass_down(E, up_vect, t1);
             down_vect = E->pv[t1];
             distance = dist[t1];
-            mid_tot = E->totUp[t1];
+            mid_tot = E_tot_up_cached(E, t1);
         } else {
             up_vect = bc.up_vect;
             down_vect = bc.down_vect;
@@ -4914,7 +4969,8 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                                              bc.removed, is_removed_tip,
                                              from_tip1);
         if (!ev.ok) {
-            E->error = "impossible merge in SPR fine phase";
+            if (!Engine::tl_owned)
+                E->error = "impossible merge in SPR fine phase";
             return false;
         }
         double initial_cost = E_append(E, up_vect, down_vect, from_tip1,
@@ -6471,15 +6527,34 @@ void engine_export_replacements(Engine *E, int32_t *out) {
         out[i] = E->replacements[i];
 }
 
-// runtime/tree.py set_all_dirty (reference setAllDirty :8715-8724): mark
-// the whole tree dirty and reset the SPR replacement counters, engine-side
-// so a live session needs no host round-trip.
-void engine_set_all_dirty(Engine *E) {
+// runtime/tree.py count_dirty_nodes: dirty and total counts over the
+// reachable tree (the numCores>1 subround heuristic, reference :12450)
+void engine_count_dirty(Engine *E, int64_t *out) {
+    int64_t dirty = 0, total = 0;
     std::vector<int32_t> stack = {E->root};
     while (!stack.empty()) {
         int n = stack.back();
         stack.pop_back();
-        E->dirty[n] = 1;
+        total++;
+        if (E->dirty[n]) dirty++;
+        if (E->c0[n] >= 0) {
+            stack.push_back(E->c0[n]);
+            stack.push_back(E->c1[n]);
+        }
+    }
+    out[0] = dirty;
+    out[1] = total;
+}
+
+// runtime/tree.py set_all_dirty (reference setAllDirty :8715-8724): mark
+// the whole tree dirty and reset the SPR replacement counters, engine-side
+// so a live session needs no host round-trip.
+void engine_set_all_dirty(Engine *E, int dirtiness) {
+    std::vector<int32_t> stack = {E->root};
+    while (!stack.empty()) {
+        int n = stack.back();
+        stack.pop_back();
+        E->dirty[n] = dirtiness ? 1 : 0;
         E->replacements[n] = 0;
         if (E->c0[n] >= 0) {
             stack.push_back(E->c0[n]);
@@ -6606,6 +6681,216 @@ int64_t engine_em(Engine *E) {
     }
     E->end_call();
     return num_tips;
+}
+
+// ---------------------------------------------------------------------
+// Parallel SPR: search-parallel / apply-serial inside the engine.
+//
+// The reference's only parallel phase forks worker PROCESSES that
+// re-run the python search over copy-on-write state
+// (startTopologyUpdatesParallel :9580-9716, applySPRMovesParallel
+// :9470-9484; host twin maple_tpu/search/parallel_spr.py).  Here the
+// same contract runs as engine threads over the shared resident tree:
+// the proposal phase is read-only (worker temporaries live in
+// thread-local ownership sets, lazy totUp fills in a per-worker side
+// cache), proposals merge in core order and stable-sort ascending by
+// improvement, and the apply phase re-validates each move through the
+// serial per-node driver — byte-identical outputs to the fork path,
+// without pickling or pool spin-up.
+
+struct SprProposal {
+    int32_t node;
+    int32_t placement;
+    double improvement;
+};
+
+// parallel_spr.py _propose_moves :63-161 (no abayes/network — the host
+// gates those to the python fork path)
+static void E_spr_propose_core(Engine *E, int core, bool strict_stop,
+                               int allowed_fails, double threshold_log_lk,
+                               std::vector<SprProposal> *out,
+                               int64_t *searched) {
+    std::unordered_set<int64_t> my_owned;
+    SprWorkerCache my_cache;
+    Engine::tl_owned = &my_owned;
+    tl_spr_cache = &my_cache;
+    auto &up = E->up;
+    auto &dist = E->dist;
+    double eff0 = E->eff0;
+    double placement_thresh = E->threshold_topology_placement;
+    std::vector<int32_t> stack = {E->root};
+    while (!stack.empty()) {
+        int node = stack.back();
+        stack.pop_back();
+        if (E->c0[node] >= 0) {
+            stack.push_back(E->c0[node]);
+            stack.push_back(E->c1[node]);
+        }
+        if (!(E->dirty[node]
+              && E->replacements[node] <= E->max_replacements
+              && E->core_num[node] == core))
+            continue;
+        if (up[node] < 0) continue;
+        (*searched)++;
+        int parent = up[node];
+        int child = E->child_index(node);
+        int64_t vect_up = child == 0 ? E->upR[parent] : E->upL[parent];
+        if (!E->muts[node].empty())
+            vect_up = E_pass_down(E, vect_up, node);
+        double best_curren_blen = dist[node];
+        bool is_tip = E->is_tip(node);
+        double best_current_lk = E_append(E, vect_up, E->pv[node], is_tip,
+                                          best_curren_blen);
+        if (E->hnz_mode) {
+            // parallel_spr.py :106-119 — identical to the serial initial
+            // HnZ correction
+            auto &nd = E->nDesc0;
+            int pn0 = up[node];
+            while (dist[pn0] <= eff0 && up[pn0] >= 0) pn0 = up[pn0];
+            if (dist[node] > eff0)
+                best_current_lk += E->hnz(nd[pn0]) - E->hnz(nd[pn0] - 1);
+            else
+                best_current_lk += E->hnz(nd[pn0])
+                                   - (E->hnz(nd[pn0] - nd[node])
+                                      + E->hnz(nd[node]));
+        }
+        // the worker skips the serial path's branch-length re-optimization
+        // (it cannot write blens); crawl gate :120-122
+        if (best_current_lk < placement_thresh || dist[node] != 0.0
+                || E->hnz_mode) {
+            TopoResult R;
+            // worker exceptions swallow the node (reference :9703-9704)
+            if (E_find_best_parent_topology(E, parent, child,
+                                            best_current_lk,
+                                            best_curren_blen, strict_stop,
+                                            allowed_fails,
+                                            threshold_log_lk, &R)
+                    && R.best_score + placement_thresh > best_current_lk) {
+                bool topology_updated = true;
+                int top_node = up[node];
+                if (R.best_node == top_node) topology_updated = false;
+                while (dist[top_node] == 0.0 && up[top_node] >= 0)
+                    top_node = up[top_node];
+                if (R.best_node == top_node && R.bottom == 0.0)
+                    topology_updated = false;
+                int sibling = node == E->c0[parent] ? E->c1[parent]
+                                                    : E->c0[parent];
+                if (R.best_node == sibling) topology_updated = false;
+                if (up[R.best_node] == sibling && R.top == 0.0)
+                    topology_updated = false;
+                if (topology_updated)
+                    out->push_back({node, R.best_node,
+                                    R.best_score - best_current_lk});
+            }
+        }
+        E->end_call();
+        my_cache.tot_up.clear();
+    }
+    Engine::tl_owned = nullptr;
+    tl_spr_cache = nullptr;
+}
+
+// One search-parallel / apply-serial pass (parallel_spr.py
+// parallel_topology_update; reference :12283-12312).  searched_out /
+// proposed_out are per-core counters for the host's progress prints;
+// *assigned_out > 0 only when this call computed the core assignment.
+// Returns 0 ok, 2 = unsupported state (host falls back to the fork
+// path), -1 = error during apply.
+int engine_spr_pass_parallel(Engine *E, int num_cores, int strict_stop,
+                             int allowed_fails, double threshold_log_lk,
+                             int32_t *new_root_out, double *improvement_out,
+                             long *topo_updates_out, long *blen_updates_out,
+                             int64_t *searched_out, int64_t *proposed_out,
+                             int64_t *assigned_out) {
+    *assigned_out = 0;
+    if (E->S->tags_active || num_cores < 1) return 2;
+    // core assignment: round-robin in pre-order traversal order
+    // (assign_core_numbers; reference :12164-12195), computed once
+    if ((int)E->core_num.size() != (int)E->up.size()
+            || E->cores_assigned != num_cores) {
+        E->core_num.assign(E->up.size(), -1);
+        E->cores_assigned = num_cores;
+        int node = E->root, last = -1, dir = 0, current = 0;
+        int64_t num_nodes = 0;
+        while (node >= 0) {
+            if (dir == 0) {
+                num_nodes++;
+                E->core_num[node] = current;
+                current = (current + 1) % num_cores;
+                if (E->c0[node] >= 0) {
+                    node = E->c0[node];
+                } else {
+                    last = node;
+                    node = E->up[node];
+                    dir = 1;
+                }
+            } else if (last == E->c0[node]) {
+                node = E->c1[node];
+                dir = 0;
+            } else {
+                last = node;
+                node = E->up[node];
+            }
+        }
+        *assigned_out = num_nodes;
+    }
+    if (E->hnz_mode) {
+        // pre-grow the HnZ memo: workers may query up to the sum of two
+        // clade sizes (bounded by 2x the largest nDesc0), and the lazy
+        // grow is not thread-safe
+        int max_nd = 2;
+        for (int32_t v : E->nDesc0) max_nd = std::max(max_nd, (int)v);
+        E->hnz(2 * max_nd + 4);
+    }
+    // phase A: read-only proposal search, one thread per core
+    std::vector<std::vector<SprProposal>> props(num_cores);
+    std::vector<int64_t> searched(num_cores, 0);
+    {
+        std::vector<std::thread> workers;
+        workers.reserve(num_cores);
+        for (int c = 0; c < num_cores; c++)
+            workers.emplace_back(E_spr_propose_core, E, c,
+                                 strict_stop != 0, allowed_fails,
+                                 threshold_log_lk, &props[c],
+                                 &searched[c]);
+        for (auto &t : workers) t.join();
+    }
+    std::vector<SprProposal> all;
+    for (int c = 0; c < num_cores; c++) {
+        searched_out[c] = searched[c];
+        proposed_out[c] = (int64_t)props[c].size();
+        all.insert(all.end(), props[c].begin(), props[c].end());
+    }
+    // ascending stable sort = the host's list.sort(key=improvement);
+    // apply pops from the end (best first)
+    std::stable_sort(all.begin(), all.end(),
+                     [](const SprProposal &a, const SprProposal &b) {
+                         return a.improvement < b.improvement;
+                     });
+    engine_set_all_dirty(E, 0);
+    // phase B: serial re-validated apply (applySPRMovesParallel)
+    long topo = 0, blen = 0;
+    double total = 0.0;
+    int32_t new_root = -1;
+    for (auto it = all.rbegin(); it != all.rend(); ++it) {
+        int nr;
+        double improvement;
+        int rc = E_traverse_topology(E, it->node, strict_stop != 0,
+                                     allowed_fails, threshold_log_lk,
+                                     &nr, &improvement, &topo, &blen);
+        E->end_call();
+        if (rc != 0) return -1;
+        total += improvement;
+        if (nr >= 0) {
+            new_root = nr;
+            E->root = nr;
+        }
+    }
+    *new_root_out = new_root;
+    *improvement_out = total;
+    *topo_updates_out = topo;
+    *blen_updates_out = blen;
+    return 0;
 }
 
 }  // extern "C"

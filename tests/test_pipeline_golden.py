@@ -334,7 +334,11 @@ def test_lineage_assignment_nexus_golden(tmp_path):
 def test_parallel_spr_golden(tmp_path):
     """--numCores 3: search-parallel / apply-serial SPR rounds on a
     deliberately random input tree (>100 proposed moves re-validated and
-    applied); outputs must match the reference's parallel mode."""
+    applied); outputs must match the reference's parallel mode.
+
+    This config routes through the engine's THREADED proposal workers
+    (native/engine.py run_native_spr_parallel) — the test also asserts
+    the fork path was NOT used, so a silent fallback regression fails."""
     par = os.path.join(GOLDEN_DIR, "parallel")
     if not os.path.isfile(os.path.join(par, "par3_tree.tree")):
         pytest.skip("golden not generated")
@@ -343,7 +347,16 @@ def test_parallel_spr_golden(tmp_path):
                       inputTree=os.path.join(par, "random_input.tree"),
                       largeUpdate=True, model="GTR", numCores=3,
                       output=out, overwrite=True)
-    run_inference(cfg)
+    import maple_tpu.search.parallel_spr as ps
+    fork_calls = []
+    orig = ps.parallel_topology_update
+    ps.parallel_topology_update = \
+        lambda *a, **k: (fork_calls.append(1), orig(*a, **k))[1]
+    try:
+        run_inference(cfg)
+    finally:
+        ps.parallel_topology_update = orig
+    assert not fork_calls, "native threaded SPR silently fell back to fork"
     for part in ("_tree.tree", "_LK.txt", "_subs.txt",
                  "_round1_tree.tree"):
         with open(out + part) as f, \
