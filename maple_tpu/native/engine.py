@@ -347,8 +347,15 @@ def run_native_spr_pass(rt, root, strict_stop, allowed_fails,
         return a.ctypes.data_as(C.POINTER(t))
 
     dc = rt.dc
+    # full threshold set (notably thresholdLogLKconsecutivePlacement: the
+    # SPR crawl's failed-pass gate reads E->threshold_consec — a 0 here
+    # stops crawls early and silently changes search results; observed as
+    # proposal divergence on --HnZ 2 --numCores 3)
     h = C.c_void_p(lib.engine_create(
-        store.h, -1, 0, 1, 0, 0.0, 0.0, 0.0, dc.oneMutBLen,
+        store.h, -1, 0,
+        0 if rt.cfg.nonStrictStopRules else 1, rt.cfg.allowedFails,
+        dc.thresholdLogLK, dc.thresholdLogLKoptimization,
+        dc.thresholdLogLKconsecutivePlacement, dc.oneMutBLen,
         dc.effectivelyNon0BLen, 0, 1 if rt.use_local_reference else 0,
         rt.cfg.maxNumDescendantsForMATClade, rt.cfg.minNumNon4))
     lib.engine_import(h, n, P(up, C.c_int32), P(c0, C.c_int32),
@@ -611,8 +618,15 @@ def _import_engine(rt, root, transfer):
         return a.ctypes.data_as(C.POINTER(t))
 
     dc = rt.dc
+    # full threshold set (notably thresholdLogLKconsecutivePlacement: the
+    # SPR crawl's failed-pass gate reads E->threshold_consec — a 0 here
+    # stops crawls early and silently changes search results; observed as
+    # proposal divergence on --HnZ 2 --numCores 3)
     h = C.c_void_p(lib.engine_create(
-        store.h, -1, 0, 1, 0, 0.0, 0.0, 0.0, dc.oneMutBLen,
+        store.h, -1, 0,
+        0 if rt.cfg.nonStrictStopRules else 1, rt.cfg.allowedFails,
+        dc.thresholdLogLK, dc.thresholdLogLKoptimization,
+        dc.thresholdLogLKconsecutivePlacement, dc.oneMutBLen,
         dc.effectivelyNon0BLen, 0, 1 if rt.use_local_reference else 0,
         rt.cfg.maxNumDescendantsForMATClade, rt.cfg.minNumNon4))
     lib.engine_import(h, n, P(up, C.c_int32), P(c0, C.c_int32),

@@ -15,6 +15,8 @@ needed; only the small proposal lists cross the process boundary.
 from __future__ import annotations
 
 import multiprocessing
+import os
+import sys
 from operator import itemgetter
 
 from ..models.hnz import get_hnz
@@ -212,6 +214,9 @@ def parallel_topology_update(rt, root: int, params, counters: SprCounters,
         for proposed in results:
             improvements.extend(proposed)
     improvements.sort(reverse=False, key=itemgetter(2))
+    if os.environ.get("MAPLE_DEBUG_PROPS"):
+        for n_, p_, i_ in improvements:
+            print(f"PROP {n_} {p_} {i_!r}", file=sys.stderr)
     print("Found proposed SPR moves, merged, and sorted.")
     set_all_dirty(tree, root, dirtiness=False)
     return apply_spr_moves(rt, improvements, params, counters,

@@ -4493,9 +4493,13 @@ struct TopoResult {
 
 // Parallel-proposal workers must not write the shared tree, so the lazy
 // totUp cache fill inside the re-attachment crawl goes to a per-worker
-// side map instead (the fork-based reference workers cache into their
-// copy-on-write pages the same way — values are identical either way,
-// the main tree just stays unfilled until the serial apply).
+// side map instead.  The map lives for the WHOLE worker sweep, exactly
+// like the fork-based reference workers' copy-on-write pages: a fill
+// made while searching one node must be visible while searching the
+// worker's later nodes, because are_vectors_different(x, missing) is
+// unconditionally true — fill persistence changes needs_updating
+// decisions, not just speed (observed as proposal divergence on
+// --HnZ 2 --numCores 3 before this cache spanned the sweep).
 struct SprWorkerCache {
     std::unordered_map<int, int64_t> tot_up;
 };
@@ -4782,10 +4786,14 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
                         int64_t filled = E_merge(E, vect_up,
                             dist[t1] / 2, false, E->pv[t1], dist[t1] / 2,
                             false, true);
-                        if (tl_spr_cache)
+                        if (tl_spr_cache) {
+                            // survives end_call(): owned by the sweep-long
+                            // side cache, freed when the worker finishes
                             tl_spr_cache->tot_up[t1] = filled;
-                        else
+                            if (filled >= 0) E->own_set().erase(filled);
+                        } else {
                             E->install(&E->totUp[t1], filled);
+                        }
                     }
                     if (mid_tot < 0) continue;
                     if (!E_different(E, mid_tot, E_tot_up_cached(E, t1)))
@@ -6784,8 +6792,9 @@ static void E_spr_propose_core(Engine *E, int core, bool strict_stop,
             }
         }
         E->end_call();
-        my_cache.tot_up.clear();
     }
+    for (auto &kv : my_cache.tot_up)
+        if (kv.second >= 0) E->S->free_slot(kv.second);
     Engine::tl_owned = nullptr;
     tl_spr_cache = nullptr;
 }
@@ -6867,6 +6876,10 @@ int engine_spr_pass_parallel(Engine *E, int num_cores, int strict_stop,
                      [](const SprProposal &a, const SprProposal &b) {
                          return a.improvement < b.improvement;
                      });
+    if (getenv("MAPLE_DEBUG_PROPS"))
+        for (auto &p : all)
+            fprintf(stderr, "PROP %d %d %.17g\n", p.node, p.placement,
+                    p.improvement);
     engine_set_all_dirty(E, 0);
     // phase B: serial re-validated apply (applySPRMovesParallel)
     long topo = 0, blen = 0;

@@ -149,6 +149,15 @@ REGISTRY = [
          argv=["--model", "GTR", "--largeUpdate", "--numCores", "3",
                "--inputTree", G("parallel/random_input.tree")],
          parts=STD + ("_round1_tree.tree",)),
+    dict(name="parallel/hnz2par3",
+         argv=["--model", "GTR", "--largeUpdate", "--numCores", "3",
+               "--HnZ", "2",
+               "--inputTree", G("parallel/random_input.tree")],
+         parts=STD + ("_round1_tree.tree",
+                      "_round1_subround2_preliminary_tree.tree",
+                      "_round1_subround4_preliminary_tree.tree"),
+         notes="HnZ corrections inside the threaded proposal workers; "
+               "regression pin for the engine threshold_consec=0 bug"),
     dict(name="parallel/traces",
          argv=["--model", "GTR", "--largeUpdate",
                "--inputTree", G("parallel/random_input.tree"),

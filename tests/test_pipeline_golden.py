@@ -364,6 +364,32 @@ def test_parallel_spr_golden(tmp_path):
             assert f.read() == g.read(), part
 
 
+def test_parallel_spr_hnz_golden(tmp_path):
+    """--numCores 3 --HnZ 2: the HnZ topology prior inside the THREADED
+    proposal workers (E_spr_propose_core) and the serial re-validated
+    applies.  Regression pin for the engine-side threshold_consec=0 bug:
+    the import-path engines used to leave thresholdLogLKconsecutivePlacement
+    unset, which stopped worker crawls early under strict stop rules and
+    silently changed proposals (caught as branch-length drift on this
+    exact configuration)."""
+    par = os.path.join(GOLDEN_DIR, "parallel")
+    if not os.path.isfile(os.path.join(par, "hnz2par3_tree.tree")):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE,
+                      inputTree=os.path.join(par, "random_input.tree"),
+                      largeUpdate=True, model="GTR", numCores=3, HnZ=2,
+                      output=out, overwrite=True)
+    run_inference(cfg)
+    for part in ("_tree.tree", "_LK.txt", "_subs.txt",
+                 "_round1_tree.tree",
+                 "_round1_subround2_preliminary_tree.tree",
+                 "_round1_subround4_preliminary_tree.tree"):
+        with open(out + part) as f, \
+                open(os.path.join(par, "hnz2par3" + part)) as g:
+            assert f.read() == g.read(), part
+
+
 @pytest.mark.parametrize("flag,golden", [
     ({"HnZ": 2}, "example_hnz2"),
     ({"deeperSearchForLongBranches": True}, "example_deeper"),
