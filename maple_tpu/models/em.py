@@ -12,6 +12,8 @@ errors/observed clamped >= 1e-10.
 """
 from __future__ import annotations
 
+import time
+
 from typing import Optional
 
 from ..core.genomelist import TYPE_N, TYPE_O, TYPE_R
@@ -60,6 +62,15 @@ def pass_mutation_list_through_branch(ref_indices, mutations1, mutations2,
 
 
 def expectation_maximization_rates(rt: TreeRuntime, root: int,
+                                   track_mutations: bool = False):
+    t0 = time.time()
+    try:
+        return _expectation_maximization_rates_timed_impl(rt, root, track_mutations)
+    finally:
+        rt.add_phase_time("em", time.time() - t0)
+
+
+def _expectation_maximization_rates_timed_impl(rt: TreeRuntime, root: int,
                                    track_mutations: bool = False):
     """Returns (rate_matrix, site_rates|None, error_rate|None,
     site_error_rates|None); with track_mutations also fills

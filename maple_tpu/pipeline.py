@@ -930,6 +930,12 @@ class Run:
               + str(self.timings["placing"]))
         print("Time spent in topology updates: "
               + str(self.timings["topology"]))
+        phases = self.rt.phase_times
+        if phases:
+            breakdown = ", ".join(f"{k}={v:.2f}s"
+                                  for k, v in sorted(phases.items()))
+            print(f"Phase breakdown (beyond the reference's stats): "
+                  f"{breakdown}", flush=True)
 
     def _after_reroot(self):
         cfg = self.cfg

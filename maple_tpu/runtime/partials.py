@@ -10,6 +10,7 @@ mergeMutationLists :2187-2233), and full-tree likelihood
 """
 from __future__ import annotations
 
+import time
 from typing import List, Optional
 
 from ..config import DerivedConfig, MapleConfig
@@ -55,6 +56,10 @@ class TreeRuntime:
         # collected list's id must never be reused by a new list
         self._tag_lists = []
         self.num_nodes_stats = [0, 0, 0, 0, 0, 0]  # nodes, nucs, Rs, Ns, Os, MATmuts
+        # wall-clock accumulation per pipeline phase (tree_lk /
+        # recalculate / em / blen / root_search), printed by the driver
+        # next to the reference's timeFinding/timePlacing stats
+        self.phase_times = {}
         # Live persistent engine session (native/engine.py NativeSession);
         # when set, the native phase helpers run against the resident
         # engine state instead of round-tripping the tree per call.
@@ -844,9 +849,19 @@ class TreeRuntime:
                     stack.append(tree.children[n][1])
 
     # ------------------------------------------------------------------
+    def add_phase_time(self, phase: str, dt: float):
+        self.phase_times[phase] = self.phase_times.get(phase, 0.0) + dt
+
     def calculate_tree_likelihood(self, root: int, separate: bool = False):
         """Full-tree log-likelihood: post-order merges with LK plus root
         contribution (reference calculateTreeLikelihood :9721-9779)."""
+        t0 = time.time()
+        try:
+            return self._calculate_tree_likelihood(root, separate)
+        finally:
+            self.add_phase_time("tree_lk", time.time() - t0)
+
+    def _calculate_tree_likelihood(self, root, separate):
         if not separate and self.kern.name == "native":
             from ..native.engine import run_native_tree_lk
             lk = run_native_tree_lk(self, root)
@@ -905,6 +920,17 @@ class TreeRuntime:
         ``first_setup`` also builds tips from raw data, collapses minor
         sequences, and initializes the MAT (reference
         reCalculateAllGenomeLists :6013-6347)."""
+        t0 = time.time()
+        try:
+            return self._recalculate_all(root, count_nodes,
+                                         count_pseudo_counts,
+                                         pseudo_mut_counts, data, names,
+                                         first_setup)
+        finally:
+            self.add_phase_time("recalculate", time.time() - t0)
+
+    def _recalculate_all(self, root, count_nodes, count_pseudo_counts,
+                         pseudo_mut_counts, data, names, first_setup):
         if not (first_setup or count_nodes or count_pseudo_counts
                 or data is not None) and self.kern.name == "native":
             from ..native.engine import run_native_recalculate

@@ -7,12 +7,23 @@ traverseTreeToOptimizeBranchLengths :8727-8889).
 """
 from __future__ import annotations
 
+import time
+
 from ..core import kernels as K
 from ..models.hnz import get_hnz
 from ..runtime.partials import TreeRuntime
 
 
 def optimize_branch_lengths(rt: TreeRuntime, root: int, testing: bool = False,
+                            fast_pass: bool = False):
+    t0 = time.time()
+    try:
+        return _optimize_branch_lengths_timed_impl(rt, root, testing, fast_pass)
+    finally:
+        rt.add_phase_time("blen", time.time() - t0)
+
+
+def _optimize_branch_lengths_timed_impl(rt: TreeRuntime, root: int, testing: bool = False,
                             fast_pass: bool = False):
     if not testing and rt.kern.name == "native":
         from ..native.engine import run_native_blen_sweep

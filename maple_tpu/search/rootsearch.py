@@ -8,6 +8,7 @@ improvement and emits rootSupport posteriors (reference findBestRoot
 """
 from __future__ import annotations
 
+import time
 from math import exp
 
 from ..core import genomelist as gl
@@ -140,6 +141,17 @@ def re_root_tree(rt: TreeRuntime, root: int, sample,
 def find_best_root(rt: TreeRuntime, root: int, strict_stop=None,
                    allowed_fails=None, threshold_log_lk=None,
                    abayes_on: bool = False) -> int:
+    t0 = time.time()
+    try:
+        return _find_best_root_timed_impl(rt, root, strict_stop,
+                                          allowed_fails, threshold_log_lk,
+                                          abayes_on)
+    finally:
+        rt.add_phase_time("root_search", time.time() - t0)
+
+
+def _find_best_root_timed_impl(rt, root, strict_stop, allowed_fails,
+                               threshold_log_lk, abayes_on):
     """Search for a better root position; re-roots the tree and recomputes
     genome lists on improvement (reference findBestRoot :7730-7902)."""
     tree = rt.tree

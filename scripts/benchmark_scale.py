@@ -94,6 +94,8 @@ def run_one(aln, truth, out_prefix, fast, extra_flags):
         "placement_seq_per_s": round(n_samples / place_time, 1)
         if place_time else None,
         "topology_s": round(run.timings["topology"], 2),
+        "phases_s": {k: round(v, 2)
+                     for k, v in sorted(run.rt.phase_times.items())},
         "lk": lk,
         "rf": int(rf["RF"]),
         "normalised_rf": float(rf["normalisedRF"]),
