@@ -120,6 +120,10 @@ def main():
     ap.add_argument("--topologyBudget", type=int, default=0,
                     help="bounded SPR re-attachment crawl "
                          "(0 = exact reference stop rules)")
+    ap.add_argument("--numCores", type=int, default=1,
+                    help=">1 = engine-threaded search-parallel/"
+                         "apply-serial SPR (the reference's --numCores "
+                         "mode, without fork+pickle)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -132,6 +136,8 @@ def main():
         extra["placementBudget"] = args.placementBudget
     if args.topologyBudget:
         extra["topologyBudget"] = args.topologyBudget
+    if args.numCores > 1:
+        extra["numCores"] = args.numCores
 
     rows = []
     for n in sizes:
@@ -142,7 +148,7 @@ def main():
                       extra_flags=extra)
         res.update({"mode": "full" if args.full else "fast",
                     "seed": args.seed, "mut_rate": args.mutRate,
-                    "ts": time.time()})
+                    "flags": extra, "ts": time.time()})
         rows.append(res)
         with open(results_path, "a") as f:
             f.write(json.dumps(res) + "\n")
