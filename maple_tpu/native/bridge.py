@@ -155,6 +155,8 @@ def _load():
     lib.engine_set_search_budget.argtypes = [C.c_void_p, C.c_int64]
     lib.engine_set_spr_budget.restype = None
     lib.engine_set_spr_budget.argtypes = [C.c_void_p, C.c_int64]
+    lib.engine_set_threads.restype = None
+    lib.engine_set_threads.argtypes = [C.c_void_p, C.c_int]
     lib.engine_import_ndesc0.restype = None
     lib.engine_import_ndesc0.argtypes = [C.c_void_p, p(C.c_int32)]
     lib.engine_export_ndesc0.restype = None

@@ -727,6 +727,8 @@ class NativeSession:
         self._last_root = root
         if self.h is not None and rt.cfg.topologyBudget:
             self.lib.engine_set_spr_budget(self.h, rt.cfg.topologyBudget)
+        if self.h is not None and rt.cfg.numCores > 1:
+            self.lib.engine_set_threads(self.h, rt.cfg.numCores)
 
     # -- scalar phases -------------------------------------------------
     def _sync(self):
@@ -991,6 +993,8 @@ def run_native_recalculate(rt, root) -> bool:
     if h is None:
         return False
     lib = rt.kern.store.lib
+    if rt.cfg.numCores > 1:
+        lib.engine_set_threads(h, rt.cfg.numCores)
     rc = lib.engine_recalculate(h)
     if rc != 0:
         msg = lib.engine_error(h).decode()

@@ -3020,6 +3020,9 @@ struct Engine {
     // neighborhood where SPR moves actually land; 0 = exact reference
     // stop rules only.
     int64_t spr_budget = 0;
+    // Phase-parallel execution width for full-tree recomputes
+    // (engine_set_threads; the host passes --numCores).  1 = serial.
+    int exec_threads = 1;
 
     int add_node() {
         up.push_back(-1); c0.push_back(-1); c1.push_back(-1);
@@ -3095,7 +3098,7 @@ static int64_t E_merge(Engine *E, int64_t v1, double bl1, bool t1,
     double lk;
     int rc = merge_vectors(*s, s->v(v1), bl1, t1, s->v(v2), bl2, t2,
                            false, updown, 0, 0, s->v(id), &lk);
-    if (rc != 0) { s->free_slots.push_back(id); return -1; }
+    if (rc != 0) { s->free_slot(id); return -1; }  // locked: worker-reachable
     E->own(id);
     return id;
 }
@@ -3107,7 +3110,7 @@ static int64_t E_merge_lk(Engine *E, int64_t v1, double bl1, bool t1,
     int64_t id = s->alloc();
     int rc = merge_vectors(*s, s->v(v1), bl1, t1, s->v(v2), bl2, t2,
                            true, false, nm1, nm2, s->v(id), lk_out);
-    if (rc != 0) { s->free_slots.push_back(id); return -1; }
+    if (rc != 0) { s->free_slot(id); return -1; }  // locked: worker-reachable
     s->finish(id);
     E->own(id);
     return id;
@@ -5815,6 +5818,237 @@ static int E_recalculate(Engine *E) {
     return 0;
 }
 
+// ---- phase-parallel full recompute ---------------------------------
+// Partition the tree into disjoint frontier subtrees of roughly equal
+// size; worker threads recompute within subtrees while the main thread
+// handles the interior.  Every recomputed vector is a pure function of
+// finalized inputs (tip vectors, dist, muts, and — for the upper pass —
+// uppers of already-processed ancestors), so the result is
+// byte-identical to the serial pass.  The serial pass's rare repair
+// conditions (inconsistent merges needing branch-length surgery) are
+// order-dependent and mutate shared state (dist, nDesc0), so any such
+// condition bails the whole call out to the serial path, which reruns
+// from scratch — safe because the happy path mutates none of its own
+// inputs (the recompute is idempotent).
+
+// post-order lower recompute below `top`; masked nodes (and tips) are
+// treated as leaves (their lower vectors are already final).  Returns
+// false when a repair condition was hit (bail set).
+static bool E_recalc_lowers_nr(Engine *E, int top,
+                               const std::vector<char> *mask,
+                               std::atomic<bool> *bail) {
+    auto blocked = [&](int n) {
+        return E->c0[n] < 0 || (mask && (*mask)[n]);
+    };
+    if (blocked(top)) return true;
+    int node = top, last = -1, dir = 0;
+    while (true) {
+        if (bail->load(std::memory_order_relaxed)) return false;
+        if (dir == 0) {
+            if (!blocked(node)) { node = E->c0[node]; continue; }
+            last = node;
+            node = E->up[node];
+            dir = 1;
+        } else if (last == E->c0[node]) {
+            node = E->c1[node];
+            dir = 0;
+        } else {
+            int cc0 = E->c0[node], cc1 = E->c1[node];
+            bool t0 = E->is_tip(cc0), t1 = E->is_tip(cc1);
+            int64_t v0 = E_pass_up(E, E->pv[cc0], cc0);
+            int64_t v1 = E_pass_up(E, E->pv[cc1], cc1);
+            int64_t nl = E_merge(E, v0, E->dist[cc0], t0, v1, E->dist[cc1],
+                                 t1, false);
+            if (nl < 0) {  // zero-dist inconsistency: serial repair path
+                bail->store(true);
+                return false;
+            }
+            E->install(&E->pv[node], nl);
+            E_shorten(E, E->pv[node]);
+            if (node == top) return true;
+            last = node;
+            node = E->up[node];
+            dir = 1;
+        }
+    }
+}
+
+// pre-order upper/total recompute from `top` (inclusive); masked nodes
+// are neither processed nor descended into (their subtree's worker
+// handles them).  Requires upR/upL of up[top] to be final.
+static bool E_recalc_uppers_nr(Engine *E, int top,
+                               const std::vector<char> *mask,
+                               std::atomic<bool> *bail) {
+    int node = top, last = -1, dir = 0;
+    while (true) {
+        if (bail->load(std::memory_order_relaxed)) return false;
+        if (dir == 0) {
+            if (mask && (*mask)[node]) {
+                if (node == top) return true;
+                last = node;
+                node = E->up[node];
+                dir = 1;
+                continue;
+            }
+            int cn = E->child_index(node);
+            int64_t vect_up = cn == 0 ? E->upR[E->up[node]]
+                                      : E->upL[E->up[node]];
+            vect_up = E_pass_down(E, vect_up, node);
+            double dn = E->dist[node];
+            if (dn != 0.0) {
+                int64_t nt = E_merge(E, vect_up, dn / 2, false,
+                                     E->pv[node], dn / 2, E->is_tip(node),
+                                     true);
+                if (nt >= 0) E_shorten(E, nt);
+                E->install(&E->totUp[node], nt);
+            } else {
+                E->install(&E->totUp[node], -1);
+            }
+            if (E->c0[node] >= 0) {
+                int cc0 = E->c0[node], cc1 = E->c1[node];
+                bool t0 = E->is_tip(cc0), t1 = E->is_tip(cc1);
+                int64_t v0 = E_pass_up(E, E->pv[cc0], cc0);
+                int64_t v1 = E_pass_up(E, E->pv[cc1], cc1);
+                int64_t nur = E_merge(E, vect_up, dn, false, v1,
+                                      E->dist[cc1], t1, true);
+                if (nur < 0) { bail->store(true); return false; }
+                E_shorten(E, nur);
+                E->install(&E->upR[node], nur);
+                int64_t nul = E_merge(E, vect_up, dn, false, v0,
+                                      E->dist[cc0], t0, true);
+                if (nul < 0) { bail->store(true); return false; }
+                E_shorten(E, nul);
+                E->install(&E->upL[node], nul);
+                node = E->c0[node];
+                continue;
+            }
+            if (node == top) return true;
+            last = node;
+            node = E->up[node];
+            dir = 1;
+        } else if (last == E->c0[node]) {
+            node = E->c1[node];
+            dir = 0;
+        } else {
+            if (node == top) return true;
+            last = node;
+            node = E->up[node];
+            dir = 1;
+        }
+    }
+}
+
+static int E_recalculate_parallel(Engine *E) {
+    int T = E->exec_threads;
+    size_t n = E->up.size();
+    const char *env = getenv("MAPLE_PAR_RECALC_MIN");
+    size_t min_n = env ? (size_t)atoll(env) : 20000;
+    int root = E->root;
+    if (T < 2 || n < min_n || E->S->tags_active || E->c0[root] < 0)
+        return E_recalculate(E);
+    // subtree sizes (post-order over live nodes only)
+    std::vector<int32_t> sz(n, 1);
+    {
+        int node = root, last = -1, dir = 0;
+        while (node >= 0) {
+            if (dir == 0) {
+                if (E->c0[node] >= 0) { node = E->c0[node]; continue; }
+                last = node;
+                node = E->up[node];
+                dir = 1;
+            } else if (last == E->c0[node]) {
+                node = E->c1[node];
+                dir = 0;
+            } else {
+                sz[node] = 1 + sz[E->c0[node]] + sz[E->c1[node]];
+                last = node;
+                node = E->up[node];
+                dir = 1;
+            }
+        }
+    }
+    int64_t target = std::max<int64_t>(256, (int64_t)sz[root] / (T * 8));
+    std::vector<char> mask(n, 0);
+    std::vector<int32_t> frontier;
+    {
+        std::vector<int32_t> stack = {root};
+        while (!stack.empty()) {
+            int v = stack.back();
+            stack.pop_back();
+            if (v != root && (E->c0[v] < 0 || sz[v] <= target)) {
+                mask[v] = 1;
+                frontier.push_back(v);
+            } else if (E->c0[v] >= 0) {
+                stack.push_back(E->c0[v]);
+                stack.push_back(E->c1[v]);
+            }
+        }
+        // largest subtrees first: better load balance
+        std::sort(frontier.begin(), frontier.end(),
+                  [&](int32_t a, int32_t b) { return sz[a] > sz[b]; });
+    }
+    if (getenv("MAPLE_DEBUG_RECALC"))
+        fprintf(stderr, "PAR_RECALC n=%zu frontier=%zu threads=%d\n",
+                n, frontier.size(), T);
+    std::atomic<bool> bail(false);
+    std::atomic<size_t> next(0);
+    auto run_workers = [&](void (*fn)(Engine *, int,
+                                      const std::vector<char> *,
+                                      std::atomic<bool> *)) {
+        next.store(0);
+        std::vector<std::thread> ws;
+        ws.reserve(T);
+        for (int t = 0; t < T; t++)
+            ws.emplace_back([&, fn] {
+                std::unordered_set<int64_t> my_owned;
+                Engine::tl_owned = &my_owned;
+                size_t i;
+                while ((i = next.fetch_add(1)) < frontier.size()
+                       && !bail.load(std::memory_order_relaxed))
+                    fn(E, (int)frontier[i], nullptr, &bail);
+                // replaced tree vectors land in the worker's owned set
+                // via install(); reclaim them here
+                for (int64_t id : my_owned) E->S->v(id).clear();
+                {
+                    std::lock_guard<std::mutex> g(E->S->slot_mu);
+                    for (int64_t id : my_owned)
+                        E->S->free_slots.push_back(id);
+                }
+                Engine::tl_owned = nullptr;
+            });
+        for (auto &w : ws) w.join();
+    };
+    // pass 1: frontier lowers in parallel, then the interior serially
+    run_workers([](Engine *e, int f, const std::vector<char> *m,
+                   std::atomic<bool> *b) { E_recalc_lowers_nr(e, f, m, b); });
+    if (!bail.load()) E_recalc_lowers_nr(E, root, &mask, &bail);
+    // pass 2: root vectors + interior uppers serially (top-down deps),
+    // then frontier subtrees in parallel
+    if (!bail.load()) {
+        int rc0 = E->c0[root], rc1 = E->c1[root];
+        E->install(&E->upR[root],
+                   E_root_vector(E, E_pass_up(E, E->pv[rc1], rc1),
+                                 E->dist[rc1], E->is_tip(rc1), root));
+        E->install(&E->upL[root],
+                   E_root_vector(E, E_pass_up(E, E->pv[rc0], rc0),
+                                 E->dist[rc0], E->is_tip(rc0), root));
+        if (!mask[rc0]) E_recalc_uppers_nr(E, rc0, &mask, &bail);
+        if (!bail.load() && !mask[rc1])
+            E_recalc_uppers_nr(E, rc1, &mask, &bail);
+    }
+    if (!bail.load())
+        run_workers([](Engine *e, int f, const std::vector<char> *m,
+                       std::atomic<bool> *b) {
+            E_recalc_uppers_nr(e, f, m, b);
+        });
+    if (bail.load()) {
+        // a repair condition was hit somewhere: rerun the exact serial
+        // pass (which applies repairs in serial order) from scratch
+        return E_recalculate(E);
+    }
+    return 0;
+}
+
 // Full-tree log-likelihood: post-order merge LKs + root contribution
 // (partials.calculate_tree_likelihood; reference :9721-9779, no-HnZ).
 static int E_tree_lk(Engine *E, double *out) {
@@ -5845,7 +6079,7 @@ static int E_tree_lk(Engine *E, double *out) {
                                    (int)E->minorSeqs[cc1].size(),
                                    s->v(id), &lk);
             if (rc != 0) {
-                s->free_slots.push_back(id);
+                s->free_slot(id);
                 E->error = "impossible merge in tree likelihood";
                 return -1;
             }
@@ -6053,7 +6287,7 @@ static int E_blen_sweep(Engine *E, bool fast_pass, int64_t *updates_out) {
                                    tip2, true, false, 0, 0, s->v(id),
                                    &cost);
             if (rc != 0) {
-                s->free_slots.push_back(id);
+                s->free_slot(id);
                 E->error = "impossible merge in root grid search";
                 return -1;
             }
@@ -6238,6 +6472,12 @@ void engine_set_hnz(Engine *E, int mode) {
 // stops (0 restores the exact reference DFS).
 void engine_set_search_budget(Engine *E, int64_t budget) {
     E->search_budget = budget;
+}
+
+// Phase-parallel width for full-tree recomputes (E_recalculate_parallel);
+// the host passes --numCores.  Byte-identical results at any width.
+void engine_set_threads(Engine *E, int n) {
+    E->exec_threads = n > 0 ? n : 1;
 }
 
 // Bound the per-node SPR re-attachment crawl (see Engine::spr_budget).
@@ -6425,8 +6665,9 @@ void engine_import(Engine *E, int32_t n, const int32_t *up,
     E->root = root;
 }
 
-int engine_recalculate(Engine *E) { 
-    int rc = E_recalculate(E);
+int engine_recalculate(Engine *E) {
+    int rc = E->exec_threads > 1 ? E_recalculate_parallel(E)
+                                 : E_recalculate(E);
     E->end_call();
     return rc;
 }

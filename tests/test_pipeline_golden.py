@@ -390,6 +390,30 @@ def test_parallel_spr_hnz_golden(tmp_path):
             assert f.read() == g.read(), part
 
 
+def test_parallel_recalculate_golden(tmp_path, monkeypatch):
+    """--numCores 3 with the engine's phase-parallel full recompute
+    (E_recalculate_parallel) forced on for this tiny tree via
+    MAPLE_PAR_RECALC_MIN: worker threads recompute disjoint frontier
+    subtrees, the main thread the interior.  Every vector is a pure
+    function of finalized inputs, so outputs must be byte-identical to
+    the serial recompute (same par3 golden)."""
+    par = os.path.join(GOLDEN_DIR, "parallel")
+    if not os.path.isfile(os.path.join(par, "par3_tree.tree")):
+        pytest.skip("golden not generated")
+    monkeypatch.setenv("MAPLE_PAR_RECALC_MIN", "8")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE,
+                      inputTree=os.path.join(par, "random_input.tree"),
+                      largeUpdate=True, model="GTR", numCores=3,
+                      output=out, overwrite=True)
+    run_inference(cfg)
+    for part in ("_tree.tree", "_LK.txt", "_subs.txt",
+                 "_round1_tree.tree"):
+        with open(out + part) as f, \
+                open(os.path.join(par, "par3" + part)) as g:
+            assert f.read() == g.read(), part
+
+
 @pytest.mark.parametrize("flag,golden", [
     ({"HnZ": 2}, "example_hnz2"),
     ({"deeperSearchForLongBranches": True}, "example_deeper"),
