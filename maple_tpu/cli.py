@@ -24,6 +24,7 @@ def build_parser() -> argparse.ArgumentParser:
     snake_extras = {
         "device_placement": "devicePlacement",
         "device_pallas": "devicePallas",
+        "device_topology": "deviceTopology",
         "device_warmup": "deviceWarmup",
         "device_batch_size": "deviceBatchSize",
         "use_device_kernels": "useDeviceKernels",
@@ -60,6 +61,7 @@ def main(argv=None):
     rev = {v: k for k, v in {
         "device_placement": "devicePlacement",
         "device_pallas": "devicePallas",
+        "device_topology": "deviceTopology",
         "device_warmup": "deviceWarmup",
         "device_batch_size": "deviceBatchSize",
         "use_device_kernels": "useDeviceKernels",

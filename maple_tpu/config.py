@@ -123,6 +123,7 @@ class MapleConfig:
     use_device_kernels: bool = True  # allow JAX batched scoring
     device_placement: bool = False   # device-batched initial placement
     device_pallas: bool = False      # score with the Pallas kernel (ops/pallas_append)
+    device_topology: bool = False    # device-screened SPR proposals (parallel/batch_spr)
     device_warmup: int = 256         # samples placed serially before batching
     device_batch_size: int = 64      # samples per device-scored batch
     kernel_backend: str = "native"   # "native" (C++ kernels) or "python"

@@ -957,6 +957,7 @@ def native_session_eligible(rt) -> bool:
             and not cfg.estimateMAT
             and not cfg.estimateErrors
             and not cfg.networkOutput
+            and not cfg.device_topology
             and not cfg.debugging
             and not cfg.deeperSearchForLongBranches
             and not cfg.doNotImproveTopology

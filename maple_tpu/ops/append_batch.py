@@ -323,3 +323,30 @@ def grid_append_scores(P: dict, C: dict, blen, tip_c: bool,
         P, C, jnp.asarray(blen, dtype=dtype), bool(tip_c), dm.mut_matrix,
         dm.root_freqs, dm.site_rates, dm.error_rates, dm.global_tot_rate,
         dm.tot_error, dm.using_error_rate)
+
+
+@partial(jax.jit, static_argnames=("uer",))
+def _grid_scores_var_impl(P, C, blens, tips, mm, root_freqs, site_rates,
+                          error_rates, global_tot_rate, tot_error, uer):
+    """All-pairs scores with per-query branch length and tip flag:
+    P fields [N,B1] x C fields [K,B2], blens [K], tips [K] -> [K,N]."""
+    def one(args):
+        Ck, bl, tp = args
+        return _append_scores_impl.__wrapped__(
+            P, Ck, bl, tp, mm, root_freqs, site_rates, error_rates,
+            global_tot_rate, tot_error, uer)
+    return jax.lax.map(one, (C, blens, tips))
+
+
+def grid_append_scores_var(P: dict, C: dict, blens, tips,
+                           dm: DeviceModel):
+    """Scores [K,N]: K packed queries — each carrying its own appending
+    branch length and tip flag (the SPR screen's pruned subtrees keep
+    their current attachment blen; placement queries are always tips at
+    oneMut) — against N candidate vectors."""
+    dtype = dm.mut_matrix.dtype
+    return _grid_scores_var_impl(
+        P, C, jnp.asarray(blens, dtype=dtype),
+        jnp.asarray(tips, dtype=bool), dm.mut_matrix, dm.root_freqs,
+        dm.site_rates, dm.error_rates, dm.global_tot_rate, dm.tot_error,
+        dm.using_error_rate)

@@ -1,0 +1,214 @@
+"""Device-screened SPR proposals (search-parallel on device, apply-serial).
+
+The reference's only SPR parallelism re-runs the serial crawl in forked
+workers (MAPLEv0.7.5.4.py:12283-12316).  The TPU-native equivalent keeps
+the same contract — a read-only proposal search followed by the serial
+re-validated apply (``apply_spr_moves`` -> the exact per-node driver) —
+but replaces the workers' crawls with ONE batched grid screen:
+
+1. every eligible dirty node's pruned-subtree lower vector is translated
+   to the global MAT frame (composition of passGenomeListThroughBranch up
+   the node's mutation chain, reference :3749) and packed as a query,
+2. the device scores all queries against the same anchor pool the batched
+   placer uses (probVectTotUp vectors, global frame) in a handful of XLA
+   calls — each query at its own current branch length and tip flag,
+3. anchors inside the query's own subtree (an SPR move cannot re-attach a
+   subtree below itself) plus the trivial parent/sibling targets are
+   masked host-side via Euler-tour intervals,
+4. a node whose best valid anchor beats its current attachment is
+   proposed; proposals sort ascending by screened improvement and go
+   through the SAME serial re-validated apply as the fork/threaded paths.
+
+Because the apply phase re-runs the exact serial search per proposed node,
+tree correctness never depends on screen precision — only recall.  The
+screen is exhaustive over anchors (it sees global moves the reference's
+outward crawl stops short of) but costs O(dirty-nodes x anchors) scores:
+sized for the device-batched regime, not the 100k+ host regime (there the
+engine's threaded crawl path, engine_spr_pass_parallel, applies).
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..models.hnz import get_hnz
+from ..search.parallel_spr import apply_spr_moves
+from ..search.spr import SprCounters
+
+
+def _euler_intervals(tree, root: int):
+    """Pre-order entry/exit counters: a is inside subtree(q) iff
+    tin[q] <= tin[a] < tout[q]."""
+    n = len(tree.up)
+    tin = np.zeros(n, dtype=np.int64)
+    tout = np.zeros(n, dtype=np.int64)
+    t = 0
+    stack = [(root, False)]
+    while stack:
+        node, done = stack.pop()
+        if done:
+            tout[node] = t
+            continue
+        tin[node] = t
+        t += 1
+        stack.append((node, True))
+        for c in tree.children[node] or ():
+            stack.append((c, False))
+    return tin, tout
+
+
+def _current_attachment_lk(rt, node: int):
+    """The node's current re-attachment score (the serial crawl's
+    best_current_lk, parallel_spr._propose_moves :99-120, incl. the HnZ
+    prior correction)."""
+    tree = rt.tree
+    cfg = rt.cfg
+    dist = tree.dist
+    up = tree.up
+    eff0 = rt.dc.effectivelyNon0BLen
+    parent = up[node]
+    child = tree.child_index(node)
+    vect_up = tree.probVectUpRight[parent] if child == 0 \
+        else tree.probVectUpLeft[parent]
+    if tree.mutations[node]:
+        vect_up = rt.pass_down(vect_up, node)
+    lk = rt.kern.append_prob_node(vect_up, tree.probVect[node],
+                                  tree.is_tip(node), dist[node])
+    if tree.use_hnz:
+        pn0 = up[node]
+        while dist[pn0] <= eff0 and up[pn0] is not None:
+            pn0 = up[pn0]
+        if dist[node] > eff0:
+            lk += get_hnz(cfg.HnZ, tree.nDesc0[pn0]) \
+                - get_hnz(cfg.HnZ, tree.nDesc0[pn0] - 1)
+        else:
+            lk += get_hnz(cfg.HnZ, tree.nDesc0[pn0]) \
+                - (get_hnz(cfg.HnZ, tree.nDesc0[pn0] - tree.nDesc0[node])
+                   + get_hnz(cfg.HnZ, tree.nDesc0[node]))
+    return lk
+
+
+def device_topology_update(rt, root: int, params,
+                           counters: Optional[SprCounters] = None,
+                           mesh=None, query_chunk: int = 16):
+    """One device-screened search / serial-apply SPR pass.  Returns
+    (new_root_or_None, cumulative_improvement) like the fork path.
+
+    SPRTA/network annotation modes need the crawl's per-candidate
+    posteriors and stay on the fork/threaded paths (the dispatcher gates
+    them)."""
+    import jax.numpy as jnp
+
+    from ..ops import pack as OP
+    from ..ops.append_batch import (device_model_from, to_device,
+                                    grid_append_scores_var)
+    from ..runtime.tree import set_all_dirty
+    from .batch_placement import DeviceTreePool
+
+    if counters is None:
+        counters = SprCounters()
+    tree = rt.tree
+    cfg = rt.cfg
+    strict, fails, threshold, placement_thresh = params
+    t0 = time.time()
+
+    pool = DeviceTreePool(rt, mesh=mesh)
+    n_anchors = pool.refresh()
+    if n_anchors == 0:
+        return None, 0.0
+
+    # eligible queries: the serial crawl's own gates
+    q_nodes, q_vecs, q_blens, q_tips, q_base = [], [], [], [], []
+    chains = {}
+    stack = [root]
+    chains[root] = (root, None) if tree.mutations[root] else None
+    while stack:
+        n = stack.pop()
+        for c in tree.children[n] or ():
+            chains[c] = (c, chains[n]) if tree.mutations[c] else chains[n]
+            stack.append(c)
+        if tree.up[n] is None or not tree.dirty[n] \
+                or tree.replacements[n] > cfg.maxReplacements:
+            continue
+        base = _current_attachment_lk(rt, n)
+        if not (base < placement_thresh or tree.dist[n] or tree.use_hnz) \
+                or cfg.doNotImproveTopology:
+            continue
+        # pruned-subtree lower vector in the global frame: pass up the
+        # node's own mutation chain (innermost first)
+        v = tree.probVect[n]
+        link = chains.get(n)
+        while link is not None:
+            v = rt.pass_up(v, link[0])
+            link = link[1]
+        q_nodes.append(n)
+        q_vecs.append(rt.kern.export(v))
+        q_blens.append(tree.dist[n])
+        q_tips.append(tree.is_tip(n))
+        q_base.append(base)
+    if not q_nodes:
+        return None, 0.0
+
+    dm = device_model_from(rt.model, rt.dc)
+    q_budget = 256
+    while any(len(q) > q_budget for q in q_vecs):
+        q_budget *= 2
+    packed_q = OP.pack_genome_lists(q_vecs, rt.refd.lRef, q_budget,
+                                    rt.model.using_error_rate,
+                                    dtype=np.float32)
+    Q = to_device(packed_q)
+    blens = np.asarray(q_blens, dtype=np.float32)
+    tips = np.asarray(q_tips, dtype=bool)
+    K = len(q_nodes)
+    qc = query_chunk
+    score_rows = []
+    for s in range(0, K, qc):
+        sub = {k: v[s:s + qc] for k, v in Q.items()}
+        n_sub = sub["types"].shape[0]
+        bl = blens[s:s + qc]
+        tp = tips[s:s + qc]
+        if n_sub < qc:  # pad the tail chunk to the compiled shape
+            sub = {k: jnp.concatenate(
+                [v, jnp.repeat(v[:1], qc - n_sub, axis=0)], axis=0)
+                for k, v in sub.items()}
+            bl = np.concatenate([bl, np.repeat(bl[:1], qc - n_sub)])
+            tp = np.concatenate([tp, np.repeat(tp[:1], qc - n_sub)])
+        if mesh is not None:
+            from .mesh import spr_screen_scores
+            out = np.asarray(spr_screen_scores(mesh, pool.pool, sub, bl,
+                                               tp, dm))
+        else:
+            out = np.asarray(grid_append_scores_var(pool.pool, sub, bl,
+                                                    tp, dm))
+        score_rows.append(out[:n_sub])
+    scores = np.concatenate(score_rows, axis=0)[:, :n_anchors]  # [K, N]
+
+    # host masking: own subtree, parent, sibling
+    tin, tout = _euler_intervals(tree, root)
+    anchor_ids = np.asarray(pool.anchor_ids)
+    a_tin = tin[anchor_ids]
+    proposals = []
+    for k, node in enumerate(q_nodes):
+        invalid = (a_tin >= tin[node]) & (a_tin < tout[node])
+        parent = tree.up[node]
+        sibling = tree.children[parent][1 - tree.child_index(node)]
+        invalid |= (anchor_ids == parent) | (anchor_ids == sibling)
+        row = np.where(invalid, -np.inf, scores[k])
+        j = int(np.argmax(row))
+        if not np.isfinite(row[j]):
+            continue
+        improvement = float(row[j]) - q_base[k]
+        # the serial acceptance test's form (screened, f32): re-validated
+        # exactly by the serial apply below
+        if float(row[j]) + placement_thresh > q_base[k] \
+                and improvement > 0.0:
+            proposals.append((node, int(anchor_ids[j]), improvement))
+
+    proposals.sort(key=lambda p: p[2])
+    print(f"Device SPR screen: {K} queries x {n_anchors} anchors -> "
+          f"{len(proposals)} proposals in {time.time() - t0:.2f}s",
+          flush=True)
+    set_all_dirty(tree, root, dirtiness=False)
+    return apply_spr_moves(rt, proposals, params, counters)

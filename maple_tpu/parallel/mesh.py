@@ -122,6 +122,34 @@ def placement_scores(mesh: Mesh, pool: dict, queries: dict, blen,
             dm.global_tot_rate, dm.tot_error, dm.using_error_rate)
 
 
+@partial(jax.jit, static_argnames=("uer",))
+def _spr_screen_impl(pool, queries, blens, tips, mm, root_freqs,
+                     site_rates, error_rates, global_tot_rate, tot_error,
+                     uer):
+    def score_one(args):
+        q, bl, tp = args
+        return _append_scores_impl(
+            pool, q, bl, tp, mm, root_freqs, site_rates, error_rates,
+            global_tot_rate, tot_error, uer)
+
+    return jax.lax.map(score_one, (queries, blens, tips))  # [K, N]
+
+
+def spr_screen_scores(mesh: Mesh, pool: dict, queries: dict, blens, tips,
+                      dm: DeviceModel):
+    """Sharded (dp x cand) SPR screen scoring: K pruned-subtree queries
+    (each at its own branch length / tip flag, dp-sharded) against the
+    anchor pool (cand-sharded); returns the full [K, N] matrix for the
+    host's subtree masking + serial apply (parallel/batch_spr.py)."""
+    with mesh:
+        dtype = dm.mut_matrix.dtype
+        return _spr_screen_impl(
+            pool, queries, jnp.asarray(blens, dtype=dtype),
+            jnp.asarray(tips, dtype=bool), dm.mut_matrix, dm.root_freqs,
+            dm.site_rates, dm.error_rates, dm.global_tot_rate,
+            dm.tot_error, dm.using_error_rate)
+
+
 def placement_scores_pallas(mesh: Mesh, pool: dict, queries: dict, blen,
                             dm: DeviceModel, interpret=None):
     """Sharded (dp x cand) scoring through the Pallas kernel: shard_map

@@ -1364,6 +1364,12 @@ def _parallel_update(run, params, abayes_on):
     cfg = run.cfg
     tree = run.tree
     strict, fails, threshold, placement_thresh = params
+    if cfg.device_topology and not abayes_on and not cfg.networkOutput:
+        # device-screened proposals + the same serial re-validated apply
+        # (parallel/batch_spr.py); SPRTA/network need the crawl's
+        # per-candidate posteriors and fall through to the paths below
+        from ..parallel.batch_spr import device_topology_update
+        return device_topology_update(rt, run.root, params, SprCounters())
     from ..native.engine import native_spr_supported, run_native_spr_parallel
     if native_spr_supported(rt, abayes_on, cfg.networkOutput,
                             cfg.debugging):
@@ -1440,7 +1446,10 @@ def _run_spr_rounds_body(run, rounds, _time):
         rt.recalculate_all(run.root)
         pre_lk = rt.calculate_tree_likelihood(run.root)
         print(f"Likelihood before SPR moves: {pre_lk}", flush=True)
-        parallelize = cfg.numCores > 1
+        # the device screen cannot produce SPRTA posteriors: with SPRTA
+        # requested and numCores 1 the pass stays serial
+        parallelize = cfg.numCores > 1 \
+            or (cfg.device_topology and not abayes_on)
         if parallelize:
             new_root, improvement = _parallel_update(
                 run, (strict, fails, threshold, placement_thresh),
