@@ -4507,6 +4507,8 @@ struct SprWorkerCache {
     std::unordered_map<int, int64_t> tot_up;
 };
 static thread_local SprWorkerCache *tl_spr_cache = nullptr;
+// crawl-visit telemetry (MAPLE_DEBUG_SPR_TIMING progress lines)
+static thread_local int64_t tl_crawl_visits = 0;
 
 static inline int64_t E_tot_up_cached(Engine *E, int t1) {
     if (tl_spr_cache) {
@@ -4661,6 +4663,7 @@ static bool E_find_best_parent_topology(Engine *E, int node, int child,
 
     int64_t since_improve = 0;
     while (!stack.empty()) {
+        tl_crawl_visits++;
         if (E->spr_budget > 0 && since_improve > E->spr_budget) break;
         CrawlItem it = stack.back();
         stack.pop_back();
@@ -6740,6 +6743,10 @@ int engine_spr_pass(Engine *E, int strict_stop, int allowed_fails,
     long topo = 0, blen = 0;
     double total = 0.0;
     int32_t new_root = -1;
+    bool debug_progress = getenv("MAPLE_DEBUG_SPR_TIMING") != nullptr;
+    int64_t searched = 0;
+    tl_crawl_visits = 0;
+    auto t_start = std::chrono::steady_clock::now();
     std::vector<int32_t> stack = {E->root};
     while (!stack.empty()) {
         int n = stack.back();
@@ -6761,6 +6768,14 @@ int engine_spr_pass(Engine *E, int strict_stop, int allowed_fails,
             if (nr >= 0) {
                 new_root = nr;
                 E->root = nr;
+            }
+            if (debug_progress && (++searched & 8191) == 0) {
+                auto el =
+                    std::chrono::duration_cast<std::chrono::milliseconds>(
+                        std::chrono::steady_clock::now() - t_start).count();
+                fprintf(stderr, "SPR_SERIAL searched=%lld visits=%lld "
+                        "el=%lldms\n", (long long)searched,
+                        (long long)tl_crawl_visits, (long long)el);
             }
         }
     }
@@ -6963,6 +6978,9 @@ static void E_spr_propose_core(Engine *E, int core, bool strict_stop,
     SprWorkerCache my_cache;
     Engine::tl_owned = &my_owned;
     tl_spr_cache = &my_cache;
+    tl_crawl_visits = 0;
+    bool debug_progress = getenv("MAPLE_DEBUG_SPR_TIMING") != nullptr;
+    auto t_start = std::chrono::steady_clock::now();
     auto &up = E->up;
     auto &dist = E->dist;
     double eff0 = E->eff0;
@@ -6981,6 +6999,14 @@ static void E_spr_propose_core(Engine *E, int core, bool strict_stop,
             continue;
         if (up[node] < 0) continue;
         (*searched)++;
+        if (debug_progress && (*searched & 8191) == 0) {
+            auto el = std::chrono::duration_cast<std::chrono::milliseconds>(
+                std::chrono::steady_clock::now() - t_start).count();
+            fprintf(stderr, "SPR_PROGRESS core=%d searched=%lld "
+                    "visits=%lld fills=%zu el=%lldms\n", core,
+                    (long long)*searched, (long long)tl_crawl_visits,
+                    my_cache.tot_up.size(), (long long)el);
+        }
         int parent = up[node];
         int child = E->child_index(node);
         int64_t vect_up = child == 0 ? E->upR[parent] : E->upL[parent];
@@ -7093,6 +7119,7 @@ int engine_spr_pass_parallel(Engine *E, int num_cores, int strict_stop,
         E->hnz(2 * max_nd + 4);
     }
     // phase A: read-only proposal search, one thread per core
+    auto t_a = std::chrono::steady_clock::now();
     std::vector<std::vector<SprProposal>> props(num_cores);
     std::vector<int64_t> searched(num_cores, 0);
     {
@@ -7105,6 +7132,7 @@ int engine_spr_pass_parallel(Engine *E, int num_cores, int strict_stop,
                                  &searched[c]);
         for (auto &t : workers) t.join();
     }
+    auto t_b = std::chrono::steady_clock::now();
     std::vector<SprProposal> all;
     for (int c = 0; c < num_cores; c++) {
         searched_out[c] = searched[c];
@@ -7144,6 +7172,17 @@ int engine_spr_pass_parallel(Engine *E, int num_cores, int strict_stop,
     *improvement_out = total;
     *topo_updates_out = topo;
     *blen_updates_out = blen;
+    if (getenv("MAPLE_DEBUG_SPR_TIMING")) {
+        auto t_c = std::chrono::steady_clock::now();
+        auto ms = [](auto a, auto b) {
+            return std::chrono::duration_cast<std::chrono::milliseconds>(
+                       b - a).count();
+        };
+        fprintf(stderr, "SPR_TIMING search=%lldms apply=%lldms "
+                "proposals=%zu vec_count=%zu free=%zu\n",
+                (long long)ms(t_a, t_b), (long long)ms(t_b, t_c),
+                all.size(), E->S->vec_count, E->S->free_slots.size());
+    }
     return 0;
 }
 
