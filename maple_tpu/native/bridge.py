@@ -139,6 +139,9 @@ def _load():
         p(C.c_int32), p(C.c_int32), C.c_int32]
     lib.engine_recalculate.restype = C.c_int
     lib.engine_recalculate.argtypes = [C.c_void_p]
+    lib.engine_recalculate_err.restype = C.c_int
+    lib.engine_recalculate_err.argtypes = [C.c_void_p, p(C.c_int32),
+                                           p(C.c_int32), p(d), C.c_int64]
     lib.engine_tree_lk.restype = C.c_int
     lib.engine_tree_lk.argtypes = [C.c_void_p, p(d)]
     lib.engine_blen_sweep.restype = C.c_int

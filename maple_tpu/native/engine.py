@@ -21,6 +21,7 @@ and export the result back.
 from __future__ import annotations
 
 import ctypes as C
+import os
 
 import numpy as np
 
@@ -986,9 +987,7 @@ def run_native_recalculate(rt, root) -> bool:
     if ses is not None:
         ses.recalculate()
         return True
-    if not native_phase_supported(rt) or rt.model.using_error_rate:
-        # error-model recomputes interleave tip refreshes with merges
-        # (shared-ambiguity drift) and stay on the python driver
+    if not native_phase_supported(rt):
         return False
     h = _import_engine(rt, root, transfer=True)
     if h is None:
@@ -996,7 +995,33 @@ def run_native_recalculate(rt, root) -> bool:
     lib = rt.kern.store.lib
     if rt.cfg.numCores > 1:
         lib.engine_set_threads(h, rt.cfg.numCores)
-    rc = lib.engine_recalculate(h)
+    if rt.model.using_error_rate and not rt.cfg.onlyNambiguities:
+        if os.environ.get("MAPLE_NO_NATIVE_ERR_RECALC"):
+            _export_engine(rt, h)
+            lib.engine_free(h)
+            return False
+        # replay the per-tip shared-list refresh schedule inside the
+        # engine's post-order (engine_recalculate_err).  Collection runs
+        # after the import (which can itself bail on aliased handles);
+        # its dry scan precedes any host mutation, so a None return can
+        # still hand the untouched state back to the python driver.
+        patches = rt.collect_error_patches(root)
+        if patches is None:
+            _export_engine(rt, h)
+            lib.engine_free(h)
+            return False
+        n = len(patches)
+        nodes = np.asarray([p[0] for p in patches], np.int32)
+        tags = np.asarray([p[1] for p in patches], np.int32)
+        vals = np.asarray([p[2] for p in patches],
+                          np.float64).reshape(n, 4) if n else \
+            np.zeros((0, 4), np.float64)
+        rc = lib.engine_recalculate_err(
+            h, nodes.ctypes.data_as(C.POINTER(C.c_int32)),
+            tags.ctypes.data_as(C.POINTER(C.c_int32)),
+            vals.ctypes.data_as(C.POINTER(C.c_double)), n)
+    else:
+        rc = lib.engine_recalculate(h)
     if rc != 0:
         msg = lib.engine_error(h).decode()
         lib.engine_free(h)

@@ -10,6 +10,7 @@ mergeMutationLists :2187-2233), and full-tree likelihood
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import List, Optional
 
@@ -247,6 +248,78 @@ class TreeRuntime:
         self.update_terminal_vector_errors(
             tuples, len(self.tree.minorSequences[node]))
         self.tree.probVect[node] = self.kern.import_tuples(tuples)
+
+    def collect_error_patches(self, root: int):
+        """Pre-compute the error-refresh patch schedule for an engine-side
+        full recompute (native/maple_native.cpp engine_recalculate_err).
+
+        The per-tip refresh values depend only on the error rates and each
+        O entry's position — not on tree state — so the whole pass-1
+        refresh sequence (reference :3968-4006, invoked per tip during
+        reCalculateAllGenomeLists) can be replayed inside the engine at
+        each tip's exact post-order position.  Shared lists may be written
+        by several tips with DIFFERENT values (num_minor_seqs changes the
+        written probabilities; last write wins mid-pass), so every
+        changing write is recorded in order.  Host tuple state is mutated
+        exactly as the python driver would.
+
+        Returns a list of (node, tag, [4 probs]) in pass-1 post-order, or
+        None when some tip lacks tuple authority or a touched list is
+        untagged (caller stays on the python path).  The dry scan runs
+        first so a None return leaves host state untouched."""
+        tree = self.tree
+        children = tree.children
+        up = tree.up
+
+        def leaves_postorder():
+            node, last, direction = root, None, 0
+            while node is not None:
+                if direction == 0:
+                    if children[node]:
+                        node = children[node][0]
+                        continue
+                    yield node
+                    last = node
+                    node = up[node]
+                    direction = 1
+                elif last == children[node][0]:
+                    node = children[node][1]
+                    direction = 0
+                else:
+                    last = node
+                    node = up[node]
+                    direction = 1
+
+        # dry scan: no mutation until every tip is known translatable
+        for node in leaves_postorder():
+            if tree.probVect[node] is None:
+                continue
+            tup = self.tip_tuples.get(node)
+            if tup is None:
+                return None
+            for e in tup:
+                if e[0] == TYPE_O and isinstance(e[-1], list) \
+                        and self.alias_tags.get(id(e[-1])) is None:
+                    return None
+        patches = []
+        for node in leaves_postorder():
+            if tree.probVect[node] is None:
+                continue
+            tup = self.tip_tuples[node]
+            touched = []
+            seen_ids = set()
+            for e in tup:
+                if e[0] == TYPE_O and isinstance(e[-1], list) \
+                        and id(e[-1]) not in seen_ids:
+                    seen_ids.add(id(e[-1]))
+                    touched.append((e[-1], tuple(e[-1])))
+            self.update_terminal_vector_errors(
+                tup, len(tree.minorSequences[node]))
+            for lst, before in touched:
+                if tuple(lst) == before:
+                    continue
+                patches.append((node, self.alias_tags[id(lst)], list(lst)))
+        return patches
 
     def adopt_tip_pending(self, handle):
         """Tag a new tip vector before it (and vectors derived from it)
@@ -928,6 +1001,28 @@ class TreeRuntime:
                                          first_setup)
         finally:
             self.add_phase_time("recalculate", time.time() - t0)
+            if os.environ.get("MAPLE_DEBUG_RECALC_LK") and not first_setup:
+                self._recalc_calls = getattr(self, "_recalc_calls", 0) + 1
+                import sys as _sys
+                print(f"RECALC_LK #{self._recalc_calls} "
+                      f"{self._calculate_tree_likelihood(root, False)!r}",
+                      file=_sys.stderr)
+                dump = os.environ.get("MAPLE_DEBUG_RECALC_DUMP")
+                if dump:
+                    n_call, path = dump.split(":", 1)
+                    if int(n_call) == self._recalc_calls:
+                        with open(path, "w") as fh:
+                            t = self.tree
+                            for i in range(len(t.up)):
+                                for nm, arr in (
+                                        ("pv", t.probVect),
+                                        ("upR", t.probVectUpRight),
+                                        ("upL", t.probVectUpLeft),
+                                        ("tot", t.probVectTotUp)):
+                                    v = arr[i]
+                                    fh.write(f"{i} {nm} " + (
+                                        "None" if v is None else
+                                        repr(self.kern.export(v))) + "\n")
 
     def _recalculate_all(self, root, count_nodes, count_pseudo_counts,
                          pseudo_mut_counts, data, names, first_setup):

@@ -3023,6 +3023,16 @@ struct Engine {
     // Phase-parallel execution width for full-tree recomputes
     // (engine_set_threads; the host passes --numCores).  1 = serial.
     int exec_threads = 1;
+    // Error-refresh patch schedule for engine_recalculate_err: the host
+    // pre-computes every shared-ambiguity-list write the reference's
+    // per-tip refresh would perform (updateProbVectTerminalNode
+    // :3968-4006 — values depend only on error rates, not tree state)
+    // and the engine replays each at its exact post-order position, so
+    // mid-recompute merges read the same interleaved list states as the
+    // python driver.  node -> [begin, end) into err_tags/err_vals.
+    std::unordered_map<int32_t, std::pair<int64_t, int64_t>> err_patches;
+    const int32_t *err_tags = nullptr;
+    const double *err_vals = nullptr;
 
     int add_node() {
         up.push_back(-1); c0.push_back(-1); c1.push_back(-1);
@@ -3128,7 +3138,13 @@ static double E_blen(Engine *E, int64_t vP, int64_t vC, bool from_tip) {
 }
 
 static void E_shorten(Engine *E, int64_t id) {
-    if (id >= 0) shorten_vec(*E->S, E->S->v(id));
+    if (id >= 0) {
+        shorten_vec(*E->S, E->S->v(id));
+        // re-register tagged entries: shorten shifts entry indices, so
+        // the alias-tag refs would go stale and store_patch_tag would
+        // silently drop them (k_shorten does the same; no-op untagged)
+        E->S->finish(id);
+    }
 }
 
 static int64_t E_pass(Engine *E, int64_t v,
@@ -5666,6 +5682,17 @@ static int E_recalculate(Engine *E) {
     while (node >= 0) {
         if (dir == 0) {
             if (E->c0[node] >= 0) { node = E->c0[node]; continue; }
+            if (!E->err_patches.empty()) {
+                // error-model refresh of this tip's shared lists, replayed
+                // at the reference's exact post-order position (see
+                // Engine::err_patches)
+                auto itp = E->err_patches.find(node);
+                if (itp != E->err_patches.end())
+                    for (int64_t i = itp->second.first;
+                         i < itp->second.second; i++)
+                        store_patch_tag(E->S, E->err_tags[i],
+                                        E->err_vals + 4 * i);
+            }
             last = node;
             node = E->up[node];
             dir = 1;
@@ -6671,6 +6698,29 @@ void engine_import(Engine *E, int32_t n, const int32_t *up,
 int engine_recalculate(Engine *E) {
     int rc = E->exec_threads > 1 ? E_recalculate_parallel(E)
                                  : E_recalculate(E);
+    E->end_call();
+    return rc;
+}
+
+// Full recompute with the error model active: replay the host's
+// pre-computed shared-ambiguity-list refresh schedule (n patches of
+// (node, tag, 4 probs), in pass-1 post-order) at each tip's visit.
+// Serial only — patch timing is ordering-sensitive by design.
+int engine_recalculate_err(Engine *E, const int32_t *p_nodes,
+                           const int32_t *p_tags, const double *p_vals,
+                           int64_t n) {
+    E->err_patches.clear();
+    for (int64_t i = 0; i < n; i++) {
+        auto &r = E->err_patches.emplace(
+            p_nodes[i], std::make_pair(i, i)).first->second;
+        r.second = i + 1;  // patches arrive contiguous per node
+    }
+    E->err_tags = p_tags;
+    E->err_vals = p_vals;
+    int rc = E_recalculate(E);
+    E->err_patches.clear();
+    E->err_tags = nullptr;
+    E->err_vals = nullptr;
     E->end_call();
     return rc;
 }
