@@ -145,6 +145,14 @@ class MapleConfig:
     # the topology phase, complementing placementBudget.  Requires the
     # native SPR pass; quality pinned by tests/test_beam_placement.py.
     topologyBudget: int = 0
+    # Root-search budget: findBestRoot's crawl runs best-first (on path
+    # score) and stops after this many consecutive non-improving scored
+    # re-rooting candidates (0 = reference-exact DFS stop rules).  On
+    # flat pandemic-scale trees the exact crawl visits essentially every
+    # internal node (measured ~98% at 20k samples) — the root-search twin
+    # of placementBudget/topologyBudget.  Requires the native engine;
+    # quality pinned by tests/test_beam_placement.py.
+    rootSearchBudget: int = 0
     # Time-aware SPR scoring (--datesFile runs only): carry sampling-time
     # likelihood terms through the SPR crawl and candidate re-optimization
     # so topology decisions weigh time as well as genetic likelihood —

@@ -158,6 +158,8 @@ def _load():
     lib.engine_set_search_budget.argtypes = [C.c_void_p, C.c_int64]
     lib.engine_set_spr_budget.restype = None
     lib.engine_set_spr_budget.argtypes = [C.c_void_p, C.c_int64]
+    lib.engine_set_root_budget.restype = None
+    lib.engine_set_root_budget.argtypes = [C.c_void_p, C.c_int64]
     lib.engine_set_threads.restype = None
     lib.engine_set_threads.argtypes = [C.c_void_p, C.c_int]
     lib.engine_import_ndesc0.restype = None

@@ -728,6 +728,8 @@ class NativeSession:
         self._last_root = root
         if self.h is not None and rt.cfg.topologyBudget:
             self.lib.engine_set_spr_budget(self.h, rt.cfg.topologyBudget)
+        if self.h is not None and rt.cfg.rootSearchBudget:
+            self.lib.engine_set_root_budget(self.h, rt.cfg.rootSearchBudget)
         if self.h is not None and rt.cfg.numCores > 1:
             self.lib.engine_set_threads(self.h, rt.cfg.numCores)
 
@@ -1094,6 +1096,8 @@ def run_native_root_search(rt, root, strict_stop, allowed_fails,
     if h is None:
         return None
     lib = rt.kern.store.lib
+    if rt.cfg.rootSearchBudget:
+        lib.engine_set_root_budget(h, rt.cfg.rootSearchBudget)
     n = len(rt.tree.up)
     best_node = np.zeros(1, np.int32)
     best_lk = np.zeros(1, np.float64)

@@ -50,7 +50,7 @@ _F_P0, _F_P1, _F_P2, _F_P3 = 7, 8, 9, 10
 _F_END, _F_PREV, _F_RATE, _F_EPS = 11, 12, 13, 14
 _NFIELDS = 16  # padded to a power of two
 
-_TILE_N = 8  # candidates per program (f32 sublane count)
+_TILE_N = 8  # default candidates per program (f32 sublane count)
 
 
 def _stack_fields(X, site_rates, error_rates, axis):
@@ -76,12 +76,15 @@ def _stack_fields(X, site_rates, error_rates, axis):
     return jnp.stack(fields, axis=axis)
 
 
-def _append_kernel(Pref, Cref, mmref, rfref, prmref, oref, *, uer, B2):
-    """One program: an (_TILE_N, B1) candidate tile x all B2 query
-    entries."""
-    dtype = Pref.dtype
-    fP = lambda i: Pref[:, i, :]                     # (TN, B1) planes
+def _kernel_common(fP, Cref, mmref, rfref, prmref, *, uer, B2):
+    """Shared kernel body: accumulate per-pair log factors over all B2
+    query entries against the P planes produced by ``fP`` (any 2D plane
+    shape — (tile_n, B1) in the entry-lane layout, (B1, 128) in the
+    candidate-lane layout).  Returns the per-pair log-factor accumulator
+    (same shape as the planes) plus the scalar params needed by the
+    caller's reduction."""
     cP = fP(_F_TYPE)
+    dtype = cP.dtype
     valP = fP(_F_VAL)
     blP1 = fP(_F_BL1)
     blP2 = fP(_F_BL2)
@@ -232,16 +235,42 @@ def _append_kernel(Pref, Cref, mmref, rfref, prmref, oref, *, uer, B2):
         return acc + jax.lax.cond(active, contribution, lambda: zero)
 
     acc = jax.lax.fori_loop(0, B2, body, zero)
+    return acc, blen, gtr, tip, tot_error
+
+
+def _append_kernel(Pref, Cref, mmref, rfref, prmref, oref, *, uer, B2):
+    """Entry-lane layout: one program = a (tile_n, B1) candidate tile
+    (candidates on sublanes, entry slots on lanes) x all B2 query
+    entries."""
+    fP = lambda i: Pref[:, i, :]                     # (TN, B1) planes
+    acc, blen, gtr, tip, tot_error = _kernel_common(
+        fP, Cref, mmref, rfref, prmref, uer=uer, B2=B2)
     score = blen * gtr + jnp.sum(acc, axis=1, keepdims=True)  # (TN, 1)
     if uer:
         score = score + tip * tot_error
     oref[0, :, :] = score
 
 
-@partial(jax.jit, static_argnames=("uer", "interpret"))
+def _append_kernel_lanes(Pref, Cref, mmref, rfref, prmref, oref, *, uer,
+                         B2):
+    """Candidate-lane layout: one program = 128 candidates on the lane
+    axis x B1 entry slots on sublanes — full VPU lane utilization for
+    any entry budget, and 1/16th the query-scalar re-reads of the
+    entry-lane layout (grid = (K, Npad/128) instead of (K, Npad/8)).
+    Emits (8, 128) partial sublane sums (Mosaic's minimum f32 output
+    tile); the caller finishes the reduction and adds the per-query
+    constants."""
+    fP = lambda i: Pref[0, i, :, :]                  # (B1, 128) planes
+    acc, _blen, _gtr, _tip, _te = _kernel_common(
+        fP, Cref, mmref, rfref, prmref, uer=uer, B2=B2)
+    b1 = acc.shape[0]
+    oref[0, 0, :, :] = jnp.sum(acc.reshape(b1 // 8, 8, 128), axis=0)
+
+
+@partial(jax.jit, static_argnames=("uer", "interpret", "tile_n", "lanes"))
 def _pallas_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
                         error_rates, global_tot_rate, tot_error, uer,
-                        interpret):
+                        interpret, tile_n=_TILE_N, lanes=False):
     dtype = mm.dtype
     Pstk = _stack_fields(P, site_rates, error_rates, axis=-2)  # [N,F,B1]
     Cstk = _stack_fields(C, site_rates, error_rates, axis=-1)  # [K,B2,F]
@@ -249,7 +278,8 @@ def _pallas_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
         Cstk = Cstk[None]
     K, B2, _ = Cstk.shape
     N, F, B1 = Pstk.shape
-    n_pad = (-N) % _TILE_N
+    chunk = 128 if lanes else tile_n
+    n_pad = (-N) % chunk
     if n_pad:
         Pstk = jnp.concatenate(
             [Pstk, jnp.repeat(Pstk[:1], n_pad, axis=0)], axis=0)
@@ -262,22 +292,47 @@ def _pallas_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
                      global_tot_rate.astype(dtype),
                      tot_error.astype(dtype)]).reshape(1, 1, 4)
 
+    c_specs = [
+        pl.BlockSpec((1, 1, B2 * _NFIELDS), lambda k, n: (k, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 16), lambda k, n: (0, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 4), lambda k, n: (0, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 4), lambda k, n: (0, 0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    if lanes:
+        # [Npad, F, B1] -> [Npad/128, F, B1, 128]: candidates minor
+        Pln = Pstk.reshape(Npad // 128, 128, F, B1) \
+                  .transpose(0, 2, 3, 1)
+        out = pl.pallas_call(
+            partial(_append_kernel_lanes, uer=uer, B2=B2),
+            grid=(K, Npad // 128),
+            in_specs=[pl.BlockSpec((1, F, B1, 128),
+                                   lambda k, n: (n, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)] + c_specs,
+            out_specs=pl.BlockSpec((1, 1, 8, 128),
+                                   lambda k, n: (k, n, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((K, Npad // 128, 8, 128),
+                                           dtype),
+            interpret=interpret,
+        )(Pln, Cflat, mm_flat, rf, prm)
+        scores = out.sum(axis=2).reshape(K, Npad)[:, :N]
+        scores = scores + jnp.asarray(blen, dtype) \
+            * global_tot_rate.astype(dtype)
+        if uer:
+            scores = scores + jnp.asarray(tip_c, dtype) \
+                * tot_error.astype(dtype)
+        return scores  # [K, N]
+
     out = pl.pallas_call(
         partial(_append_kernel, uer=uer, B2=B2),
-        grid=(K, Npad // _TILE_N),
-        in_specs=[
-            pl.BlockSpec((_TILE_N, F, B1), lambda k, n: (n, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B2 * _NFIELDS), lambda k, n: (k, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 16), lambda k, n: (0, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 4), lambda k, n: (0, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 4), lambda k, n: (0, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, _TILE_N, 1), lambda k, n: (k, n, 0),
+        grid=(K, Npad // tile_n),
+        in_specs=[pl.BlockSpec((tile_n, F, B1), lambda k, n: (n, 0, 0),
+                               memory_space=pltpu.VMEM)] + c_specs,
+        out_specs=pl.BlockSpec((1, tile_n, 1), lambda k, n: (k, n, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K, Npad, 1), dtype),
         interpret=interpret,
@@ -290,9 +345,15 @@ def _auto_interpret() -> bool:
 
 
 def pallas_grid_append_scores(P: dict, C: dict, blen, tip_c: bool, dm,
-                              interpret=None):
+                              interpret=None, tile_n=_TILE_N,
+                              layout="lanes"):
     """Scores [K, N] for K packed queries against N candidate uppers —
-    drop-in twin of :func:`append_batch.grid_append_scores`."""
+    drop-in twin of :func:`append_batch.grid_append_scores`.
+
+    layout="lanes" (default) puts 128 candidates on the VPU lane axis and
+    entry slots on sublanes — full lane utilization at any entry budget;
+    "entries" is the original (tile_n candidates x B1 entry lanes) tiling,
+    kept for comparison (see scripts/speed_of_light.py)."""
     if interpret is None:
         interpret = _auto_interpret()
     dtype = dm.mut_matrix.dtype
@@ -300,7 +361,7 @@ def pallas_grid_append_scores(P: dict, C: dict, blen, tip_c: bool, dm,
         P, C, jnp.asarray(blen, dtype), jnp.asarray(float(tip_c), dtype),
         dm.mut_matrix, dm.root_freqs, dm.site_rates, dm.error_rates,
         dm.global_tot_rate, dm.tot_error, dm.using_error_rate,
-        bool(interpret))
+        bool(interpret), tile_n=int(tile_n), lanes=(layout == "lanes"))
 
 
 def pallas_batched_append_scores(P: dict, C: dict, blen, tip_c: bool, dm,

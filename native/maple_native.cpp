@@ -3020,6 +3020,14 @@ struct Engine {
     // neighborhood where SPR moves actually land; 0 = exact reference
     // stop rules only.
     int64_t spr_budget = 0;
+    // Root-search budget (opt-in, engine_set_root_budget): the
+    // findBestRoot crawl runs best-first (on path score) and stops
+    // after this many consecutive non-improving scored directions.  On
+    // flat pandemic-scale trees the exact crawl's stop rules barely
+    // prune (measured: ~all internal nodes visited at 20k samples), so
+    // this is the root-search twin of search_budget / spr_budget;
+    // 0 = exact reference DFS stop rules only.
+    int64_t root_budget = 0;
     // Phase-parallel execution width for full-tree recomputes
     // (engine_set_threads; the host passes --numCores).  1 = serial.
     int exec_threads = 1;
@@ -6147,11 +6155,23 @@ static int E_root_search(Engine *E, bool strict_stop, int allowed_fails,
     int64_t n_cand = 0;
     cand_nodes[n_cand] = root;
     cand_scores[n_cand++] = 0.0;
+    // crawl telemetry (MAPLE_DEBUG_ROOT_TIMING): visits + entry volume
+    bool debug_timing = getenv("MAPLE_DEBUG_ROOT_TIMING") != nullptr;
+    int64_t dbg_visits = 0, dbg_entries = 0;
+    auto dbg_t0 = std::chrono::steady_clock::now();
     struct Item {
         int t1; int64_t passed; double distance; bool is_tip;
         int num_minor; double lk_to_remove; double last_lk; int failed;
     };
     std::vector<Item> stack;
+    // Budgeted mode (engine_set_root_budget): best-first on path score,
+    // stop after `budget` consecutive non-improving scored directions —
+    // the root-search twin of E_find_best_parent_budget's rule.
+    const int64_t budget = E->root_budget;
+    auto item_less = [](const Item &a, const Item &b) {
+        return a.last_lk < b.last_lk;
+    };
+    int64_t since_improve = 0;
     if (E->c0[root] >= 0) {
         int child1 = E->c0[root], child2 = E->c1[root];
         int64_t vect_up1 = E_pass_up(E, E->pv[child2], child2);
@@ -6181,9 +6201,18 @@ static int E_root_search(Engine *E, bool strict_stop, int allowed_fails,
                              (int)E->minorSeqs[child1].size(),
                              original_lk_cost, 0.0, 0});
     }
+    if (budget > 0)
+        std::make_heap(stack.begin(), stack.end(), item_less);
     while (!stack.empty()) {
+        if (budget > 0 && since_improve > budget) break;
+        if (budget > 0)
+            std::pop_heap(stack.begin(), stack.end(), item_less);
         Item it = stack.back();
         stack.pop_back();
+        if (debug_timing) {
+            dbg_visits++;
+            dbg_entries += (int64_t)E->S->v(it.passed).size();
+        }
         int childs[2] = {E->c0[it.t1], E->c1[it.t1]};
         int64_t prob_vects[2];
         double dists[2];
@@ -6229,11 +6258,13 @@ static int E_root_search(Engine *E, bool strict_stop, int allowed_fails,
                     E->release(new_root_vect);
                     score = root_prob_lk + lk_root + lk_pass
                             - new_lk_to_remove;
+                    since_improve++;
                     if (score > best_lk_diff) {
                         E_shorten(E, up_vect);
                         best_lk_diff = score;
                         best_node = childs[i];
                         failed_new = 0;
+                        since_improve = 0;
                     } else if (score
                                < (it.last_lk - threshold_consecutive)) {
                         failed_new++;
@@ -6271,6 +6302,8 @@ static int E_root_search(Engine *E, bool strict_stop, int allowed_fails,
                 stack.push_back({childs[i], vect_to_pass, dists[i], false,
                                  0, new_lk_to_remove_pass, score,
                                  failed_new});
+                if (budget > 0)
+                    std::push_heap(stack.begin(), stack.end(), item_less);
             } else {
                 E->release(up_vect);
             }
@@ -6278,6 +6311,17 @@ static int E_root_search(Engine *E, bool strict_stop, int allowed_fails,
         E->release(prob_vects[0]);
         E->release(prob_vects[1]);
         E->release(it.passed);
+    }
+    // budget stop: release the undrained frontier's carried vectors
+    for (const Item &rem : stack) E->release(rem.passed);
+    if (debug_timing) {
+        double ms = std::chrono::duration<double, std::milli>(
+            std::chrono::steady_clock::now() - dbg_t0).count();
+        std::printf("[root timing] visits=%lld entries/visit=%.1f "
+                    "wall=%.1fms us/visit=%.2f\n", (long long)dbg_visits,
+                    dbg_visits ? (double)dbg_entries / dbg_visits : 0.0,
+                    ms, dbg_visits ? ms * 1e3 / dbg_visits : 0.0);
+        std::fflush(stdout);
     }
     *best_node_out = best_node;
     *best_lk_out = best_lk_diff;
@@ -6502,6 +6546,11 @@ void engine_set_hnz(Engine *E, int mode) {
 // stops (0 restores the exact reference DFS).
 void engine_set_search_budget(Engine *E, int64_t budget) {
     E->search_budget = budget;
+}
+
+// Bound the root-position crawl (see Engine::root_budget).
+void engine_set_root_budget(Engine *E, int64_t budget) {
+    E->root_budget = budget;
 }
 
 // Phase-parallel width for full-tree recomputes (E_recalculate_parallel);

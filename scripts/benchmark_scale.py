@@ -120,6 +120,9 @@ def main():
     ap.add_argument("--topologyBudget", type=int, default=0,
                     help="bounded SPR re-attachment crawl "
                          "(0 = exact reference stop rules)")
+    ap.add_argument("--rootSearchBudget", type=int, default=0,
+                    help="best-first bounded root-position crawl "
+                         "(0 = exact reference stop rules)")
     ap.add_argument("--numCores", type=int, default=1,
                     help=">1 = engine-threaded search-parallel/"
                          "apply-serial SPR (the reference's --numCores "
@@ -136,6 +139,8 @@ def main():
         extra["placementBudget"] = args.placementBudget
     if args.topologyBudget:
         extra["topologyBudget"] = args.topologyBudget
+    if args.rootSearchBudget:
+        extra["rootSearchBudget"] = args.rootSearchBudget
     if args.numCores > 1:
         extra["numCores"] = args.numCores
 

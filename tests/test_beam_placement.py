@@ -71,6 +71,22 @@ def test_topology_budget_full_pipeline_lk(tmp_path):
     assert lk == pytest.approx(lk_gold, abs=1.0)
 
 
+def test_root_search_budget_full_pipeline_lk(tmp_path):
+    """--rootSearchBudget bounds the findBestRoot crawl (best-first on
+    path score, stop after N consecutive non-improving candidates); on
+    the example it must land within 1.0 LK of the exact golden."""
+    gp = os.path.join(GOLDEN_DIR, "example_gtr")
+    if not os.path.isfile(gp + "_LK.txt"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR",
+                      rootSearchBudget=50, overwrite=True)
+    run_inference(cfg)
+    lk = float(open(out + "_LK.txt").read().split()[-1])
+    lk_gold = float(open(gp + "_LK.txt").read().split()[-1])
+    assert lk == pytest.approx(lk_gold, abs=1.0)
+
+
 def test_budget_zero_is_exact_dfs(tmp_path):
     """placementBudget=0 (the default) must keep byte parity."""
     gp = os.path.join(GOLDEN_DIR, "example_gtr")
