@@ -160,6 +160,10 @@ def _load():
     lib.engine_set_spr_budget.argtypes = [C.c_void_p, C.c_int64]
     lib.engine_set_root_budget.restype = None
     lib.engine_set_root_budget.argtypes = [C.c_void_p, C.c_int64]
+    lib.engine_place_batch.restype = C.c_int
+    lib.engine_place_batch.argtypes = [C.c_void_p, C.c_int, C.c_int64,
+                                       C.POINTER(C.c_int64),
+                                       C.POINTER(C.c_int32)]
     lib.engine_set_threads.restype = None
     lib.engine_set_threads.argtypes = [C.c_void_p, C.c_int]
     lib.engine_import_ndesc0.restype = None

@@ -118,6 +118,30 @@ class NativePlacementEngine:
             raise RuntimeError(f"native placement engine: {msg}")
         return status == 1
 
+    def place_batch(self, diffs_list, first_sample: int, num_cores: int):
+        """Search-parallel / apply-serial placement of a contiguous run
+        of samples numbered first_sample..first_sample+len-1 (see
+        native engine_place_batch).  Requires an active --placementBudget
+        (the exact DFS is order-dependent by design).  If the engine
+        reports the configuration unsupported (alias tags active), the
+        already-uploaded terminals are placed serially instead."""
+        n = len(diffs_list)
+        vids = np.fromiter((self._terminal_vid(d) for d in diffs_list),
+                           np.int64, n)
+        samples = np.arange(first_sample, first_sample + n, dtype=np.int32)
+        rc = self.lib.engine_place_batch(
+            self.h, num_cores, n,
+            vids.ctypes.data_as(C.POINTER(C.c_int64)),
+            samples.ctypes.data_as(C.POINTER(C.c_int32)))
+        if rc == 2:  # engine_place owns and reclaims each vid
+            for vid, sample in zip(vids.tolist(), samples.tolist()):
+                if self.lib.engine_place(self.h, int(vid), int(sample)) < 0:
+                    rc = -1
+                    break
+        if rc < 0:
+            msg = self.lib.engine_error(self.h).decode()
+            raise RuntimeError(f"native placement engine: {msg}")
+
     def flush_pseudo_counts(self, pseudo_counts):
         """Move the engine's accumulated substitution counts into the
         model's pseudo-count matrix (same totals as the Python loop's

@@ -389,10 +389,31 @@ class Run:
         eng = NativePlacementEngine(self.rt, self.data[first_sample])
         self.data[first_sample] = None
         num_samples = 1
+        # Search-parallel / apply-serial batches (engine_place_batch):
+        # only with the budgeted search (--placementBudget, already a
+        # tolerance-contract path) — the exact DFS stays serial for byte
+        # parity — and without the error model (shared-ambiguity alias
+        # tags are registered in placement order).  Batches never cross a
+        # model-refresh, checkpoint, or progress-print boundary, so those
+        # fire on exactly the serial cadence.
+        batch_cores = cfg.numCores if (
+            cfg.placementBudget > 0 and cfg.numCores > 1
+            and not self.model.using_error_rate) else 0
         start = time.time()
+
+        def checkpoint():
+            # restartable-state checkpoint (reference :11754-11760)
+            snap, snap_root = eng.snapshot_tree()
+            s = create_newick(
+                snap, snap_root, binary=not cfg.nonBinaryTree,
+                names_in_tree=self.names_in_tree,
+                support_for_identical=cfg.supportForIdenticalSequences)
+            with open(cfg.output
+                      + f"_initialTree_{num_samples}samples.tree",
+                      "w") as f:
+                f.write(s)
+
         while distances:
-            _, sample = distances.pop()
-            self.names_in_tree.append(sample)
             if num_samples % cfg.updateSubstMatrixEveryThisSamples == 0 \
                     and cfg.model != "JC":
                 eng.flush_pseudo_counts(self.model.pseudo_counts)
@@ -400,20 +421,33 @@ class Run:
                 eng.sync_model()
             if num_samples % 50000 == 0:
                 print(f"Sample num {num_samples}", flush=True)
-            eng.place(self.data[sample], num_samples)
-            self.data[sample] = None
-            num_samples += 1
+            if batch_cores:
+                k = len(distances)
+                if cfg.model != "JC":
+                    upd = cfg.updateSubstMatrixEveryThisSamples
+                    k = min(k, upd - num_samples % upd)
+                if os.environ.get("MAPLE_BATCH_MAX"):  # debug bisection
+                    k = min(k, int(os.environ["MAPLE_BATCH_MAX"]))
+                k = min(k,
+                        cfg.saveInitialTreeEvery
+                        - num_samples % cfg.saveInitialTreeEvery,
+                        50000 - num_samples % 50000)
+                batch = []
+                for _ in range(k):
+                    _, sample = distances.pop()
+                    self.names_in_tree.append(sample)
+                    batch.append(self.data[sample])
+                    self.data[sample] = None
+                eng.place_batch(batch, num_samples, batch_cores)
+                num_samples += k
+            else:
+                _, sample = distances.pop()
+                self.names_in_tree.append(sample)
+                eng.place(self.data[sample], num_samples)
+                self.data[sample] = None
+                num_samples += 1
             if num_samples % cfg.saveInitialTreeEvery == 0:
-                # restartable-state checkpoint (reference :11754-11760)
-                snap, snap_root = eng.snapshot_tree()
-                s = create_newick(
-                    snap, snap_root, binary=not cfg.nonBinaryTree,
-                    names_in_tree=self.names_in_tree,
-                    support_for_identical=cfg.supportForIdenticalSequences)
-                with open(cfg.output
-                          + f"_initialTree_{num_samples}samples.tree",
-                          "w") as f:
-                    f.write(s)
+                checkpoint()
         eng.flush_pseudo_counts(self.model.pseudo_counts)
         root = eng.export_to_tree(self.stats)
         self.timings["finding"] += time.time() - start

@@ -3634,18 +3634,50 @@ static void E_make_node_reference(Engine *E, int node, int old_value) {
     }
 }
 
+// Batched placement (engine_place_batch): thread-local context for the
+// read-only proposal phase.  When set, the budgeted search must not
+// mutate engine state: minor absorption is recorded here instead of
+// applied, stats accumulate locally (merged after join), and fine-phase
+// errors land here instead of E->error (a shared std::string write
+// would race across workers).
+struct BatchCtx {
+    int32_t absorb_leaf = -1;
+    // fine-candidate set (node, crawl score), best first: the worker
+    // skips its own fine phase — the serial apply re-runs it against
+    // CURRENT vectors over these candidates, so near-tie choices are
+    // made on live information
+    std::vector<std::pair<int32_t, double>> cands;
+    int64_t dfs_visits = 0, missed_minors = 0, fine_evals = 0;
+    std::string error;
+};
+static thread_local BatchCtx *tl_batch = nullptr;
+
+static inline void E_fail(Engine *E, const char *msg) {
+    if (tl_batch) tl_batch->error = msg;
+    else E->error = msg;
+}
+
+// the mutating tail of try_absorb_minor, shared with the batch apply
+static void E_absorb_commit(Engine *E, int node, int sample) {
+    E->minorSeqs[node].push_back(sample);
+    if (E->hnz_mode) E->nd0_absorb(node);
+    E->num_minors_found++;
+}
+
 // placement.py try_absorb_minor :77-102 (no HnZ / error-rate path)
 static int E_try_absorb_minor(Engine *E, int node, int64_t diffs_at,
                               int sample) {
     int cmp = is_minor_sequence(*E->S, E->S->v(E->pv[node]),
                                 E->S->v(diffs_at), E->only_identical);
     if (cmp == 1) {
-        E->minorSeqs[node].push_back(sample);
-        if (E->hnz_mode) E->nd0_absorb(node);
-        E->num_minors_found++;
+        if (tl_batch) tl_batch->absorb_leaf = node;
+        else E_absorb_commit(E, node, sample);
         return 1;
     }
-    if (cmp == 2) E->total_missed_minors++;
+    if (cmp == 2) {
+        if (tl_batch) tl_batch->missed_minors++;
+        else E->total_missed_minors++;
+    }
     return 0;
 }
 
@@ -3672,7 +3704,7 @@ static bool E_fine_phase(Engine *E, const std::vector<BestCand> &best_nodes,
     best_score = best_lk_diff;
     for (const BestCand &bc : best_nodes) {
         if (!(bc.score >= best_lk_diff - E->threshold_opt)) continue;
-        E->fine_evals++;
+        if (tl_batch) tl_batch->fine_evals++; else E->fine_evals++;
         int node = bc.node;
         int64_t diffs_at = bc.diffs;
         int64_t up_vect = E->vect_up_for(node);
@@ -3681,15 +3713,15 @@ static bool E_fine_phase(Engine *E, const std::vector<BestCand> &best_nodes,
         double ba = E_blen(E, E->totUp[node], diffs_at, true);
         int64_t mid_lower = E_merge(E, E->pv[node], E->dist[node] / 2,
                                     is_tip, diffs_at, ba, true, false);
-        if (mid_lower < 0) { E->error = "impossible merge in fine phase"; return false; }
+        if (mid_lower < 0) { E_fail(E, "impossible merge in fine phase"); return false; }
         double bt = E_blen(E, up_vect, mid_lower, false);
         int64_t mid_top = E_merge(E, up_vect, bt, false, diffs_at, ba, true,
                                   true);
-        if (mid_top < 0) { E->error = "impossible merge in fine phase"; return false; }
+        if (mid_top < 0) { E_fail(E, "impossible merge in fine phase"); return false; }
         double bb = E_blen(E, mid_top, E->pv[node], is_tip);
         int64_t new_mid = E_merge(E, up_vect, bt, false, E->pv[node], bb,
                                   is_tip, true);
-        if (new_mid < 0) { E->error = "impossible merge in fine phase"; return false; }
+        if (new_mid < 0) { E_fail(E, "impossible merge in fine phase"); return false; }
         double appending_cost = E_append(E, new_mid, diffs_at, true, ba);
         double initial_cost = E_append(E, up_vect, E->pv[node], is_tip,
                                        E->dist[node]);
@@ -4021,21 +4053,18 @@ static FindResult E_find_best_parent_budget(Engine *E, int64_t diffs,
             if (!E->muts[c].empty()) dcc = E_pass_down(E, dcur, c);
             bool leaf = E->is_leaf(c);
             if (leaf) {
-                E->dfs_visits++;
-                int cmp = is_minor_sequence(*E->S, E->S->v(E->pv[c]),
-                                            E->S->v(dcc),
-                                            E->only_identical);
-                if (cmp == 1) {
-                    E->minorSeqs[c].push_back(sample);
-                    if (E->hnz_mode) E->nd0_absorb(c);
-                    E->num_minors_found++;
+                if (tl_batch) tl_batch->dfs_visits++;
+                else E->dfs_visits++;
+                if (E_try_absorb_minor(E, c, dcc, sample)) {
                     absorbed = true;
                     return;
                 }
-                if (cmp == 2) E->total_missed_minors++;
             }
             if (E->dist[c] > E->eff0 && E->up[c] >= 0) {
-                if (!leaf) E->dfs_visits++;
+                if (!leaf) {
+                    if (tl_batch) tl_batch->dfs_visits++;
+                    else E->dfs_visits++;
+                }
                 PROF_T(pt0);
                 double lk = E_append(E, E->totUp[c], dcc, true, E->one_mut);
                 PROF_ADD(E->p_append_cy, pt0);
@@ -4064,7 +4093,8 @@ static FindResult E_find_best_parent_budget(Engine *E, int64_t diffs,
             } else if (!leaf) {
                 // zero-length internal node: inherits the parent's score
                 // and failure count; expand in place
-                E->dfs_visits++;
+                if (tl_batch) tl_batch->dfs_visits++;
+                else E->dfs_visits++;
                 chase.push_back({E->child(c, 0), dcc});
                 chase.push_back({E->child(c, 1), dcc});
             }
@@ -4104,6 +4134,25 @@ static FindResult E_find_best_parent_budget(Engine *E, int64_t diffs,
         }
     }
 
+    if (tl_batch) {
+        // batch worker: defer the fine phase to the serial apply (it
+        // re-runs against current vectors there); export the candidate
+        // set the fine phase would have evaluated, best first, capped
+        auto &out = tl_batch->cands;
+        out.clear();
+        // crawl DISCOVERY order, not sorted: the fine phase's >= argmax
+        // makes later candidates win exact ties, and the serial search
+        // evaluates in this order — reordering changes tie-breaks
+        for (const BestCand &bc : best_nodes)
+            if (bc.score >= best_lk_diff - E->threshold_opt)
+                out.push_back({bc.node, bc.score});
+        R.best_node = best_node;  // crawl best: root-placement fallback
+        R.best_score = best_lk_diff;
+        R.top = best_top;
+        R.bottom = best_bottom;
+        R.appending = best_app;
+        return R;
+    }
     double best_score;
     if (!E_fine_phase(E, best_nodes, best_lk_diff, best_node, best_score,
                       best_top, best_bottom, best_app, best_diffs))
@@ -6577,12 +6626,17 @@ void engine_export_ndesc0(Engine *E, int32_t *nd) {
 // placed, -1 on error (see engine_error).
 int engine_place(Engine *E, int64_t diffs, int32_t sample) {
     E->own(diffs);
+    bool dbg_pl = getenv("MAPLE_DEBUG_PLACE") != nullptr;
     PROF_T(pt0);
     FindResult R = E->search_budget > 0
         ? E_find_best_parent_budget(E, diffs, sample)
         : E_find_best_parent(E, diffs, sample);
     PROF_ADD(E->p_find_cy, pt0);
     if (!E->error.empty()) { E->end_call(); return -1; }
+    if (dbg_pl)
+        std::fprintf(stderr, "PLACE %d node=%d abs=%d sc=%.6f t=%.3g "
+                     "b=%.3g a=%.3g\n", sample, R.best_node, R.absorbed,
+                     R.best_score, R.top, R.bottom, R.appending);
     if (R.absorbed) { E->end_call(); return 1; }
     PROF_T(pt1);
     int new_root = E_place_sample(E, R.best_node, R.best_diffs, sample,
@@ -6595,6 +6649,319 @@ int engine_place(Engine *E, int64_t diffs, int32_t sample) {
 #ifdef MAPLE_PROFILE
     E->place_seq++;
 #endif
+    return 0;
+}
+
+// Frame-translate a terminal vector from the global reference frame to
+// `node`'s local frame: pass down through every muts-bearing node on the
+// root->node path (inclusive), mirroring what the search crawl does as
+// it descends (placement.py find_best_parent_for_new_sample; reference
+// passGenomeListThroughBranch :3749).  Returned id is engine-owned.
+static int64_t E_diffs_at_node(Engine *E, int64_t vid, int node) {
+    std::vector<int> path;
+    for (int a = node; a >= 0; a = E->up[a]) path.push_back(a);
+    int64_t d = vid;
+    for (auto it = path.rbegin(); it != path.rend(); ++it)
+        if (!E->muts[*it].empty()) d = E_pass_down(E, d, *it);
+    return d;
+}
+
+// Batched stepwise addition: search-parallel / apply-serial placement —
+// the placement twin of engine_spr_pass_parallel.  The host hands a
+// batch of terminal vectors (global reference frame, store ids it does
+// NOT free) plus sample numbers; worker threads run the best-first
+// budgeted search (engine_set_search_budget must be > 0) read-only
+// against the batch-start tree, then placements apply serially in host
+// order with apply-time re-derivation of everything frame- or
+// vector-dependent (the local-frame diffs, the merge products, blen
+// re-optimization inputs) so only the *choice* of node and the proposal
+// blens can be stale.  NOT byte-parity with the serial loop: near-tied
+// choices can differ; quality is contract-tested (LK tolerance) like
+// --placementBudget itself.  Within-batch identical samples still
+// absorb: each applied proposal records its new leaf, and later
+// proposals anchored at the same node minor-check against those leaves
+// first (frame-invariant: both sides compared in the global frame).
+// Returns 0 ok, 2 unsupported (host falls back to the serial loop),
+// -1 error (engine_error has the message).
+int engine_place_batch(Engine *E, int num_cores, int64_t n,
+                       const int64_t *vids, const int32_t *samples) {
+    if (E->search_budget <= 0 || num_cores < 1 || E->S->tags_active)
+        return 2;  // exact-DFS parity and alias-tag registration are
+                   // order-dependent; the serial loop handles those
+    if (E->hnz_mode) {
+        // pre-grow the HnZ memo (lazy grow is not thread-safe)
+        int max_nd = 2;
+        for (int32_t v : E->nDesc0) max_nd = std::max(max_nd, (int)v);
+        E->hnz(2 * max_nd + 4);
+    }
+    struct Prop {
+        int32_t absorb_leaf = -1;
+        int32_t best_node = -1;
+        double score = 0, top = 0, bottom = 0, appending = 0;
+        // fine-candidate set from the worker crawl (node, crawl score),
+        // best first; the serial apply re-runs the fine phase over it
+        std::vector<std::pair<int32_t, double>> cands;
+        uint8_t searched = 0;  // 0 = worker failed; re-search serially
+    };
+    std::vector<Prop> props(n);
+    auto t_a0 = std::chrono::steady_clock::now();
+    // phase A: read-only proposal search
+    std::atomic<int64_t> next{0};
+    int64_t dfs = 0, missed = 0, fine = 0;
+    std::mutex agg_mu;
+    auto worker = [&]() {
+        std::unordered_set<int64_t> my_owned;
+        Engine::tl_owned = &my_owned;
+        BatchCtx ctx;
+        tl_batch = &ctx;
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n) break;
+            ctx.absorb_leaf = -1;
+            ctx.error.clear();
+            FindResult R = E_find_best_parent_budget(E, vids[i],
+                                                     samples[i]);
+            Prop &p = props[i];
+            if (ctx.error.empty()) {
+                if (R.absorbed) {
+                    p.absorb_leaf = ctx.absorb_leaf;
+                } else {
+                    p.best_node = R.best_node;
+                    p.score = R.best_score;
+                    p.top = R.top;
+                    p.bottom = R.bottom;
+                    p.appending = R.appending;
+                    p.cands = std::move(ctx.cands);
+                }
+                p.searched = 1;
+            }
+            E->end_call();
+        }
+        {
+            std::lock_guard<std::mutex> g(agg_mu);
+            dfs += ctx.dfs_visits;
+            missed += ctx.missed_minors;
+            fine += ctx.fine_evals;
+        }
+        tl_batch = nullptr;
+        Engine::tl_owned = nullptr;
+    };
+    {
+        std::vector<std::thread> workers;
+        int T = std::min<int64_t>(num_cores, n);
+        workers.reserve(T);
+        for (int c = 0; c < T; c++) workers.emplace_back(worker);
+        for (auto &t : workers) t.join();
+    }
+    E->dfs_visits += dfs;
+    E->total_missed_minors += missed;
+    E->fine_evals += fine;
+    // phase B: serial apply in host order
+    static int64_t dbg_n = 0, dbg_coll = 0, dbg_absorb = 0, dbg_inval = 0;
+    static double dbg_a_ms = 0, dbg_b_ms = 0;
+    bool dbg = getenv("MAPLE_DEBUG_BATCH") != nullptr;
+    auto t_b0 = std::chrono::steady_clock::now();
+    struct Applied { int32_t anchor; int32_t leaf; int64_t vid; };
+    std::vector<Applied> leaves;        // for within-batch minor checks
+    std::vector<uint8_t> consumed(n, 0);  // vid freed/installed already
+    // Nodes where an earlier apply actually INSERTED a sample this
+    // batch.  Proposals choosing one of these re-search serially: the
+    // serial loop would have considered attaching inside the fresh
+    // branch (nodes that do not exist in the snapshot candidate set),
+    // and blindly stacking at the old anchor builds a star instead of a
+    // chain (measured ~500 LK worse on b1429 without this rule).
+    // Plain vector-refresh dirtiness does NOT disqualify a candidate:
+    // the apply-side fine phase re-evaluates against current vectors,
+    // so only its filter score is stale.
+    std::unordered_set<int32_t> insert_anchors;
+    // nodes created by this batch's applies: the one part of the tree no
+    // snapshot search could see.  Before committing a proposal, its
+    // fresh score is compared against a mid-branch append at each of
+    // these; any win means the serial loop would have placed into a
+    // batch-mate's new branch, so the sample re-searches serially.
+    std::vector<int32_t> new_regions;
+    auto harvest_new = [&](size_t nb) {
+        for (size_t x = nb; x < E->up.size(); x++) {
+            new_regions.push_back((int32_t)x);
+            if (E->c0[x] >= 0) insert_anchors.insert(E->c0[x]);
+        }
+    };
+    // serial re-search fallback: places against the current tree AND
+    // records what it created
+    auto serial_place = [&](int64_t vid2, int32_t sample2) -> int {
+        size_t nb = E->up.size();
+        int rc = engine_place(E, vid2, sample2);
+        harvest_new(nb);
+        return rc;
+    };
+    for (int64_t i = 0; i < n; i++) {
+        Prop &p = props[i];
+        int64_t vid = vids[i];
+        if (!p.searched) {
+            // rare (worker fine-phase error): exact serial semantics;
+            // engine_place owns and frees/install vid itself
+            consumed[i] = 1;
+            if (serial_place(vid, samples[i]) < 0) return -1;
+            continue;
+        }
+        if (p.absorb_leaf >= 0) {
+            E_absorb_commit(E, p.absorb_leaf, samples[i]);
+            continue;
+        }
+        // within-batch identicals: minor-check against leaves this batch
+        // already placed at the same anchor (global-frame comparison;
+        // minor-ness is invariant under MAT frame translation)
+        bool absorbed = false;
+        auto proposal_covers = [&](int32_t a) {
+            if (a == p.best_node) return true;
+            for (const auto &pc : p.cands) if (pc.first == a) return true;
+            return false;
+        };
+        for (const Applied &bl : leaves) {
+            if (!proposal_covers(bl.anchor)) continue;
+            int cmp = is_minor_sequence(*E->S, E->S->v(bl.vid),
+                                        E->S->v(vid), E->only_identical);
+            if (cmp == 1) {
+                E_absorb_commit(E, bl.leaf, samples[i]);
+                absorbed = true;
+                break;
+            }
+            if (cmp == 2) E->total_missed_minors++;
+        }
+        if (absorbed) { dbg_absorb++; continue; }
+        // Fresh fine phase over the worker's candidate set (the worker
+        // deferred it), dropping candidates an earlier apply's partials
+        // refresh touched — their crawl scores were computed on dead
+        // information.  If the TOP candidate is stale, the whole ranking
+        // is suspect (serial stepwise addition would have chained into
+        // the just-created branch there): full serial re-search against
+        // the current tree (which also sees batch-mate leaves, so
+        // identicals still absorb).
+        std::vector<BestCand> cands;
+        bool stale_top =
+            E->up[p.best_node] >= 0
+            && (insert_anchors.count(p.best_node)
+                || E->dist[p.best_node] <= E->eff0
+                || E->totUp[p.best_node] < 0);
+        for (size_t c = 0; c < p.cands.size() && !stale_top; c++) {
+            int32_t cn = p.cands[c].first;
+            if (insert_anchors.count(cn)) { stale_top = true; break; }
+            if (E->up[cn] < 0 || E->dist[cn] <= E->eff0
+                    || E->totUp[cn] < 0) {
+                // structurally invalidated (branch zeroed/removed by an
+                // earlier apply): cannot be evaluated
+                if (cn == p.best_node) { stale_top = true; break; }
+                continue;
+            }
+            cands.push_back({cn, p.cands[c].second, -1});
+        }
+        if (stale_top
+                || (cands.empty()
+                    && (!p.cands.empty()
+                        || insert_anchors.count(p.best_node)))) {
+            dbg_coll++;
+            consumed[i] = 1;
+            if (serial_place(vid, samples[i]) < 0) return -1;
+            continue;
+        }
+        int best_node = p.best_node;
+        double score = p.score, top = p.top, bottom = p.bottom,
+               app = p.appending;
+        int64_t d;
+        if (!cands.empty()) {
+            for (BestCand &bc : cands)
+                bc.diffs = E_diffs_at_node(E, vid, bc.node);
+            // reference decision rule (placement.py :248-322): a fine
+            // candidate wins only if its 3-way-optimized score beats the
+            // crawl best; otherwise the crawl-best node places with its
+            // mid-branch defaults.  p.score (the snapshot crawl best) is
+            // the threshold, exactly as in the serial search.
+            d = -1;
+            for (const BestCand &bc : cands)
+                if (bc.node == p.best_node) { d = bc.diffs; break; }
+            if (d < 0) d = E_diffs_at_node(E, vid, p.best_node);
+            if (!E_fine_phase(E, cands, p.score, best_node, score, top,
+                              bottom, app, d)
+                    || (std::isinf(score) && score < 0)) {
+                E->error.clear();
+                dbg_inval++;
+                consumed[i] = 1;
+                E->end_call();
+                if (serial_place(vid, samples[i]) < 0) return -1;
+                continue;
+            }
+        } else {
+            // crawl produced no fine candidates: root-region placement
+            // with the crawl defaults (E_place_sample's new-root path
+            // re-derives the blens itself)
+            d = E_diffs_at_node(E, vid, best_node);
+        }
+        // did a batch-mate's insertion open a better region?  (the
+        // crawl's mid-branch score there vs this proposal's optimized
+        // score — the same comparison the serial crawl's stop/argmax
+        // logic would make when it reached the fresh branch)
+        bool region_better = false;
+        for (int32_t r : new_regions) {
+            if (E->dist[r] <= E->eff0 || E->totUp[r] < 0
+                    || E->up[r] < 0)
+                continue;
+            int64_t dr = E_diffs_at_node(E, vid, r);
+            double s = E_append(E, E->totUp[r], dr, true, E->one_mut);
+            if (E->hnz_mode) s += E->hnz(2) - E->hnz(1);
+            if (s > score) { region_better = true; break; }
+        }
+        if (region_better) {
+            dbg_inval++;
+            consumed[i] = 1;
+            E->end_call();
+            if (serial_place(vid, samples[i]) < 0) return -1;
+            continue;
+        }
+        if (getenv("MAPLE_DEBUG_PLACE"))
+            std::fprintf(stderr, "BPLACE %d node=%d sc=%.6f t=%.3g "
+                         "b=%.3g a=%.3g ncand=%zu\n", samples[i],
+                         best_node, score, top, bottom, app,
+                         cands.size());
+        size_t n_before = E->up.size();
+        int new_root = E_place_sample(E, best_node, d, samples[i],
+                                      score, top, bottom, app);
+        if (new_root == -2 || !E->error.empty()) {
+            E->end_call();
+            return -1;
+        }
+        if (new_root >= 0) E->root = new_root;
+        E->end_call();
+        int32_t leaf = -1;
+        for (size_t x = n_before; x < E->up.size(); x++)
+            if (E->name[x] == samples[i]) { leaf = (int32_t)x; break; }
+        if (leaf >= 0) {
+            if (E->pv[leaf] == vid) consumed[i] = 1;  // installed in tree
+            leaves.push_back({best_node, leaf, vid});
+        }
+        harvest_new(n_before);
+        insert_anchors.insert(best_node);
+#ifdef MAPLE_PROFILE
+        E->place_seq++;
+#endif
+    }
+    if (dbg) {
+        auto t_end = std::chrono::steady_clock::now();
+        dbg_n += n;
+        dbg_a_ms += std::chrono::duration<double, std::milli>(
+            t_b0 - t_a0).count();
+        dbg_b_ms += std::chrono::duration<double, std::milli>(
+            t_end - t_b0).count();
+        if (dbg_n % 2000 < n)
+            std::fprintf(stderr, "[batch] n=%lld coll=%lld absorb=%lld "
+                         "inval=%lld searchA=%.0fms apply=%.0fms\n",
+                         (long long)dbg_n, (long long)dbg_coll,
+                         (long long)dbg_absorb, (long long)dbg_inval,
+                         dbg_a_ms, dbg_b_ms);
+    }
+    // reclaim batch terminals that were not installed (absorbed samples,
+    // and placements whose pv is a passed-up or re-framed copy)
+    for (int64_t i = 0; i < n; i++)
+        if (!consumed[i]) E->S->free_slot(vids[i]);
     return 0;
 }
 

@@ -71,6 +71,34 @@ def test_topology_budget_full_pipeline_lk(tmp_path):
     assert lk == pytest.approx(lk_gold, abs=1.0)
 
 
+def test_batched_placement_matches_serial_budget():
+    """--placementBudget with --numCores > 1 runs search-parallel /
+    apply-serial batches (native engine_place_batch).  Contract: minor
+    absorption identical to the serial budgeted loop (within-batch
+    identicals must still absorb) and post-placement LK within a small
+    tolerance (near-tied anchor choices may differ)."""
+    lk_serial, minors_serial = _place({"placementBudget": 200})
+    lk_batch, minors_batch = _place({"placementBudget": 200,
+                                     "numCores": 3})
+    assert minors_batch == minors_serial
+    assert lk_batch == pytest.approx(lk_serial, abs=1.0)
+
+
+def test_batched_placement_full_pipeline_lk(tmp_path):
+    """End-to-end batched placement: SPR rounds repair near-tie
+    differences; final LK within 1.0 of the exact golden."""
+    gp = os.path.join(GOLDEN_DIR, "example_gtr")
+    if not os.path.isfile(gp + "_LK.txt"):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR",
+                      placementBudget=100, numCores=3, overwrite=True)
+    run_inference(cfg)
+    lk = float(open(out + "_LK.txt").read().split()[-1])
+    lk_gold = float(open(gp + "_LK.txt").read().split()[-1])
+    assert lk == pytest.approx(lk_gold, abs=1.0)
+
+
 def test_root_search_budget_full_pipeline_lk(tmp_path):
     """--rootSearchBudget bounds the findBestRoot crawl (best-first on
     path score, stop after N consecutive non-improving candidates); on
