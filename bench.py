@@ -92,18 +92,19 @@ def run_host_placement_subset(n_subset=3000):
     return n_subset / (time.time() - t0)
 
 
-def run_engine_placement_full(budget=0):
+def run_engine_placement_full(budget=0, cores=1):
     """Pipeline placement on the full 8,284-sample alignment via the C++
     placement engine (native/maple_native.cpp Engine).  budget=0 is the
     byte-identical reference DFS; budget>0 is the best-first budgeted
     search (--placementBudget), quality-checked against the exact path by
-    the caller."""
+    the caller; cores>1 additionally batches the budgeted search
+    (search-parallel/apply-serial, engine_place_batch)."""
     from maple_tpu.config import MapleConfig
     from maple_tpu.pipeline import Run
 
     cfg = MapleConfig(input=B1429, output="/tmp/maple_bench_out",
                       model="UNREST", overwrite=True,
-                      placementBudget=budget)
+                      placementBudget=budget, numCores=cores)
     run = Run(cfg)
     run.load()
     n = len(run.data)

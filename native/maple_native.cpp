@@ -21,6 +21,7 @@
 #include <limits>
 #include <algorithm>
 #include <unordered_map>
+#include <unordered_set>
 #include <memory>
 #include <atomic>
 #include <thread>
@@ -155,12 +156,23 @@ struct Store {
     // reserved once at store creation, so v(id) reads of existing slots
     // never move; ~20 ns uncontended lock vs ~1 us per merge).
     std::mutex slot_mu;
+    // MAPLE_DEBUG_SLOTS: duplicate-free / free-while-live detector
+    std::unordered_set<int64_t> dbg_free_set;
+    bool dbg_slots = getenv("MAPLE_DEBUG_SLOTS") != nullptr;
+    int64_t dbg_guard = getenv("MAPLE_DEBUG_GUARD")
+        ? atoll(getenv("MAPLE_DEBUG_GUARD")) : -1;
 
     int64_t alloc() {
         std::lock_guard<std::mutex> g(slot_mu);
         if (!free_slots.empty()) {
             int64_t id = free_slots.back();
             free_slots.pop_back();
+            if (dbg_slots) {
+                dbg_free_set.erase(id);
+                if (id == dbg_guard)
+                    std::fprintf(stderr, "GUARD alloc %lld\n",
+                                 (long long)id);
+            }
             v(id).clear();
             return id;
         }
@@ -176,7 +188,17 @@ struct Store {
     void free_slot(int64_t id) {
         v(id).clear();
         std::lock_guard<std::mutex> g(slot_mu);
+        dbg_check_free(id);
         free_slots.push_back(id);
+    }
+    void dbg_check_free(int64_t id) {
+        if (!dbg_slots) return;
+        if (id == dbg_guard)
+            std::fprintf(stderr, "GUARD free %lld\n", (long long)id);
+        if (!dbg_free_set.insert(id).second) {
+            std::fprintf(stderr, "DOUBLE FREE slot %lld\n", (long long)id);
+            std::abort();
+        }
     }
     Vec &v(int64_t id) {
         return vec_chunks[id >> VCHUNK_BITS][id & (VCHUNK - 1)];
@@ -2404,6 +2426,7 @@ void vec_release(Store *s, int64_t id) {
     // keep capacity: released slots are recycled by alloc(), so steady
     // state runs with zero per-merge heap traffic
     s->v(id).clear();
+    s->dbg_check_free(id);
     s->free_slots.push_back(id);
 }
 
@@ -2477,6 +2500,7 @@ int64_t vec_from_diffs(Store *s, int n, const int8_t *chars,
                 const double *p = amb_probs(c);
                 if (!p) {
                     v.clear();
+                    s->dbg_check_free(id);
                     s->free_slots.push_back(id);
                     return -1;
                 }
@@ -2566,6 +2590,7 @@ int64_t k_merge(Store *s, int64_t v1, double bl1, int tip1, int64_t v2,
                            tip2 != 0, false, is_up_down != 0, 0, 0,
                            s->v(id), &lk);
     if (rc != 0) {
+        s->dbg_check_free(id);
         s->free_slots.push_back(id);
         return -1;
     }
@@ -2582,6 +2607,7 @@ int64_t k_merge_lk(Store *s, int64_t v1, double bl1, int tip1, int64_t v2,
                            tip2 != 0, true, is_up_down != 0, n_minor1,
                            n_minor2, s->v(id), lk_out);
     if (rc != 0) {
+        s->dbg_check_free(id);
         s->free_slots.push_back(id);
         return -10 + rc;  // -11 impossible, -12 underflow
     }
@@ -3100,7 +3126,10 @@ struct Engine {
         }
         {
             std::lock_guard<std::mutex> g(S->slot_mu);
-            for (int64_t id : o) S->free_slots.push_back(id);
+            for (int64_t id : o) {
+                S->dbg_check_free(id);
+                S->free_slots.push_back(id);
+            }
         }
         o.clear();
     }
@@ -6098,8 +6127,10 @@ static int E_recalculate_parallel(Engine *E) {
                 for (int64_t id : my_owned) E->S->v(id).clear();
                 {
                     std::lock_guard<std::mutex> g(E->S->slot_mu);
-                    for (int64_t id : my_owned)
+                    for (int64_t id : my_owned) {
+                        E->S->dbg_check_free(id);
                         E->S->free_slots.push_back(id);
+                    }
                 }
                 Engine::tl_owned = nullptr;
             });
@@ -6652,6 +6683,20 @@ int engine_place(Engine *E, int64_t diffs, int32_t sample) {
     return 0;
 }
 
+// Owned deep copy of a store vector (engine_place_batch: batch
+// terminals are placed as copies so the originals stay alive — and
+// frame-stable — for within-batch minor checks; an installed original
+// could be replaced and freed by a MAT re-reference mid-batch, leaving
+// later checks reading a recycled slot).
+static int64_t E_copy_vec(Engine *E, int64_t id) {
+    Store *s = E->S;
+    int64_t nid = s->alloc();
+    s->v(nid) = s->v(id);
+    s->finish(nid);
+    E->own(nid);
+    return nid;
+}
+
 // Frame-translate a terminal vector from the global reference frame to
 // `node`'s local frame: pass down through every muts-bearing node on the
 // root->node path (inclusive), mirroring what the search crawl does as
@@ -6704,6 +6749,34 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
         uint8_t searched = 0;  // 0 = worker failed; re-search serially
     };
     std::vector<Prop> props(n);
+    if (getenv("MAPLE_DEBUG_TREEHASH")) {
+        uint64_t h = 1469598103934665603ull;
+        auto mix = [&](uint64_t x) { h ^= x; h *= 1099511628211ull; };
+        for (size_t x = 0; x < E->up.size(); x++) {
+            mix((uint64_t)E->up[x]);
+            mix((uint64_t)E->c0[x]);
+            uint64_t db;
+            std::memcpy(&db, &E->dist[x], 8);
+            mix(db);
+            for (int64_t *arr : {&E->pv[x], &E->upR[x], &E->upL[x],
+                                 &E->totUp[x]}) {
+                if (*arr < 0) { mix(0xdead); continue; }
+                const Vec &vv = E->S->v(*arr);
+                mix((uint64_t)vv.size());
+                for (const Entry &e : vv) {
+                    mix((uint64_t)e.type);
+                    mix((uint64_t)e.val);
+                    uint64_t pb;
+                    std::memcpy(&pb, &e.probs[0], 8);
+                    mix(pb);
+                    std::memcpy(&pb, &e.bl1, 8);
+                    mix(pb);
+                }
+            }
+        }
+        std::fprintf(stderr, "TREEHASH n=%zu first=%d hash=%016llx\n",
+                     E->up.size(), samples[0], (unsigned long long)h);
+    }
     auto t_a0 = std::chrono::steady_clock::now();
     // phase A: read-only proposal search
     std::atomic<int64_t> next{0};
@@ -6749,6 +6822,8 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
     {
         std::vector<std::thread> workers;
         int T = std::min<int64_t>(num_cores, n);
+        if (const char *fc = getenv("MAPLE_BATCH_FORCE_CORES"))
+            T = std::max(1, atoi(fc));  // debug: isolate thread effects
         workers.reserve(T);
         for (int c = 0; c < T; c++) workers.emplace_back(worker);
         for (auto &t : workers) t.join();
@@ -6756,6 +6831,16 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
     E->dfs_visits += dfs;
     E->total_missed_minors += missed;
     E->fine_evals += fine;
+    if (getenv("MAPLE_DEBUG_PROPS2"))
+        for (int64_t i = 0; i < n; i++) {
+            std::fprintf(stderr, "PROP2 %d abs=%d bn=%d sc=%.9f nc=%zu [",
+                         samples[i], props[i].absorb_leaf,
+                         props[i].best_node, props[i].score,
+                         props[i].cands.size());
+            for (auto &pc : props[i].cands)
+                std::fprintf(stderr, "%d:%.6f ", pc.first, pc.second);
+            std::fprintf(stderr, "]\n");
+        }
     // phase B: serial apply in host order
     static int64_t dbg_n = 0, dbg_coll = 0, dbg_absorb = 0, dbg_inval = 0;
     static double dbg_a_ms = 0, dbg_b_ms = 0;
@@ -6763,7 +6848,6 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
     auto t_b0 = std::chrono::steady_clock::now();
     struct Applied { int32_t anchor; int32_t leaf; int64_t vid; };
     std::vector<Applied> leaves;        // for within-batch minor checks
-    std::vector<uint8_t> consumed(n, 0);  // vid freed/installed already
     // Nodes where an earlier apply actually INSERTED a sample this
     // batch.  Proposals choosing one of these re-search serially: the
     // serial loop would have considered attaching inside the fresh
@@ -6790,7 +6874,7 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
     // records what it created
     auto serial_place = [&](int64_t vid2, int32_t sample2) -> int {
         size_t nb = E->up.size();
-        int rc = engine_place(E, vid2, sample2);
+        int rc = engine_place(E, E_copy_vec(E, vid2), sample2);
         harvest_new(nb);
         return rc;
     };
@@ -6798,9 +6882,7 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
         Prop &p = props[i];
         int64_t vid = vids[i];
         if (!p.searched) {
-            // rare (worker fine-phase error): exact serial semantics;
-            // engine_place owns and frees/install vid itself
-            consumed[i] = 1;
+            // rare (worker fine-phase error): exact serial semantics
             if (serial_place(vid, samples[i]) < 0) return -1;
             continue;
         }
@@ -6808,10 +6890,16 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
             E_absorb_commit(E, p.absorb_leaf, samples[i]);
             continue;
         }
-        // within-batch identicals: minor-check against leaves this batch
-        // already placed at the same anchor (global-frame comparison;
-        // minor-ness is invariant under MAT frame translation)
-        bool absorbed = false;
+        // Within-batch identicals: if any batch-mate leaf at one of this
+        // proposal's candidate anchors is minor-compatible (global-frame
+        // check — frame translation preserves entry containment), the
+        // serial loop MIGHT have absorbed this sample when its crawl
+        // reached that leaf.  Whether it actually would depends on the
+        // crawl's stop rules (N-heavy samples are minor-compatible with
+        // many leaves they would never crawl to), so don't absorb
+        // directly — re-search serially against the current tree, which
+        // reproduces the exact crawl-absorption semantics.
+        bool maybe_minor = false;
         auto proposal_covers = [&](int32_t a) {
             if (a == p.best_node) return true;
             for (const auto &pc : p.cands) if (pc.first == a) return true;
@@ -6819,16 +6907,17 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
         };
         for (const Applied &bl : leaves) {
             if (!proposal_covers(bl.anchor)) continue;
-            int cmp = is_minor_sequence(*E->S, E->S->v(bl.vid),
-                                        E->S->v(vid), E->only_identical);
-            if (cmp == 1) {
-                E_absorb_commit(E, bl.leaf, samples[i]);
-                absorbed = true;
+            if (is_minor_sequence(*E->S, E->S->v(bl.vid), E->S->v(vid),
+                                  E->only_identical) == 1) {
+                maybe_minor = true;
                 break;
             }
-            if (cmp == 2) E->total_missed_minors++;
         }
-        if (absorbed) { dbg_absorb++; continue; }
+        if (maybe_minor) {
+            dbg_absorb++;
+            if (serial_place(vid, samples[i]) < 0) return -1;
+            continue;
+        }
         // Fresh fine phase over the worker's candidate set (the worker
         // deferred it), dropping candidates an earlier apply's partials
         // refresh touched — their crawl scores were computed on dead
@@ -6838,11 +6927,20 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
         // the current tree (which also sees batch-mate leaves, so
         // identicals still absorb).
         std::vector<BestCand> cands;
+        // Root-anchored or candidate-less proposals re-search serially:
+        // the new-root path derives blens from the proposal score, and a
+        // snapshot score against the CURRENT root vector can force a
+        // zero-length merge of contradictory vectors.  These are rare
+        // (a handful per batch at most).
+        if (p.cands.empty() || E->up[p.best_node] < 0) {
+            dbg_inval++;
+            if (serial_place(vid, samples[i]) < 0) return -1;
+            continue;
+        }
         bool stale_top =
-            E->up[p.best_node] >= 0
-            && (insert_anchors.count(p.best_node)
-                || E->dist[p.best_node] <= E->eff0
-                || E->totUp[p.best_node] < 0);
+            insert_anchors.count(p.best_node)
+            || E->dist[p.best_node] <= E->eff0
+            || E->totUp[p.best_node] < 0;
         for (size_t c = 0; c < p.cands.size() && !stale_top; c++) {
             int32_t cn = p.cands[c].first;
             if (insert_anchors.count(cn)) { stale_top = true; break; }
@@ -6855,47 +6953,40 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
             }
             cands.push_back({cn, p.cands[c].second, -1});
         }
-        if (stale_top
-                || (cands.empty()
-                    && (!p.cands.empty()
-                        || insert_anchors.count(p.best_node)))) {
+        if (stale_top || cands.empty()) {
             dbg_coll++;
-            consumed[i] = 1;
             if (serial_place(vid, samples[i]) < 0) return -1;
             continue;
         }
         int best_node = p.best_node;
         double score = p.score, top = p.top, bottom = p.bottom,
                app = p.appending;
-        int64_t d;
-        if (!cands.empty()) {
-            for (BestCand &bc : cands)
-                bc.diffs = E_diffs_at_node(E, vid, bc.node);
-            // reference decision rule (placement.py :248-322): a fine
-            // candidate wins only if its 3-way-optimized score beats the
-            // crawl best; otherwise the crawl-best node places with its
-            // mid-branch defaults.  p.score (the snapshot crawl best) is
-            // the threshold, exactly as in the serial search.
-            d = -1;
-            for (const BestCand &bc : cands)
-                if (bc.node == p.best_node) { d = bc.diffs; break; }
-            if (d < 0) d = E_diffs_at_node(E, vid, p.best_node);
-            if (!E_fine_phase(E, cands, p.score, best_node, score, top,
-                              bottom, app, d)
-                    || (std::isinf(score) && score < 0)) {
-                E->error.clear();
-                dbg_inval++;
-                consumed[i] = 1;
-                E->end_call();
-                if (serial_place(vid, samples[i]) < 0) return -1;
-                continue;
-            }
-        } else {
-            // crawl produced no fine candidates: root-region placement
-            // with the crawl defaults (E_place_sample's new-root path
-            // re-derives the blens itself)
-            d = E_diffs_at_node(E, vid, best_node);
+        for (BestCand &bc : cands)
+            bc.diffs = E_diffs_at_node(E, vid, bc.node);
+        // reference decision rule (placement.py :248-322): a fine
+        // candidate wins only if its 3-way-optimized score beats the
+        // crawl best; otherwise the crawl-best node places with its
+        // mid-branch defaults.  p.score (the snapshot crawl best) is
+        // the threshold, exactly as in the serial search.
+        int64_t d = -1;
+        for (const BestCand &bc : cands)
+            if (bc.node == p.best_node) { d = bc.diffs; break; }
+        if (d < 0) d = E_diffs_at_node(E, vid, p.best_node);
+        if (!E_fine_phase(E, cands, p.score, best_node, score, top,
+                          bottom, app, d)
+                || (std::isinf(score) && score < 0)) {
+            E->error.clear();
+            dbg_inval++;
+            E->end_call();
+            if (serial_place(vid, samples[i]) < 0) return -1;
+            continue;
         }
+        // Batch terminals must NOT enter the tree: vids stay alive (and
+        // frame-stable) for the whole batch as within-batch minor-check
+        // operands, and an installed original could be replaced + freed
+        // by a MAT re-reference mid-batch, leaving later checks reading
+        // a recycled slot.  Place an owned copy instead.
+        if (d == vid) d = E_copy_vec(E, vid);
         // did a batch-mate's insertion open a better region?  (the
         // crawl's mid-branch score there vs this proposal's optimized
         // score — the same comparison the serial crawl's stop/argmax
@@ -6912,7 +7003,6 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
         }
         if (region_better) {
             dbg_inval++;
-            consumed[i] = 1;
             E->end_call();
             if (serial_place(vid, samples[i]) < 0) return -1;
             continue;
@@ -6934,10 +7024,12 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
         int32_t leaf = -1;
         for (size_t x = n_before; x < E->up.size(); x++)
             if (E->name[x] == samples[i]) { leaf = (int32_t)x; break; }
-        if (leaf >= 0) {
-            if (E->pv[leaf] == vid) consumed[i] = 1;  // installed in tree
-            leaves.push_back({best_node, leaf, vid});
-        }
+        if (getenv("MAPLE_DEBUG_PLACE"))
+            std::fprintf(stderr, "BIDS sample=%d vid=%lld d=%lld leaf=%d "
+                         "pvleaf=%lld\n", samples[i], (long long)vid,
+                         (long long)d, leaf,
+                         leaf >= 0 ? (long long)E->pv[leaf] : -1);
+        if (leaf >= 0) leaves.push_back({best_node, leaf, vid});
         harvest_new(n_before);
         insert_anchors.insert(best_node);
 #ifdef MAPLE_PROFILE
@@ -6958,10 +7050,9 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
                          (long long)dbg_absorb, (long long)dbg_inval,
                          dbg_a_ms, dbg_b_ms);
     }
-    // reclaim batch terminals that were not installed (absorbed samples,
-    // and placements whose pv is a passed-up or re-framed copy)
-    for (int64_t i = 0; i < n; i++)
-        if (!consumed[i]) E->S->free_slot(vids[i]);
+    // batch terminals never enter the tree (copies are placed), so all
+    // of them reclaim here
+    for (int64_t i = 0; i < n; i++) E->S->free_slot(vids[i]);
     return 0;
 }
 
