@@ -125,11 +125,12 @@ def main():
     # device path remains available via MapleConfig(device_placement=True).
     try:
         # headline: best-first budgeted search (--placementBudget 1000,
-        # quality-converged on this dataset), quality-gated in-bench
-        # against the byte-exact reference DFS run
-        value, lk_budget = run_engine_placement_full(budget=1000)
+        # quality-converged on this dataset) batched over 4 cores
+        # (search-parallel/apply-serial engine_place_batch), quality-
+        # gated in-bench against the byte-exact reference DFS run
+        value, lk_budget = run_engine_placement_full(budget=1000, cores=4)
         _, lk_exact = run_engine_placement_full(budget=0)
-        print(f"# LK delta budget-vs-exact: {lk_budget - lk_exact:.3f}",
+        print(f"# LK delta budget4-vs-exact: {lk_budget - lk_exact:.3f}",
               file=sys.stderr)
         if abs(lk_budget - lk_exact) > 5.0:
             # quality gate failed: fall back to reporting the exact path
@@ -138,7 +139,7 @@ def main():
             value, _ = run_engine_placement_full(budget=0)
             metric = "placement_throughput_b1429_engine"
         else:
-            metric = "placement_throughput_b1429_budget1000"
+            metric = "placement_throughput_b1429_budget1000_cores4"
         baseline = FULL_BASELINE_SEQ_PER_S
     except Exception as exc:  # pragma: no cover - defensive bench fallback
         print(f"# engine path failed ({exc!r})", file=sys.stderr)
