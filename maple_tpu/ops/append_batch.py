@@ -109,8 +109,17 @@ def _take(arr, idx):
 
 
 def _append_scores_block(P, C, blen, tip_c, mm, root_freqs, site_rates,
-                         error_rates, global_tot_rate, tot_error, uer):
-    """P fields: [N, B1]; C fields: [N, B2] (pairwise) — scores [N]."""
+                         error_rates, global_tot_rate, tot_error, uer,
+                         gen_offset=None):
+    """P fields: [N, B1]; C fields: [N, B2] (pairwise) — scores [N].
+
+    With ``gen_offset`` set (genome-axis sharding, SURVEY.md §5: the dense
+    per-site tables are the only O(lRef) state), ``site_rates`` and
+    ``error_rates`` are this device's genome slice; only union segments
+    whose position falls inside [gen_offset, gen_offset+slice) contribute,
+    and the return value is the bare log-factor partial sum — the caller
+    psums it over the ``gen`` mesh axis and adds the position-independent
+    terms once."""
     N, B1 = P["types"].shape
     B2 = C["types"].shape[-1]
     dtype = mm.dtype
@@ -173,9 +182,19 @@ def _append_scores_block(P, C, blen, tip_c, mm, root_freqs, site_rates,
     # the site rate scales the whole matrix, so it is folded into the
     # branch lengths instead of materializing per-segment 4x4 matrices
     pos = jnp.maximum(E - 1, 0)
-    rate = jnp.take(site_rates, pos)
-    eps = jnp.take(error_rates, pos) if uer \
-        else jnp.zeros_like(rate)
+    if gen_offset is None:
+        rate = jnp.take(site_rates, pos)
+        eps = jnp.take(error_rates, pos) if uer \
+            else jnp.zeros_like(rate)
+    else:
+        span = site_rates.shape[-1]
+        lpos = pos - gen_offset
+        in_slice = (lpos >= 0) & (lpos < span)
+        lpos = jnp.clip(lpos, 0, span - 1)
+        rate = jnp.take(site_rates, lpos)
+        eps = jnp.take(error_rates, lpos) if uer \
+            else jnp.zeros_like(rate)
+        contributes = contributes & in_slice
 
     # total fixed branch length between the two observations
     contrib = blen \
@@ -240,6 +259,8 @@ def _append_scores_block(P, C, blen, tip_c, mm, root_freqs, site_rates,
                             jnp.where(is_OC, f_CO, f_nn)))
     f = jnp.where(contributes, f, 1.0)
     log_f = jnp.where(f > 0, jnp.log(jnp.maximum(f, 1e-300)), -jnp.inf)
+    if gen_offset is not None:
+        return jnp.sum(log_f, axis=-1)
     score = blen * global_tot_rate + jnp.sum(log_f, axis=-1)
     if uer:
         score = score + jnp.where(tip_c, tot_error, 0.0)
@@ -251,14 +272,16 @@ _BLOCK = 256
 
 @partial(jax.jit, static_argnames=("uer",))
 def _append_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
-                        error_rates, global_tot_rate, tot_error, uer):
+                        error_rates, global_tot_rate, tot_error, uer,
+                        gen_offset=None):
     """Chunked driver: maps the block kernel over row-blocks of N so the
     one-hot segment-gather intermediates stay within VMEM-friendly sizes."""
     N = P["types"].shape[0]
     if N <= _BLOCK:
         return _append_scores_block(P, C, blen, tip_c, mm, root_freqs,
                                     site_rates, error_rates,
-                                    global_tot_rate, tot_error, uer)
+                                    global_tot_rate, tot_error, uer,
+                                    gen_offset=gen_offset)
     n_blocks = -(-N // _BLOCK)
     pad = n_blocks * _BLOCK - N
     def blockify(v):
@@ -273,7 +296,8 @@ def _append_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
         Pblk, Cblk = args
         return _append_scores_block(Pblk, Cblk, blen, tip_c, mm,
                                     root_freqs, site_rates, error_rates,
-                                    global_tot_rate, tot_error, uer)
+                                    global_tot_rate, tot_error, uer,
+                                    gen_offset=gen_offset)
     out = jax.lax.map(body, (Pb, Cb) if paired_C
                       else (Pb, jax.tree.map(
                           lambda v: jnp.broadcast_to(

@@ -150,6 +150,80 @@ def spr_screen_scores(mesh: Mesh, pool: dict, queries: dict, blens, tips,
             dm.tot_error, dm.using_error_rate)
 
 
+def make_genome_mesh(n_devices: Optional[int] = None,
+                     dp: Optional[int] = None):
+    """Build a 2D (dp, gen) mesh: queries shard data-parallel over ``dp``
+    and the dense per-site tables shard over the genome axis ``gen`` — the
+    sequence-parallelism analogue of this workload (SURVEY.md §5: the
+    genome lists are sparse O(#diffs) state, so the O(lRef) site-rate /
+    error-rate tables are the only state worth sharding along the
+    genome)."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if dp is None:
+        dp = 2 if (n % 2 == 0 and n > 2) else 1
+    gen = n // dp
+    return Mesh(np.asarray(devices[:n]).reshape(dp, gen), ("dp", "gen"))
+
+
+def placement_scores_genome_sharded(mesh: Mesh, pool: dict, queries: dict,
+                                    blen, dm: DeviceModel):
+    """Genome-axis-sharded scoring returning the full [K, N] score matrix.
+
+    The per-site tables (``dm.site_rates`` / ``dm.error_rates``) are
+    sharded over the ``gen`` mesh axis, so each device holds lRef/G table
+    entries; the sparse packed genome lists are replicated over ``gen``
+    (candidate pool) / sharded over ``dp`` (queries).  Each device runs
+    the interval-algebra kernel but lets only union segments whose genome
+    position falls inside its slice contribute (a contributing segment
+    spans exactly one position — segment ownership is position
+    ownership), then the per-(query, candidate) partial log-factor sums
+    reduce with ``psum`` over ``gen`` and the position-independent terms
+    (blen·globalTotRate, the tip error total) are added once."""
+    from jax import shard_map
+
+    gen = mesh.shape["gen"]
+    lRef = dm.site_rates.shape[0]
+    span = -(-lRef // gen)
+    pad = span * gen - lRef
+    dtype = dm.mut_matrix.dtype
+    # pad tables to a multiple of the gen axis; padded positions are never
+    # indexed (genome positions are < lRef)
+    sr = jnp.pad(dm.site_rates, (0, pad), constant_values=1.0)
+    er = jnp.pad(dm.error_rates, (0, pad))
+    blen = jnp.asarray(blen, dtype)
+    uer = dm.using_error_rate
+    tot_error = dm.tot_error if uer else jnp.zeros((), dtype)
+
+    def local(pool_l, q_l, sr_l, er_l, mm, rf, gtr, te):
+        off = jax.lax.axis_index("gen").astype(jnp.int32) * span
+
+        def one(qk):
+            return _append_scores_impl.__wrapped__(
+                pool_l, qk, blen, True, mm, rf, sr_l, er_l, gtr, te, uer,
+                gen_offset=off)
+
+        part = jax.lax.map(one, q_l)                 # [k_local, N]
+        part = jax.lax.psum(part, "gen")
+        score = part + blen * gtr
+        if uer:
+            score = score + te
+        return score
+
+    spec_pool = {k: P(*([None] * v.ndim)) for k, v in pool.items()}
+    spec_q = {k: P("dp", *([None] * (v.ndim - 1)))
+              for k, v in queries.items()}
+    rep = lambda v: P(*([None] * v.ndim))
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_pool, spec_q, P("gen"), P("gen"),
+                  rep(dm.mut_matrix), rep(dm.root_freqs), P(), P()),
+        out_specs=P("dp", None))
+    with mesh:
+        return f(pool, queries, sr, er, dm.mut_matrix, dm.root_freqs,
+                 dm.global_tot_rate, tot_error)
+
+
 def placement_scores_pallas(mesh: Mesh, pool: dict, queries: dict, blen,
                             dm: DeviceModel, interpret=None):
     """Sharded (dp x cand) scoring through the Pallas kernel: shard_map
