@@ -6217,6 +6217,111 @@ static int E_tree_lk(Engine *E, double *out) {
     return 0;
 }
 
+// Parallel twin of E_tree_lk: each internal node's contribution
+// merge_lk(pass_up(pv[c0]), pass_up(pv[c1])) is independent, so workers
+// pull fixed-size chunks of the post-order internal-node list and the
+// per-chunk partial sums reduce in chunk order (deterministic at any
+// core count; differs from the serial sum only by fp association, so
+// parity-pinned small trees stay on the serial path via the size gate).
+static int E_tree_lk_parallel(Engine *E, double *out) {
+    int T = E->exec_threads;
+    size_t n = E->up.size();
+    const char *env = getenv("MAPLE_PAR_TREELK_MIN");
+    size_t min_n = env ? (size_t)atoll(env) : 20000;
+    int root = E->root;
+    if (T < 2 || n < min_n || E->S->tags_active || E->c0[root] < 0)
+        return E_tree_lk(E, out);
+    std::vector<int32_t> internals;
+    internals.reserve(n / 2 + 1);
+    {
+        int node = root, last = -1, dir = 0;
+        while (node >= 0) {
+            if (dir == 0) {
+                if (E->c0[node] >= 0) { node = E->c0[node]; continue; }
+                last = node;
+                node = E->up[node];
+                dir = 1;
+            } else if (last == E->c0[node]) {
+                node = E->c1[node];
+                dir = 0;
+            } else {
+                internals.push_back(node);
+                if (node == root) break;
+                last = node;
+                node = E->up[node];
+                dir = 1;
+            }
+        }
+    }
+    const size_t CHUNK = 256;
+    size_t n_chunks = (internals.size() + CHUNK - 1) / CHUNK;
+    std::vector<double> chunk_lk(n_chunks, 0.0), chunk_hnz(n_chunks, 0.0);
+    std::atomic<size_t> next(0);
+    std::atomic<bool> fail(false);
+    std::vector<std::thread> ws;
+    ws.reserve(T);
+    for (int t = 0; t < T; t++)
+        ws.emplace_back([&] {
+            std::unordered_set<int64_t> my_owned;
+            Engine::tl_owned = &my_owned;
+            Store *s = E->S;
+            size_t c;
+            while ((c = next.fetch_add(1)) < n_chunks
+                   && !fail.load(std::memory_order_relaxed)) {
+                double lk_sum = 0.0, hnz_sum = 0.0;
+                size_t end = std::min(internals.size(), (c + 1) * CHUNK);
+                for (size_t i = c * CHUNK; i < end; i++) {
+                    int nd = internals[i];
+                    int cc0 = E->c0[nd], cc1 = E->c1[nd];
+                    int64_t v0 = E_pass_up(E, E->pv[cc0], cc0);
+                    int64_t v1 = E_pass_up(E, E->pv[cc1], cc1);
+                    int64_t id = s->alloc();
+                    double lk;
+                    int rc = merge_vectors(
+                        *s, s->v(v0), E->dist[cc0], E->is_tip(cc0),
+                        s->v(v1), E->dist[cc1], E->is_tip(cc1), true,
+                        false, (int)E->minorSeqs[cc0].size(),
+                        (int)E->minorSeqs[cc1].size(), s->v(id), &lk);
+                    s->free_slot(id);
+                    if (v0 != E->pv[cc0]) E->release(v0);
+                    if (v1 != E->pv[cc1]) E->release(v1);
+                    if (rc != 0) {
+                        fail.store(true);
+                        break;
+                    }
+                    lk_sum += lk;
+                    if (E->hnz_mode && (E->dist[nd] > E->eff0
+                                        || E->up[nd] < 0))
+                        hnz_sum += E->hnz(E->nDesc0[nd]);
+                }
+                chunk_lk[c] = lk_sum;
+                chunk_hnz[c] = hnz_sum;
+            }
+            for (int64_t id : my_owned) s->v(id).clear();
+            {
+                std::lock_guard<std::mutex> g(s->slot_mu);
+                for (int64_t id : my_owned) {
+                    s->dbg_check_free(id);
+                    s->free_slots.push_back(id);
+                }
+            }
+            Engine::tl_owned = nullptr;
+        });
+    for (auto &w : ws) w.join();
+    if (fail.load()) {
+        E->error = "impossible merge in tree likelihood";
+        return -1;
+    }
+    double total = 0.0, total_hnz = 0.0;
+    for (size_t c = 0; c < n_chunks; c++) {
+        total += chunk_lk[c];
+        total_hnz += chunk_hnz[c];
+    }
+    total += E_find_prob_root(E, E->pv[root], root);
+    *out = total + total_hnz;
+    return 0;
+}
+
 // findBestRoot crawl (reference :7730-7902; search/rootsearch.py
 // find_best_root) — read-only search: walks down from the root scoring a
 // re-rooting at every branch with full merge-LK bookkeeping.  Outputs the
@@ -7233,7 +7338,8 @@ int engine_recalculate_err(Engine *E, const int32_t *p_nodes,
 }
 
 int engine_tree_lk(Engine *E, double *out) {
-    int rc = E_tree_lk(E, out);
+    int rc = E->exec_threads > 1 ? E_tree_lk_parallel(E, out)
+                                 : E_tree_lk(E, out);
     E->end_call();
     return rc;
 }

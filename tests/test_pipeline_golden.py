@@ -414,6 +414,32 @@ def test_parallel_recalculate_golden(tmp_path, monkeypatch):
             assert f.read() == g.read(), part
 
 
+def test_parallel_tree_lk_golden(tmp_path, monkeypatch):
+    """--numCores 3 with the engine's chunk-parallel full-tree likelihood
+    (E_tree_lk_parallel) forced on via MAPLE_PAR_TREELK_MIN: per-node
+    merge-LK contributions are independent and reduce in chunk order, so
+    the total differs from the serial sum only by fp association —
+    trees/model outputs must stay byte-identical and the LK must agree to
+    well below any decision threshold."""
+    par = os.path.join(GOLDEN_DIR, "parallel")
+    if not os.path.isfile(os.path.join(par, "par3_tree.tree")):
+        pytest.skip("golden not generated")
+    monkeypatch.setenv("MAPLE_PAR_TREELK_MIN", "8")
+    out = str(tmp_path / "run")
+    cfg = MapleConfig(input=EXAMPLE,
+                      inputTree=os.path.join(par, "random_input.tree"),
+                      largeUpdate=True, model="GTR", numCores=3,
+                      output=out, overwrite=True)
+    run_inference(cfg)
+    for part in ("_tree.tree", "_subs.txt", "_round1_tree.tree"):
+        with open(out + part) as f, \
+                open(os.path.join(par, "par3" + part)) as g:
+            assert f.read() == g.read(), part
+    with open(out + "_LK.txt") as f, \
+            open(os.path.join(par, "par3_LK.txt")) as g:
+        assert abs(float(f.read()) - float(g.read())) < 1e-6
+
+
 @pytest.mark.parametrize("flag,golden", [
     ({"HnZ": 2}, "example_hnz2"),
     ({"deeperSearchForLongBranches": True}, "example_deeper"),
