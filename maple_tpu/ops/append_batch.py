@@ -123,6 +123,9 @@ def _append_scores_block(P, C, blen, tip_c, mm, root_freqs, site_rates,
     N, B1 = P["types"].shape
     B2 = C["types"].shape[-1]
     dtype = mm.dtype
+    # per-pair blen/tip vectors ([N]) broadcast over the segment axis
+    blen_seg = blen[..., None] if getattr(blen, "ndim", 0) == 1 else blen
+    tip_seg = tip_c[..., None] if getattr(tip_c, "ndim", 0) == 1 else tip_c
     endsP = P["ends"]
     endsC = jnp.broadcast_to(C["ends"], (N, B2))
     E = jnp.sort(jnp.concatenate([endsP, endsC], axis=-1), axis=-1)  # [N,S]
@@ -197,7 +200,7 @@ def _append_scores_block(P, C, blen, tip_c, mm, root_freqs, site_rates,
         contributes = contributes & in_slice
 
     # total fixed branch length between the two observations
-    contrib = blen \
+    contrib = blen_seg \
         + jnp.where(cP == TYPE_O,
                     jnp.where(hasP1, blP1, 0.0),
                     jnp.where(hasP2, blP2, jnp.where(hasP1, blP1, 0.0))) \
@@ -207,7 +210,7 @@ def _append_scores_block(P, C, blen, tip_c, mm, root_freqs, site_rates,
     refn = jnp.where(cP == TYPE_R, valC, valP).astype(jnp.int32)
     i1 = jnp.where(is_nucP, cP, refn).astype(jnp.int32)   # P-side nucleotide
     i2 = jnp.where(is_nucC, cC, refn).astype(jnp.int32)   # C-side nucleotide
-    flagC_eff = uer & (tip_c | flagC)
+    flagC_eff = uer & (tip_seg | flagC)
     flagP_eff = flagP if uer else jnp.zeros_like(flagP)
 
     def ev_o_down(v, t):
@@ -292,16 +295,24 @@ def _append_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
     Pb = {k: blockify(v) for k, v in P.items()}
     paired_C = C["types"].ndim > 1
     Cb = {k: blockify(v) for k, v in C.items()} if paired_C else C
+    # per-pair blen/tip vectors ([N], paired mode) must be row-blocked too
+    vec_blen = getattr(blen, "ndim", 0) == 1
+    vec_tip = getattr(tip_c, "ndim", 0) == 1
+    blen_b = blockify(blen) if vec_blen else blen
+    tip_b = blockify(tip_c) if vec_tip else tip_c
     def body(args):
-        Pblk, Cblk = args
-        return _append_scores_block(Pblk, Cblk, blen, tip_c, mm,
+        Pblk, Cblk, blb, tpb = args
+        return _append_scores_block(Pblk, Cblk, blb, tpb, mm,
                                     root_freqs, site_rates, error_rates,
                                     global_tot_rate, tot_error, uer,
                                     gen_offset=gen_offset)
-    out = jax.lax.map(body, (Pb, Cb) if paired_C
-                      else (Pb, jax.tree.map(
-                          lambda v: jnp.broadcast_to(
-                              v, (n_blocks, *v.shape)), C)))
+    def rep(v):
+        return jnp.broadcast_to(v, (n_blocks, *getattr(v, "shape", ())))
+    out = jax.lax.map(body, (
+        Pb,
+        Cb if paired_C else jax.tree.map(rep, C),
+        blen_b if vec_blen else rep(jnp.asarray(blen)),
+        tip_b if vec_tip else rep(jnp.asarray(tip_c))))
     return out.reshape(-1)[:N]
 
 
