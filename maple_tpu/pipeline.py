@@ -484,9 +484,14 @@ class Run:
                                use_pallas=getattr(cfg, "device_pallas",
                                                   False))
         start_all = time.time()
+        upd = cfg.updateSubstMatrixEveryThisSamples
         while distances:
-            if cfg.model != "JC" and num_samples \
-                    % cfg.updateSubstMatrixEveryThisSamples < batch_size:
+            # exact serial model-refresh cadence (reference :11708-11711);
+            # batches below never cross a refresh boundary, so the model
+            # every sample sees is identical to the serial path's — this
+            # cadence mismatch was the entire device-vs-serial LK gap
+            # diagnosed in round 3 (11.4 logLK on the 112-sample example)
+            if cfg.model != "JC" and num_samples % upd == 0:
                 self.model.update_from_pseudo_counts()
             if num_samples < warmup:
                 _, sample = distances.pop()
@@ -506,7 +511,10 @@ class Run:
                 num_samples += 1
                 continue
             batch = []
-            while distances and len(batch) < batch_size:
+            k = batch_size
+            if cfg.model != "JC":
+                k = min(k, upd - num_samples % upd)
+            while distances and len(batch) < k:
                 _, sample = distances.pop()
                 self.names_in_tree.append(sample)
                 batch.append((num_samples,

@@ -65,6 +65,12 @@ class TreeRuntime:
         # when set, the native phase helpers run against the resident
         # engine state instead of round-tripping the tree per call.
         self.native_session = None
+        # When a set is installed here, update_partials records every node
+        # it processes; the device-batched placer uses this to detect pool
+        # anchors whose cached vectors went stale mid-batch (the
+        # search-parallel/apply-serial staleness contract, reference
+        # applySPRMovesParallel :9470-9484).
+        self.touch_log = None
 
     # ------------------------------------------------------------------
     def ctx(self) -> K.KernelCtx:
@@ -475,6 +481,8 @@ class TreeRuntime:
             made_change = False
             node, direction, lk_dirty, time_dirty = node_list.pop()
             tree.dirty[node] = True
+            if self.touch_log is not None:
+                self.touch_log.add(node)
             vect_up_up = None
             vect_up_up_time = None
             child_num_up = None

@@ -67,10 +67,10 @@ def test_batched_placer_end_to_end(tmp_path):
     run_d, lk_d = _run_device(tmp_path)
     assert _placed_count(run_d) == _placed_count(run_s) == 112
     # recalculate_all above already validates cached-vector consistency;
-    # placement-stage quality contract: batched scoring decouples
-    # within-batch ordering, so a small LK gap remains until the SPR
-    # rounds repair it (see test_device_full_pipeline_lk below)
-    assert abs(lk_d - lk_s) <= 0.001 * abs(lk_s), (lk_d, lk_s)
+    # placement-stage quality contract: with stale-anchor masking,
+    # touched-node host re-scoring, and the serial model-refresh cadence
+    # the batched path reproduces the serial decisions exactly
+    assert abs(lk_d - lk_s) <= 1e-6, (lk_d, lk_s)
 
 
 def test_device_full_pipeline_lk(tmp_path):
@@ -109,7 +109,7 @@ def test_batched_placer_with_mat_frames(tmp_path):
     n_frames = sum(1 for m in run_d.tree.mutations if m)
     assert n_frames > 0, "expected MAT promotions with clade size 10"
     assert _placed_count(run_d) == _placed_count(run_s) == 112
-    assert abs(lk_d - lk_s) <= 0.001 * abs(lk_s), (lk_d, lk_s)
+    assert abs(lk_d - lk_s) <= 1e-6, (lk_d, lk_s)
 
 
 def test_batched_placer_pallas_end_to_end(tmp_path):
@@ -122,4 +122,6 @@ def test_batched_placer_pallas_end_to_end(tmp_path):
     run_x, lk_x = _run_device(tmp_path)
     run_p, lk_p = _run_device(tmp_path, device_pallas=True)
     assert _placed_count(run_p) == _placed_count(run_x) == 112
-    assert abs(lk_p - lk_x) <= 0.001 * abs(lk_x), (lk_p, lk_x)
+    # the float32 screens may differ in rounding, but the float64 host
+    # fine phase makes the decisions; allow only sub-logLK drift
+    assert abs(lk_p - lk_x) <= 0.01, (lk_p, lk_x)
