@@ -107,12 +107,12 @@ class DeviceTreePool:
                                       dtype=np.float32)
         host = to_device(packed, dtype=self.dtype)
         if self.mesh is not None:
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec as PS
+            from jax.sharding import PartitionSpec as PS
+            from .mesh import put_global
             mesh = self.mesh
-            spec = lambda v: NamedSharding(
-                mesh, PS("cand", *([None] * (v.ndim - 1))))
-            host = {k: jax.device_put(v, spec(v)) for k, v in host.items()}
+            host = {k: put_global(mesh, v,
+                                  PS("cand", *([None] * (v.ndim - 1))))
+                    for k, v in host.items()}
         self.pool = host
         return n
 
@@ -158,8 +158,12 @@ class BatchedPlacer:
 
     def _device_model(self) -> DeviceModel:
         if self.dm is None or self.dm_version != self.rt.model.version:
-            self.dm = device_model_from(self.rt.model, self.rt.dc,
-                                        dtype=self.dtype)
+            dm = device_model_from(self.rt.model, self.rt.dc,
+                                   dtype=self.dtype)
+            if self.mesh is not None:
+                from .mesh import replicate_model
+                dm = replicate_model(self.mesh, dm)
+            self.dm = dm
             self.dm_version = self.rt.model.version
         return self.dm
 
@@ -211,16 +215,15 @@ class BatchedPlacer:
                     [v, jnp.repeat(v[:1], qc - n_sub, axis=0)], axis=0)
                     for k, v in sub.items()}
             if self.mesh is not None:
-                import jax
-                from jax.sharding import NamedSharding, PartitionSpec as PS
-                from .mesh import placement_scores, placement_scores_pallas
-                q_spec = lambda v: NamedSharding(
-                    self.mesh, PS("dp", *([None] * (v.ndim - 1))))
-                sub = {k: jax.device_put(v, q_spec(v))
+                from jax.sharding import PartitionSpec as PS
+                from .mesh import (host_fetch, placement_scores,
+                                   placement_scores_pallas, put_global)
+                sub = {k: put_global(self.mesh, v,
+                                     PS("dp", *([None] * (v.ndim - 1))))
                        for k, v in sub.items()}
                 scorer = placement_scores_pallas if self.use_pallas \
                     else placement_scores
-                out = np.asarray(scorer(
+                out = host_fetch(scorer(
                     self.mesh, self.pool.pool, sub, one_mut, dm))
             elif self.use_pallas:
                 from ..ops.pallas_append import pallas_grid_append_scores

@@ -152,6 +152,9 @@ def device_topology_update(rt, root: int, params,
         return None, 0.0
 
     dm = device_model_from(rt.model, rt.dc)
+    if mesh is not None:
+        from .mesh import replicate_model
+        dm = replicate_model(mesh, dm)
     q_budget = 256
     while any(len(q) > q_budget for q in q_vecs):
         q_budget *= 2
@@ -176,8 +179,14 @@ def device_topology_update(rt, root: int, params,
             bl = np.concatenate([bl, np.repeat(bl[:1], qc - n_sub)])
             tp = np.concatenate([tp, np.repeat(tp[:1], qc - n_sub)])
         if mesh is not None:
-            from .mesh import spr_screen_scores
-            out = np.asarray(spr_screen_scores(mesh, pool.pool, sub, bl,
+            from jax.sharding import PartitionSpec as PS
+            from .mesh import host_fetch, put_global, spr_screen_scores
+            sub = {k: put_global(mesh, v,
+                                 PS("dp", *([None] * (v.ndim - 1))))
+                   for k, v in sub.items()}
+            bl = put_global(mesh, bl, PS("dp"))
+            tp = put_global(mesh, tp, PS("dp"))
+            out = host_fetch(spr_screen_scores(mesh, pool.pool, sub, bl,
                                                tp, dm))
         else:
             out = np.asarray(grid_append_scores_var(pool.pool, sub, bl,

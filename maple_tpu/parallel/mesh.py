@@ -32,6 +32,44 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.append_batch import DeviceModel, _append_scores_impl
 
 
+def put_global(mesh: Mesh, arr, spec: P):
+    """device_put onto a mesh that may span processes.
+
+    Single-process: a plain sharded device_put.  Multi-process
+    (jax.distributed): every process holds the identical full host array
+    (the replicated-tree contract — each process runs the same
+    deterministic pipeline, SURVEY.md §2.5), and each contributes only
+    its addressable shards via make_array_from_callback."""
+    a = np.asarray(arr)
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(a.shape, sharding,
+                                            lambda idx: a[idx])
+    return jax.device_put(a, sharding)
+
+
+def host_fetch(x):
+    """Full host copy of a (possibly process-spanning) global array: the
+    serial-apply fine phase runs on every process with the complete score
+    matrix, so decisions stay replicated."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def replicate_model(mesh: Mesh, dm: DeviceModel) -> DeviceModel:
+    """Model arrays as mesh-replicated globals (needed whenever the mesh
+    spans processes; a no-op cost single-process)."""
+    if jax.process_count() <= 1:
+        return dm
+    return dm._replace(**{
+        name: put_global(mesh, getattr(dm, name),
+                         P(*([None] * np.asarray(getattr(dm, name)).ndim)))
+        for name in ("mut_matrix", "root_freqs", "site_rates",
+                     "error_rates", "global_tot_rate", "tot_error")})
+
+
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None):
     """Build a 2D (dp, cand) mesh over the available devices."""
     devices = jax.devices()

@@ -27,6 +27,41 @@ def _free_port():
     return port
 
 
+def test_two_process_full_pipeline(tmp_path):
+    """Complete placement + SPR-screen pipeline across 2 jax.distributed
+    processes (VERDICT r2 item 3): tree replicated per process, device
+    scoring sharded over the global (dp=4, cand=2) mesh, full score
+    matrices allgathered, serial re-validated apply.  Each worker asserts
+    its mesh-placed LK equals its host-serial run exactly; the driver
+    asserts the two processes produced byte-identical trees and LKs."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable,
+             os.path.join(HERE, "jax_distributed_pipeline_worker.py"),
+             str(pid), str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert f"PIPELINE_OK {pid}" in out
+
+    with open(tmp_path / "tree_p0.nwk") as f0, \
+            open(tmp_path / "tree_p1.nwk") as f1:
+        assert f0.read() == f1.read()
+    with open(tmp_path / "lk_p0.txt") as f0, \
+            open(tmp_path / "lk_p1.txt") as f1:
+        assert f0.read() == f1.read()
+
+
 def test_two_process_sharded_scoring(tmp_path):
     port = _free_port()
     env = dict(os.environ)
