@@ -152,7 +152,12 @@ class MapleConfig:
     # internal node (measured ~98% at 20k samples) — the root-search twin
     # of placementBudget/topologyBudget.  Requires the native engine;
     # quality pinned by tests/test_beam_placement.py.
-    rootSearchBudget: int = 0
+    # -1 = auto: resolves to 1000 under --fast at >=50k samples (where the
+    # budgeted crawl was measured quality-neutral: 100k LK within 0.03 and
+    # RF 111-vs-112 of the exact crawl, at 1/5 the root-phase wall) and to
+    # 0 (exact) everywhere else.  Set 0 to force the exact crawl, >0 to
+    # force a budget.
+    rootSearchBudget: int = -1
     # Time-aware SPR scoring (--datesFile runs only): carry sampling-time
     # likelihood terms through the SPR crawl and candidate re-optimization
     # so topology decisions weigh time as well as genetic likelihood —

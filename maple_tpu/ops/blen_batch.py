@@ -45,7 +45,7 @@ def _iters_for(sens: float, t_max: float = T_MAX) -> int:
 
 @partial(jax.jit, static_argnames=("uer", "iters"))
 def _gss_impl(P, C, tips, mm, root_freqs, site_rates, error_rates,
-              global_tot_rate, tot_error, uer, iters):
+              global_tot_rate, tot_error, uer, iters, sens):
     dtype = mm.dtype
     N = P["types"].shape[0]
 
@@ -56,17 +56,50 @@ def _gss_impl(P, C, tips, mm, root_freqs, site_rates, error_rates,
 
     a0 = jnp.zeros((N,), dtype=dtype)
     b0 = jnp.full((N,), T_MAX, dtype=dtype)
+    c0 = b0 - _INVPHI * (b0 - a0)
+    d0 = a0 + _INVPHI * (b0 - a0)
 
-    def body(_, ab):
-        a, b = ab
-        c = b - _INVPHI * (b - a)
-        d = a + _INVPHI * (b - a)
-        left = f(c) > f(d)
-        return jnp.where(left, a, c), jnp.where(left, d, b)
+    def body(_, st):
+        # classic golden-section: keep the retained interior point's value
+        # and evaluate the scorer only at the ONE new point per iteration
+        a, b, c, d, fc, fd = st
+        left = fc > fd
+        a2 = jnp.where(left, a, c)
+        b2 = jnp.where(left, d, b)
+        fkeep = jnp.where(left, fc, fd)
+        c2 = b2 - _INVPHI * (b2 - a2)
+        d2 = a2 + _INVPHI * (b2 - a2)
+        # when shrinking left, d2 coincides with the old c (value fkeep)
+        # and c2 is new; mirrored on the right
+        x = jnp.where(left, c2, d2)
+        fx = f(x)
+        fc2 = jnp.where(left, fx, fkeep)
+        fd2 = jnp.where(left, fkeep, fx)
+        return a2, b2, c2, d2, fc2, fd2
 
-    a, b = jax.lax.fori_loop(0, iters, body, (a0, b0))
+    a, b, *_ = jax.lax.fori_loop(0, iters, body,
+                                 (a0, b0, c0, d0, f(c0), f(d0)))
     t = 0.5 * (a + b)
-    return t, f(t)
+    # boundary semantics first (host kernel: <sens means length zero,
+    # reference cap at 0.1), then score AT the returned length so the
+    # (t, score) pair is consistent
+    t = jnp.where(t < sens, jnp.zeros_like(t),
+                  jnp.where(t > T_MAX - sens, jnp.full_like(t, T_MAX), t))
+    ft = f(t)
+    # concavity guard: the uniform-collapse clamp inside the evolve ops is
+    # a t-dependent discontinuity where GSS can settle on a non-global
+    # bracket (the host kernel escapes this regime via its minAis<0 ->
+    # return 0.1 branch); comparing against both endpoints restores the
+    # global argmax over {t*, 0, T_MAX}
+    f_lo = f(a0)
+    f_hi = f(b0)
+    better_lo = f_lo > ft
+    t = jnp.where(better_lo, a0, t)
+    ft = jnp.where(better_lo, f_lo, ft)
+    better_hi = f_hi > ft
+    t = jnp.where(better_hi, b0, t)
+    ft = jnp.where(better_hi, f_hi, ft)
+    return t, ft
 
 
 def batched_optimize_blen(P: dict, C: dict, tips, dm: DeviceModel,
@@ -80,12 +113,8 @@ def batched_optimize_blen(P: dict, C: dict, tips, dm: DeviceModel,
     where the host kernel would return False, T_MAX at the cap) and the
     append score at that length.
     """
-    t, score = _gss_impl(
+    dtype = dm.mut_matrix.dtype
+    return _gss_impl(
         P, C, jnp.asarray(tips), dm.mut_matrix, dm.root_freqs,
         dm.site_rates, dm.error_rates, dm.global_tot_rate, dm.tot_error,
-        dm.using_error_rate, _iters_for(sens))
-    dtype = dm.mut_matrix.dtype
-    t = jnp.where(t < sens, jnp.zeros_like(t),
-                  jnp.where(t > T_MAX - sens,
-                            jnp.full_like(t, jnp.asarray(T_MAX, dtype)), t))
-    return t, score
+        dm.using_error_rate, _iters_for(sens), jnp.asarray(sens, dtype))

@@ -154,6 +154,11 @@ class Run:
                 cfg.intervalLength, cfg.timeProbThreshold,
                 cfg.minMutRate * cfg.intervalLength, cfg.mutRate)
             self.time_ctx.dates = self.dates
+        if cfg.rootSearchBudget < 0:
+            # auto root-search budget: quality-gated scale default (see
+            # config.py note); exact everywhere the wall is already small
+            cfg.rootSearchBudget = 1000 if (
+                cfg.fast and len(data) >= 50000) else 0
         print(f"Length of reference genome: {self.refd.lRef}; "
               f"{len(data)} samples")
 

@@ -103,6 +103,68 @@ def run_one(aln, truth, out_prefix, fast, extra_flags):
     }
 
 
+REFERENCE = "/root/reference/MAPLEv0.7.5.4.py"
+
+
+def run_reference(aln, truth, out_prefix, fast, num_cores=1, timeout=None,
+                  n_samples=None):
+    """The reference implementation (CPython) in the SAME harness: same
+    dataset, same --fast preset, RF scored against the same truth tree
+    with this repo's RF mode — the recorded side-by-side that the
+    speedup claims are measured against (the reference's own harness
+    pattern: /root/reference/scripts/MAPLE_benchmarking.py:9-85)."""
+    import re
+
+    cmd = [sys.executable, REFERENCE, "--input", aln,
+           "--output", out_prefix, "--model", "UNREST", "--overwrite"]
+    if fast:
+        cmd.append("--fast")
+    if num_cores > 1:
+        cmd += ["--numCores", str(num_cores)]
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          timeout=timeout)
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        return {"reference": True, "wall_s": round(wall, 2),
+                "error": proc.stdout[-500:] + proc.stderr[-500:]}
+    out = proc.stdout
+    # the reference's self-reported phase timings (:12632-12636)
+    finding = placing = None
+    m = re.search(r"Time spent finding placement nodes: ([0-9.]+)", out)
+    if m:
+        finding = float(m.group(1))
+    m = re.search(r"Time spent placing samples on the tree: ([0-9.]+)",
+                  out)
+    if m:
+        placing = float(m.group(1))
+    with open(out_prefix + "_LK.txt") as f:
+        lk = float(f.read().strip())
+    from maple_tpu.analysis.rf import run_rf_mode
+    from maple_tpu.config import MapleConfig
+    rf_cfg = MapleConfig(inputTree=truth,
+                         inputRFtrees=out_prefix + "_tree.tree",
+                         output=out_prefix + "_rf", overwrite=True)
+    rf_path = run_rf_mode(rf_cfg)
+    with open(rf_path) as f:
+        header = f.readline().strip().split("\t")
+        values = f.readline().strip().split("\t")
+    rf = dict(zip(header, values))
+    place_time = (finding or 0) + (placing or 0)
+    return {
+        "reference": True,
+        "samples": n_samples,
+        "wall_s": round(wall, 2),
+        "placement_s": round(place_time, 2) if place_time else None,
+        "placement_seq_per_s": round(n_samples / place_time, 1)
+        if (place_time and n_samples) else None,
+        "lk": lk,
+        "rf": int(rf["RF"]),
+        "normalised_rf": float(rf["normalisedRF"]),
+        "rfl": float(rf["RFL"]),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1000,10000,20000,50000")
@@ -127,6 +189,12 @@ def main():
                     help=">1 = engine-threaded search-parallel/"
                          "apply-serial SPR (the reference's --numCores "
                          "mode, without fork+pickle)")
+    ap.add_argument("--reference", action="store_true",
+                    help="run /root/reference/MAPLEv0.7.5.4.py (CPython) "
+                         "in this same harness instead of this framework "
+                         "— the recorded side-by-side")
+    ap.add_argument("--timeout", type=float, default=None,
+                    help="per-size subprocess timeout (reference runs)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -148,9 +216,16 @@ def main():
     for n in sizes:
         aln, truth = ensure_dataset(args.workdir, n, args.seed,
                                     args.mutRate, args.nRate, args.ambRate)
-        out_prefix = os.path.join(args.workdir, f"run_n{n}")
-        res = run_one(aln, truth, out_prefix, fast=not args.full,
-                      extra_flags=extra)
+        if args.reference:
+            out_prefix = os.path.join(args.workdir, f"ref_n{n}")
+            res = run_reference(aln, truth, out_prefix,
+                                fast=not args.full,
+                                num_cores=args.numCores,
+                                timeout=args.timeout, n_samples=n)
+        else:
+            out_prefix = os.path.join(args.workdir, f"run_n{n}")
+            res = run_one(aln, truth, out_prefix, fast=not args.full,
+                          extra_flags=extra)
         res.update({"mode": "full" if args.full else "fast",
                     "seed": args.seed, "mut_rate": args.mutRate,
                     "flags": extra, "ts": time.time()})
@@ -162,7 +237,11 @@ def main():
     print(f"\n{'n':>8} {'seq/s':>8} {'wall_s':>8} {'nRF':>8} {'RFL':>12} "
           f"{'LK':>16}")
     for r in rows:
-        print(f"{r['samples']:>8} {r['placement_seq_per_s']:>8} "
+        if "error" in r:
+            print(f"{'?':>8} {'-':>8} {r['wall_s']:>8} ERROR")
+            continue
+        print(f"{r['samples'] or 0:>8} "
+              f"{r['placement_seq_per_s'] or '-':>8} "
               f"{r['wall_s']:>8} {r['normalised_rf']:>8.4f} "
               f"{r['rfl']:>12.6f} {r['lk']:>16.2f}")
     print(f"\nresults appended to {results_path}")

@@ -144,7 +144,8 @@ def _chained_time(score_fn, blen, iters_hi, reps):
     return best
 
 
-def run_config(n, k, b1, b2, tile_ns, reps, use_xla=True, iters_hi=5):
+def run_config(n, k, b1, b2, tile_ns, reps, use_xla=True, iters_hi=5,
+               use_pallas=True):
     import jax
     import jax.numpy as jnp
 
@@ -171,7 +172,7 @@ def run_config(n, k, b1, b2, tile_ns, reps, use_xla=True, iters_hi=5):
     t_sol = max(t_vpu, t_hbm)
     bound = "vpu" if t_vpu >= t_hbm else "hbm"
 
-    for tile_n in tile_ns:
+    for tile_n in (tile_ns if use_pallas else ()):
         layout = "lanes" if tile_n == 0 else "entries"
 
         def pallas_score(b, tile_n=tile_n, layout=layout):
@@ -219,6 +220,10 @@ def main():
                     "8192,128,128,128",
                     help="semicolon list of N,K,B1,B2")
     ap.add_argument("--no-xla", action="store_true")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="measure only the XLA scorer (lets long tunneled"
+                         "-backend compiles be chunked across invocations)")
+    ap.add_argument("--iters-hi", type=int, default=5)
     args = ap.parse_args()
 
     import jax
@@ -229,18 +234,21 @@ def main():
     for spec in args.configs.split(";"):
         n, k, b1, b2 = (int(x) for x in spec.split(","))
         all_rows += run_config(n, k, b1, b2, tile_ns, args.reps,
-                               use_xla=not args.no_xla)
+                               use_xla=not args.no_xla,
+                               use_pallas=not args.no_pallas,
+                               iters_hi=args.iters_hi)
     if args.out:
         with open(args.out, "w") as f:
             for r in all_rows:
                 f.write(json.dumps(r) + "\n")
-    best = max((r for r in all_rows if r["kernel"].startswith("pallas")),
-               key=lambda r: r["fraction_of_light"])
-    print(f"# best {best['kernel']}: tile_n={best['tile_n']} "
-          f"N={best['N']} B1={best['B1']}: "
-          f"{best['scores_per_s']:,} scores/s, "
-          f"{best['fraction_of_light']:.1%} of light "
-          f"({best['sol_bound']}-bound)", file=sys.stderr)
+    pallas_rows = [r for r in all_rows if r["kernel"].startswith("pallas")]
+    if pallas_rows:
+        best = max(pallas_rows, key=lambda r: r["fraction_of_light"])
+        print(f"# best {best['kernel']}: tile_n={best['tile_n']} "
+              f"N={best['N']} B1={best['B1']}: "
+              f"{best['scores_per_s']:,} scores/s, "
+              f"{best['fraction_of_light']:.1%} of light "
+              f"({best['sol_bound']}-bound)", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -29,7 +29,6 @@ def test_batched_blen_matches_host(refmod, x64, model_name, rate_var,
     import jax.numpy as jnp
     from maple_tpu.ops import append_batch as AB
     from maple_tpu.ops import blen_batch as BB
-    from test_ops_batched import test_batched_append_matches_host  # noqa
 
     ctx, rm = build_ctx(refmod, model_name, rate_var, error_mode, seed=21)
     from maple_tpu.config import DerivedConfig, MapleConfig
