@@ -552,9 +552,24 @@ def em_mut_rate(ctx: TimeCtx, tree, root):
                         new_min_t = max(min_tp + 1, min_tc) if tot_len \
                             else max(min_tp, min_tc)
                     if max_tc < new_min_t:
-                        raise RuntimeError(
-                            "expectationMaximizationCalculationRatesTime() "
-                            "incompatible time vectors.")
+                        # Deviation from the reference, which raises
+                        # Exception("exit") here (:1099-1100): residual
+                        # upper/lower incompatibility can survive the
+                        # resolveTimeInconsistency repair after aggressive
+                        # (time-aware) topology moves.  Dropping the branch
+                        # from the EM statistics loses one branch's counts;
+                        # crashing loses the whole inference.
+                        print("WARNING: expectationMaximizationCalculation"
+                              f"RatesTime() incompatible time vectors at "
+                              f"node {node}; branch skipped in "
+                              "mutation-rate EM.")
+                        if children[node]:
+                            node = children[node][0]
+                        else:
+                            last_node = node
+                            node = up[node]
+                            direction = 1
+                        continue
                     tot = 0.0
                     cur = new_min_t
                     if tot_lens:

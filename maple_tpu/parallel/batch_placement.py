@@ -47,13 +47,20 @@ class DeviceTreePool:
     ``cand`` axis (each device holds a slice of the tree's anchors — the
     tensor-parallel analogue for this workload, SURVEY.md §2.5)."""
 
-    def __init__(self, rt: TreeRuntime, dtype=jnp.float32, mesh=None):
+    def __init__(self, rt: TreeRuntime, dtype=jnp.float32, mesh=None,
+                 n_pad_hint: int = 0):
         self.rt = rt
         self.dtype = dtype
         self.mesh = mesh
         self.anchor_ids: List[int] = []
         self.pool = None
         self.budget = 64
+        # When the driver knows how many samples the run will place, the
+        # pool pads straight to the final power-of-two shape: one device
+        # compile for the whole run instead of one per doubling (each
+        # tunnel-side compile of the grid scorer measures ~3 min on this
+        # environment — the dominant cost of the round-2 device path).
+        self.n_pad_hint = n_pad_hint
 
     def refresh(self):
         rt = self.rt
@@ -100,7 +107,7 @@ class DeviceTreePool:
         # bounded number of shape variants as the tree grows
         n = len(vecs)
         n_pad = 64
-        while n_pad < n:
+        while n_pad < max(n, self.n_pad_hint):
             n_pad *= 2
         vecs = vecs + [vecs[0]] * (n_pad - n)
         packed = OP.pack_genome_lists(vecs, rt.refd.lRef, self.budget, uer,
@@ -123,7 +130,8 @@ class BatchedPlacer:
 
     def __init__(self, rt: TreeRuntime, stats: PlacementStats,
                  batch_size: int = 64, query_chunk: int = 16,
-                 dtype=jnp.float32, mesh=None, use_pallas: bool = False):
+                 dtype=jnp.float32, mesh=None, use_pallas: bool = False,
+                 expected_samples: int = 0):
         self.rt = rt
         self.stats = stats
         self.batch_size = batch_size
@@ -136,7 +144,18 @@ class BatchedPlacer:
             query_chunk += (-query_chunk) % dp
         self.query_chunk = query_chunk
         self.dtype = dtype
-        self.pool = DeviceTreePool(rt, dtype, mesh=mesh)
+        # a de-novo run on K samples ends with < 2K anchors (leaves +
+        # internals, minus collapsed minors and 0-length nodes)
+        self.pool = DeviceTreePool(rt, dtype, mesh=mesh,
+                                   n_pad_hint=2 * expected_samples)
+        # Cross-batch pool retention: nodes created/touched since the last
+        # pool refresh (their stale pool scores are masked out of every
+        # screen and re-scored fresh on host — the same exactness
+        # machinery as within-batch staleness).  The pool repack+upload
+        # runs only when this set outgrows the threshold, not every batch.
+        self.recent: List[int] = []
+        self.recent_set = set()
+        self.refresh_threshold = 768
         self.dm: Optional[DeviceModel] = None
         self.dm_version = -1
         self.time_scoring = 0.0
@@ -177,7 +196,13 @@ class BatchedPlacer:
         kern = rt.kern
         one_mut = dc.oneMutBLen
         t0 = time.time()
-        n_anchors = self.pool.refresh()
+        if self.pool.pool is None or not self.pool.anchor_ids \
+                or len(self.recent) > self.refresh_threshold:
+            n_anchors = self.pool.refresh()
+            self.recent = []
+            self.recent_set = set()
+        else:
+            n_anchors = len(self.pool.anchor_ids)
         if n_anchors == 0:
             # degenerate tree (e.g. everything absorbed as minors so far):
             # fall back to the host search for this batch
@@ -237,15 +262,15 @@ class BatchedPlacer:
         self.time_scoring += time.time() - t0
 
         anchor_ids = self.pool.anchor_ids
-        # Within-batch staleness repair: nodes created by earlier
-        # placements in this batch AND existing anchors whose cached
-        # vectors were touched by dirty propagation are re-scored on host
-        # for the remaining queries, so chained placements stay exactly as
-        # sharp as the serial path's (whose tree the batch-start device
-        # pool cannot see).  The touch set comes from the runtime's
-        # update_partials recorder.
-        recent = []
-        recent_set = set()
+        # Staleness repair: nodes created by earlier placements (this
+        # batch or any batch since the last pool refresh) AND existing
+        # anchors whose cached vectors were touched by dirty propagation
+        # are re-scored on host for every query, so chained placements
+        # stay exactly as sharp as the serial path's (whose tree the
+        # refresh-time device pool cannot see).  The touch set comes from
+        # the runtime's update_partials recorder.
+        recent = self.recent
+        recent_set = self.recent_set
         touched = set()
         anchor_index = {a: i for i, a in enumerate(anchor_ids)}
         prev_log = rt.touch_log

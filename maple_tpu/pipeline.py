@@ -487,7 +487,8 @@ class Run:
         placer = BatchedPlacer(self.rt, self.stats, batch_size=batch_size,
                                mesh=mesh,
                                use_pallas=getattr(cfg, "device_pallas",
-                                                  False))
+                                                  False),
+                               expected_samples=len(distances) + 1)
         start_all = time.time()
         upd = cfg.updateSubstMatrixEveryThisSamples
         while distances:
@@ -753,9 +754,9 @@ class Run:
                 # unguarded errorRates[i]) — deliberate repair
                 f.write(f"\n\nError rate: {self.model.error_rate}\n")
 
-    def write_lk(self, suffix="_LK.txt"):
+    def write_lk(self, suffix="_LK.txt", include_time=True):
         total = self.rt.calculate_tree_likelihood(self.root)
-        if self.time_ctx is not None:
+        if self.time_ctx is not None and include_time:
             from .models.timetree import (calculate_tree_likelihood_time,
                                           recalculate_all_time)
             # topology phases score genetically and leave time vectors
@@ -810,7 +811,8 @@ class Run:
             default_blen=cfg.defaultBLen,
             normalize_input_blen=cfg.normalizeInputBLen,
             keep_iqtree_supports=cfg.keepInputIQtreeSupports,
-            use_hnz=bool(cfg.HnZ))
+            use_hnz=bool(cfg.HnZ),
+            use_time=self.time_ctx is not None)
         tree, root = trees[0]
         print("Read input newick tree")
         make_tree_binary(tree, root)
@@ -819,6 +821,11 @@ class Run:
         self.names_in_tree = names_in_tree
         self.samples_in_tree = set(names_dict)
         self.rt = TreeRuntime(tree, self.refd, self.model, self.dc, cfg)
+        # online time mode: the runtime needs the time context BEFORE the
+        # first_setup recompute so tip dateData and time vectors are built
+        # from the input tree (reference reCalculateAllGenomeListsTime
+        # :1380-1531 is fired by its setup path the same way)
+        self.rt.time = self.time_ctx
         if cfg.HnZ:
             from .runtime.tree import calculate_ndesc0
             calculate_ndesc0(tree, root, self.dc.effectivelyNon0BLen)
@@ -1013,12 +1020,18 @@ class Run:
             if ses is not None:
                 ses.close()
 
-    def write_outputs(self, suffix_add=""):
+    def write_outputs(self, suffix_add="", from_rounds=None):
         """Final outputs for one round (reference :12481-12555 and the
-        nRounds==0 path :12556-12630)."""
+        nRounds==0 path :12556-12630).  ``from_rounds`` mirrors a quirk of
+        the reference's two writers: only the rounds-loop one adds the
+        time likelihood into _LK.txt (:12512-12515); the nRounds==0 path
+        (:12584) writes the genetic likelihood alone."""
         cfg = self.cfg
+        if from_rounds is None:
+            from_rounds = bool(suffix_add)
         self.write_subs(suffix_add + "_subs.txt")
-        total = self.write_lk(suffix_add + "_LK.txt")
+        total = self.write_lk(suffix_add + "_LK.txt",
+                              include_time=from_rounds)
         print(f"totalLK: {total}", flush=True)
         if cfg.estimateErrors:
             from .analysis.errors import calculate_error_probabilities

@@ -1538,5 +1538,11 @@ def _run_spr_rounds_body(run, rounds, _time):
             lk = rt.calculate_tree_likelihood(run.root)
             print(f"branch length finalization final LK: {lk}")
 
+        # EM round for the time-scaled mutation rate (reference
+        # :12462-12480: unconditional first update, then continue while
+        # the time LK improves by >0.1, max 20 steps)
+        if rt.do_time_tree:
+            run.run_time_em(f"SPR round {n_round + 1}")
+
         suffix = f"_round{n_round + 1}" if n_round < len(rounds) - 1 else ""
-        run.write_outputs(suffix)
+        run.write_outputs(suffix, from_rounds=True)

@@ -200,6 +200,28 @@ REGISTRY = [
          argv=["--model", "UNREST", "--estimateErrors"],
          parts=STD + ("_estimatedErrors.txt",), tier="slow",
          notes="~45 min under CPython"),
+    # --- time-tree oracle (patched reference copy) -----------------------
+    # Source: /root/reference/MAPLEv0.7.5.4.py with the five minimal
+    # guards from tests/make_time_oracle.py (no formula changes) — the
+    # unpatched reference crashes on every --datesFile input before
+    # completing a run.  dates_clock.tsv = clock-consistent dates
+    # (2020-02-01 + #mutations/0.09 days per sample).
+    dict(name="time_oracle_fixed", oracle=True,
+         argv=["--model", "GTR",
+               "--inputTree", G("example_gtr_tree.tree"),
+               "--datesFile", G("dates_clock.tsv"),
+               "--doNotImproveTopology", "--doNotReroot",
+               "--doNotOptimiseBLengths"],
+         parts=STD,
+         notes="independent end-to-end time-tree oracle, fixed tree"),
+    dict(name="time_oracle_place", oracle=True,
+         argv=["--model", "GTR",
+               "--datesFile", G("dates_clock.tsv"),
+               "--numTopologyImprovements", "0",
+               "--noFastTopologyInitialSearch", "--doNotReroot",
+               "--doNotOptimiseBLengths"],
+         parts=STD,
+         notes="independent time-tree oracle, de-novo placement phase"),
 ]
 
 # Inputs/captures that are part of the fixture set, never regenerated.
@@ -209,8 +231,10 @@ FIXTURES = [
     "parallel/random_input.tree (seeded random topology over the example)",
     "lineage/assign.csv, lineage/input.nexus (hand-made lineage fixtures)",
     "lineagerefs/refs.maple (subset lineage reference genomes)",
-    "dates_mild.tsv (hand-made dates; reference time-tree path crashes on "
-    "every tested input so time-tree parity is kernel-level only)",
+    "dates_mild.tsv (hand-made dates; adversarial — even the patched "
+    "oracle cannot complete on it, see make_time_oracle.py)",
+    "dates_clock.tsv (clock-consistent dates for the example samples: "
+    "2020-02-01 + #mutations/0.09 days; the time-oracle input)",
     "*.log (captured reference run logs, kept for timing provenance)",
     "scripts/* (inputs + outputs of the companion-script differential "
     "tests; regenerated inside tests/test_scripts.py itself)",
@@ -219,7 +243,17 @@ FIXTURES = [
 
 def run_entry(e, workdir):
     out = os.path.join(workdir, e["name"].replace("/", "_"))
-    argv = [sys.executable, REFERENCE, "--output", out, "--overwrite"]
+    binary = REFERENCE
+    if e.get("oracle"):
+        # time-tree entries run the minimally patched oracle copy
+        binary = os.path.join(workdir, "MAPLE_timefix.py")
+        if not os.path.isfile(binary):
+            r = subprocess.run(
+                [sys.executable, os.path.join(HERE, "make_time_oracle.py"),
+                 "--out", binary], capture_output=True, text=True)
+            if r.returncode != 0:
+                return out, f"oracle build failed: {r.stderr[-500:]}"
+    argv = [sys.executable, binary, "--output", out, "--overwrite"]
     inp = e.get("input", EXAMPLE)
     if inp:
         argv += ["--input", inp]
