@@ -26,10 +26,12 @@ LK parity to the last bit on the example alignment at every batch size.
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import List, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..core import kernels as K
@@ -38,6 +40,13 @@ from ..ops.append_batch import (DeviceModel, device_model_from,
                                 grid_append_scores, to_device)
 from ..runtime.partials import TreeRuntime
 from ..search.placement import PlacementStats, place_sample_on_tree
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(pool, idx, rows):
+    """Write ``rows`` into ``pool`` at row indices ``idx`` on device; the
+    old pool buffers are donated so the update is in-place in HBM."""
+    return {k: pool[k].at[idx].set(rows[k]) for k in pool}
 
 
 class DeviceTreePool:
@@ -61,6 +70,15 @@ class DeviceTreePool:
         # tunnel-side compile of the grid scorer measures ~3 min on this
         # environment — the dominant cost of the round-2 device path).
         self.n_pad_hint = n_pad_hint
+        # Incremental-update state (single-device path): rows are
+        # persistent — an anchor keeps its row for the whole run, new
+        # anchors append, and ineligible anchors are masked host-side
+        # rather than compacted, so refreshes become row-scatters of only
+        # the changed nodes instead of full repack+reupload.
+        self.row_of = {}            # node -> row
+        self.node_at: List[int] = []  # row -> node (-1 = unassigned)
+        self.valid = None           # host bool mask over rows
+        self.capacity = 0
 
     def refresh(self):
         rt = self.rt
@@ -121,7 +139,89 @@ class DeviceTreePool:
                                   PS("cand", *([None] * (v.ndim - 1))))
                     for k, v in host.items()}
         self.pool = host
+        # persistent-row bookkeeping for the incremental path
+        self.capacity = n_pad
+        self.row_of = {node: i for i, node in enumerate(anchors)}
+        self.node_at = anchors + [-1] * (n_pad - n)
+        self.valid = np.zeros(n_pad, dtype=bool)
+        self.valid[:n] = True
         return n
+
+    # ------------------------------------------------------------------
+    def _chain_up(self, node):
+        """MAT mutation chain root->node order for one node."""
+        tree = self.rt.tree
+        chain = []
+        n = node
+        while n is not None:
+            if tree.mutations[n]:
+                chain.append(n)
+            n = tree.up[n]
+        return chain
+
+    def _eligible_vec(self, node):
+        """The node's global-frame mid-branch vector when it is a valid
+        anchor, else None (same criteria as refresh)."""
+        rt = self.rt
+        tree = rt.tree
+        if node >= len(tree.up) or tree.up[node] is None \
+                or tree.children[node] is None:
+            return None
+        if tree.dist[node] <= rt.dc.effectivelyNon0BLen \
+                or tree.probVectTotUp[node] is None:
+            return None
+        v = tree.probVectTotUp[node]
+        for n in self._chain_up(node):
+            v = rt.pass_up(v, n)
+        return rt.kern.export(v)
+
+    def update(self, changed) -> bool:
+        """Incremental refresh: re-export only ``changed`` nodes and
+        scatter their rows into the device-resident pool (single-device
+        path).  Returns False when a full refresh is required instead
+        (first build, mesh sharding, entry-budget growth, or capacity
+        exhausted)."""
+        if self.pool is None or self.mesh is not None or not self.capacity:
+            return False
+        idx = []
+        vecs = []
+        for node in changed:
+            vec = self._eligible_vec(node)
+            row = self.row_of.get(node)
+            if vec is None:
+                if row is not None:
+                    self.valid[row] = False
+                continue
+            if len(vec) > self.budget:
+                return False        # entry budget must grow: full repack
+            if row is None:
+                row = len(self.row_of)
+                if row >= self.capacity:
+                    return False    # out of rows: full repack (2x)
+                self.row_of[node] = row
+                self.node_at[row] = node
+            self.valid[row] = True
+            idx.append(row)
+            vecs.append(vec)
+        if not idx:
+            return True
+        rt = self.rt
+        packed = OP.pack_genome_lists(vecs, rt.refd.lRef, self.budget,
+                                      rt.model.using_error_rate,
+                                      dtype=np.float32)
+        rows = to_device(packed, dtype=self.dtype)
+        # pad the scatter to a power-of-two row count so XLA compiles a
+        # bounded number of shapes (duplicate writes are idempotent)
+        r = len(idx)
+        r_pad = 64
+        while r_pad < r:
+            r_pad *= 2
+        idx = np.asarray(idx + [idx[0]] * (r_pad - r), dtype=np.int32)
+        rows = {k: jnp.concatenate(
+            [v, jnp.repeat(v[:1], r_pad - r, axis=0)], axis=0)
+            for k, v in rows.items()}
+        self.pool = _scatter_rows(self.pool, jnp.asarray(idx), rows)
+        return True
 
 
 class BatchedPlacer:
@@ -196,8 +296,17 @@ class BatchedPlacer:
         kern = rt.kern
         one_mut = dc.oneMutBLen
         t0 = time.time()
-        if self.pool.pool is None or not self.pool.anchor_ids \
-                or len(self.recent) > self.refresh_threshold:
+        need_refresh = self.pool.pool is None or not self.pool.anchor_ids
+        if not need_refresh and len(self.recent) > self.refresh_threshold:
+            # incremental path: scatter only the changed rows into the
+            # device-resident pool; falls back to a full repack when the
+            # entry budget or row capacity must grow (or under a mesh)
+            if self.pool.update(self.recent):
+                self.recent = []
+                self.recent_set = set()
+            else:
+                need_refresh = True
+        if need_refresh:
             n_anchors = self.pool.refresh()
             self.recent = []
             self.recent_set = set()
@@ -258,10 +367,15 @@ class BatchedPlacer:
                 out = np.asarray(grid_append_scores(
                     self.pool.pool, sub, one_mut, True, dm))
             scores.append(out[:n_sub])
-        scores = np.concatenate(scores, axis=0)[:, :n_anchors]  # [K, N]
+        # columns map to persistent pool rows; rows whose node became
+        # ineligible (or were never assigned) are masked out
+        cap = self.pool.capacity
+        scores = np.concatenate(scores, axis=0)[:, :cap]  # [K, N]
+        if self.pool.valid is not None:
+            scores[:, ~self.pool.valid] = -np.inf
         self.time_scoring += time.time() - t0
 
-        anchor_ids = self.pool.anchor_ids
+        anchor_ids = self.pool.node_at
         # Staleness repair: nodes created by earlier placements (this
         # batch or any batch since the last pool refresh) AND existing
         # anchors whose cached vectors were touched by dirty propagation
@@ -272,7 +386,7 @@ class BatchedPlacer:
         recent = self.recent
         recent_set = self.recent_set
         touched = set()
-        anchor_index = {a: i for i, a in enumerate(anchor_ids)}
+        anchor_index = self.pool.row_of
         prev_log = rt.touch_log
         rt.touch_log = touched
         try:

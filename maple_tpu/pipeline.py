@@ -485,6 +485,9 @@ class Run:
         self.data[first_sample] = None
         num_samples = 1
         placer = BatchedPlacer(self.rt, self.stats, batch_size=batch_size,
+                               # one scorer call per batch: every
+                               # round-trip costs a tunnel latency floor
+                               query_chunk=batch_size,
                                mesh=mesh,
                                use_pallas=getattr(cfg, "device_pallas",
                                                   False),

@@ -112,6 +112,38 @@ def test_batched_placer_with_mat_frames(tmp_path):
     assert abs(lk_d - lk_s) <= 1e-6, (lk_d, lk_s)
 
 
+def test_batched_placer_incremental_pool(tmp_path):
+    """Forced-low refresh threshold exercises the incremental pool path
+    (persistent rows + device row-scatter + host validity masking):
+    decisions must stay exactly serial."""
+    if not os.path.isfile(EXAMPLE):
+        pytest.skip("example data not available")
+    from maple_tpu.parallel import batch_placement as BP
+    run_s, lk_s = _run_serial(tmp_path)
+    orig_init = BP.BatchedPlacer.__init__
+    n_updates = [0]
+
+    def patched_init(self, *a, **k):
+        orig_init(self, *a, **k)
+        self.refresh_threshold = 24
+        orig_update = self.pool.update
+
+        def update(changed):
+            ok = orig_update(changed)
+            if ok:
+                n_updates[0] += 1
+            return ok
+        self.pool.update = update
+    BP.BatchedPlacer.__init__ = patched_init
+    try:
+        run_d, lk_d = _run_device(tmp_path, warmup=16, batch_size=16)
+    finally:
+        BP.BatchedPlacer.__init__ = orig_init
+    assert n_updates[0] > 0, "incremental path never exercised"
+    assert _placed_count(run_d) == _placed_count(run_s) == 112
+    assert abs(lk_d - lk_s) <= 1e-6, (lk_d, lk_s)
+
+
 def test_batched_placer_pallas_end_to_end(tmp_path):
     """--devicePallas: same contract as the XLA scorer, scored by the
     Pallas kernel (interpret mode off-TPU).  The two scorers agree to
