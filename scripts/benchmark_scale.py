@@ -87,9 +87,14 @@ def run_one(aln, truth, out_prefix, fast, extra_flags):
     finding = run.timings["finding"]
     placing = run.timings["placing"]
     place_time = finding + placing
+    import resource
+    max_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
     return {
         "samples": n_samples,
         "wall_s": round(wall, 2),
+        # process-lifetime peak: accurate for single-size invocations,
+        # an upper bound for later rows of an ascending ladder sweep
+        "max_rss_mb": round(max_rss_mb, 1),
         "placement_s": round(place_time, 2),
         "placement_seq_per_s": round(n_samples / place_time, 1)
         if place_time else None,
@@ -151,10 +156,14 @@ def run_reference(aln, truth, out_prefix, fast, num_cores=1, timeout=None,
         values = f.readline().strip().split("\t")
     rf = dict(zip(header, values))
     place_time = (finding or 0) + (placing or 0)
+    import resource
+    max_rss_mb = (resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+                  / 1024.0)
     return {
         "reference": True,
         "samples": n_samples,
         "wall_s": round(wall, 2),
+        "max_rss_mb": round(max_rss_mb, 1),
         "placement_s": round(place_time, 2) if place_time else None,
         "placement_seq_per_s": round(n_samples / place_time, 1)
         if (place_time and n_samples) else None,
