@@ -3676,6 +3676,12 @@ struct BatchCtx {
     // CURRENT vectors over these candidates, so near-tie choices are
     // made on live information
     std::vector<std::pair<int32_t, double>> cands;
+    // every node the crawl discovered (scored, leaf-checked, or chased
+    // through a zero-length chain): the apply phase uses it to decide
+    // whether the serial crawl could have reached a batch-mate's fresh
+    // branch (it only could if it visited a snapshot endpoint of the
+    // split edge)
+    std::vector<int32_t> visited;
     int64_t dfs_visits = 0, missed_minors = 0, fine_evals = 0;
     std::string error;
 };
@@ -4082,8 +4088,10 @@ static FindResult E_find_best_parent_budget(Engine *E, int64_t diffs,
             if (!E->muts[c].empty()) dcc = E_pass_down(E, dcur, c);
             bool leaf = E->is_leaf(c);
             if (leaf) {
-                if (tl_batch) tl_batch->dfs_visits++;
-                else E->dfs_visits++;
+                if (tl_batch) {
+                    tl_batch->dfs_visits++;
+                    tl_batch->visited.push_back(c);
+                } else E->dfs_visits++;
                 if (E_try_absorb_minor(E, c, dcc, sample)) {
                     absorbed = true;
                     return;
@@ -4091,8 +4099,10 @@ static FindResult E_find_best_parent_budget(Engine *E, int64_t diffs,
             }
             if (E->dist[c] > E->eff0 && E->up[c] >= 0) {
                 if (!leaf) {
-                    if (tl_batch) tl_batch->dfs_visits++;
-                    else E->dfs_visits++;
+                    if (tl_batch) {
+                        tl_batch->dfs_visits++;
+                        tl_batch->visited.push_back(c);
+                    } else E->dfs_visits++;
                 }
                 PROF_T(pt0);
                 double lk = E_append(E, E->totUp[c], dcc, true, E->one_mut);
@@ -6816,6 +6826,31 @@ static int64_t E_diffs_at_node(Engine *E, int64_t vid, int node) {
     return d;
 }
 
+// Memoized twin of E_diffs_at_node for one proposal's apply step: many
+// candidate/region nodes share MAT frames (a frame is identified by the
+// deepest muts-bearing node on the root->node path), and parent frames
+// are shared prefixes — so each distinct frame costs exactly ONE
+// incremental pass from its parent frame's cached translation instead
+// of a full root-path walk per query node.  Valid only while the MAT
+// mutation lists are unchanged (i.e. within one proposal, before
+// E_place_sample / end_call).
+struct FrameDiffCache {
+    int64_t vid;                           // global-frame terminal
+    std::unordered_map<int, int64_t> m;    // frame node -> translated id
+};
+static int64_t E_diffs_cached(Engine *E, FrameDiffCache &fc, int node) {
+    int f = node;
+    while (f >= 0 && E->muts[f].empty()) f = E->up[f];
+    if (f < 0) return fc.vid;
+    auto it = fc.m.find(f);
+    if (it != fc.m.end()) return it->second;
+    int64_t base = (E->up[f] >= 0) ? E_diffs_cached(E, fc, E->up[f])
+                                   : fc.vid;
+    int64_t d = E_pass_down(E, base, f);
+    fc.m.emplace(f, d);
+    return d;
+}
+
 // Batched stepwise addition: search-parallel / apply-serial placement —
 // the placement twin of engine_spr_pass_parallel.  The host hands a
 // batch of terminal vectors (global reference frame, store ids it does
@@ -6851,9 +6886,11 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
         // fine-candidate set from the worker crawl (node, crawl score),
         // best first; the serial apply re-runs the fine phase over it
         std::vector<std::pair<int32_t, double>> cands;
+        std::vector<int32_t> visited;  // crawl-discovered nodes
         uint8_t searched = 0;  // 0 = worker failed; re-search serially
     };
     std::vector<Prop> props(n);
+    const size_t batch_start = E->up.size();  // snapshot/new boundary
     if (getenv("MAPLE_DEBUG_TREEHASH")) {
         uint64_t h = 1469598103934665603ull;
         auto mix = [&](uint64_t x) { h ^= x; h *= 1099511628211ull; };
@@ -6897,6 +6934,7 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
             if (i >= n) break;
             ctx.absorb_leaf = -1;
             ctx.error.clear();
+            ctx.visited.clear();
             FindResult R = E_find_best_parent_budget(E, vids[i],
                                                      samples[i]);
             Prop &p = props[i];
@@ -6910,6 +6948,11 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
                     p.bottom = R.bottom;
                     p.appending = R.appending;
                     p.cands = std::move(ctx.cands);
+                    std::sort(ctx.visited.begin(), ctx.visited.end());
+                    ctx.visited.erase(std::unique(ctx.visited.begin(),
+                                                  ctx.visited.end()),
+                                      ctx.visited.end());
+                    p.visited = std::move(ctx.visited);
                 }
                 p.searched = 1;
             }
@@ -6949,7 +6992,23 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
     // phase B: serial apply in host order
     static int64_t dbg_n = 0, dbg_coll = 0, dbg_absorb = 0, dbg_inval = 0;
     static double dbg_a_ms = 0, dbg_b_ms = 0;
+    // phase-B section breakdown (MAPLE_DEBUG_BATCH): minor checks,
+    // candidate frame translations, fine phase, region checks, place +
+    // propagate, serial re-searches
+    static double dbg_minor_ms = 0, dbg_diffs_ms = 0, dbg_fine_ms = 0,
+                  dbg_region_ms = 0, dbg_place_ms = 0, dbg_res_ms = 0;
     bool dbg = getenv("MAPLE_DEBUG_BATCH") != nullptr;
+    struct SecT {
+        double *acc; bool on;
+        std::chrono::steady_clock::time_point t0;
+        SecT(double *a, bool dbg_on) : acc(a), on(dbg_on) {
+            if (on) t0 = std::chrono::steady_clock::now();
+        }
+        ~SecT() {
+            if (on) *acc += std::chrono::duration<double, std::milli>(
+                std::chrono::steady_clock::now() - t0).count();
+        }
+    };
     auto t_b0 = std::chrono::steady_clock::now();
     struct Applied { int32_t anchor; int32_t leaf; int64_t vid; };
     std::vector<Applied> leaves;        // for within-batch minor checks
@@ -6978,6 +7037,7 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
     // serial re-search fallback: places against the current tree AND
     // records what it created
     auto serial_place = [&](int64_t vid2, int32_t sample2) -> int {
+        SecT st(&dbg_res_ms, dbg);
         size_t nb = E->up.size();
         int rc = engine_place(E, E_copy_vec(E, vid2), sample2);
         harvest_new(nb);
@@ -7005,6 +7065,7 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
         // directly — re-search serially against the current tree, which
         // reproduces the exact crawl-absorption semantics.
         bool maybe_minor = false;
+        SecT *sec_minor = dbg ? new SecT(&dbg_minor_ms, true) : nullptr;
         auto proposal_covers = [&](int32_t a) {
             if (a == p.best_node) return true;
             for (const auto &pc : p.cands) if (pc.first == a) return true;
@@ -7018,6 +7079,7 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
                 break;
             }
         }
+        delete sec_minor;
         if (maybe_minor) {
             dbg_absorb++;
             if (serial_place(vid, samples[i]) < 0) return -1;
@@ -7066,8 +7128,12 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
         int best_node = p.best_node;
         double score = p.score, top = p.top, bottom = p.bottom,
                app = p.appending;
-        for (BestCand &bc : cands)
-            bc.diffs = E_diffs_at_node(E, vid, bc.node);
+        FrameDiffCache fc{vid, {}};
+        {
+            SecT st(&dbg_diffs_ms, dbg);
+            for (BestCand &bc : cands)
+                bc.diffs = E_diffs_cached(E, fc, bc.node);
+        }
         // reference decision rule (placement.py :248-322): a fine
         // candidate wins only if its 3-way-optimized score beats the
         // crawl best; otherwise the crawl-best node places with its
@@ -7076,9 +7142,12 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
         int64_t d = -1;
         for (const BestCand &bc : cands)
             if (bc.node == p.best_node) { d = bc.diffs; break; }
-        if (d < 0) d = E_diffs_at_node(E, vid, p.best_node);
-        if (!E_fine_phase(E, cands, p.score, best_node, score, top,
-                          bottom, app, d)
+        if (d < 0) d = E_diffs_cached(E, fc, p.best_node);
+        SecT *sec_fine = dbg ? new SecT(&dbg_fine_ms, true) : nullptr;
+        bool fine_ok = E_fine_phase(E, cands, p.score, best_node, score,
+                                    top, bottom, app, d);
+        delete sec_fine;
+        if (!fine_ok
                 || (std::isinf(score) && score < 0)) {
             E->error.clear();
             dbg_inval++;
@@ -7097,14 +7166,51 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
         // score — the same comparison the serial crawl's stop/argmax
         // logic would make when it reached the fresh branch)
         bool region_better = false;
-        for (int32_t r : new_regions) {
-            if (E->dist[r] <= E->eff0 || E->totUp[r] < 0
-                    || E->up[r] < 0)
-                continue;
-            int64_t dr = E_diffs_at_node(E, vid, r);
-            double s = E_append(E, E->totUp[r], dr, true, E->one_mut);
-            if (E->hnz_mode) s += E->hnz(2) - E->hnz(1);
-            if (s > score) { region_better = true; break; }
+        {
+            SecT st(&dbg_region_ms, dbg);
+            // crawl-admissibility filter: the snapshot crawl could only
+            // have reached a node inserted this batch if it visited a
+            // snapshot endpoint of the split edge (descending, a new
+            // mid-branch node is pushed exactly when the old child
+            // would have been; ascending, the new node lies on the
+            // traversed edge).  Regions whose whole new-node component
+            // borders no crawl-visited snapshot node are unreachable
+            // for this proposal's serial crawl and are skipped.
+            auto vis_has = [&](int32_t x) {
+                return std::binary_search(p.visited.begin(),
+                                          p.visited.end(), x);
+            };
+            std::vector<int32_t> comp_stack;
+            std::unordered_set<int32_t> comp;
+            auto region_seen = [&](int32_t r0) {
+                comp_stack.assign(1, r0);
+                comp.clear();
+                while (!comp_stack.empty()) {
+                    int32_t x = comp_stack.back();
+                    comp_stack.pop_back();
+                    if ((size_t)x < batch_start) {
+                        if (vis_has(x)) return true;
+                        continue;  // snapshot node: boundary, don't cross
+                    }
+                    if (!comp.insert(x).second) continue;
+                    if (E->up[x] >= 0) comp_stack.push_back(E->up[x]);
+                    if (E->c0[x] >= 0) {
+                        comp_stack.push_back(E->child(x, 0));
+                        comp_stack.push_back(E->child(x, 1));
+                    }
+                }
+                return false;
+            };
+            for (int32_t r : new_regions) {
+                if (E->dist[r] <= E->eff0 || E->totUp[r] < 0
+                        || E->up[r] < 0)
+                    continue;
+                if (!region_seen(r)) continue;
+                int64_t dr = E_diffs_cached(E, fc, r);
+                double s = E_append(E, E->totUp[r], dr, true, E->one_mut);
+                if (E->hnz_mode) s += E->hnz(2) - E->hnz(1);
+                if (s > score) { region_better = true; break; }
+            }
         }
         if (region_better) {
             dbg_inval++;
@@ -7118,8 +7224,10 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
                          best_node, score, top, bottom, app,
                          cands.size());
         size_t n_before = E->up.size();
+        SecT *sec_place = dbg ? new SecT(&dbg_place_ms, true) : nullptr;
         int new_root = E_place_sample(E, best_node, d, samples[i],
                                       score, top, bottom, app);
+        delete sec_place;
         if (new_root == -2 || !E->error.empty()) {
             E->end_call();
             return -1;
@@ -7150,10 +7258,14 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
             t_end - t_b0).count();
         if (dbg_n % 2000 < n)
             std::fprintf(stderr, "[batch] n=%lld coll=%lld absorb=%lld "
-                         "inval=%lld searchA=%.0fms apply=%.0fms\n",
+                         "inval=%lld searchA=%.0fms apply=%.0fms "
+                         "(minor=%.0f diffs=%.0f fine=%.0f region=%.0f "
+                         "place=%.0f research=%.0f)\n",
                          (long long)dbg_n, (long long)dbg_coll,
                          (long long)dbg_absorb, (long long)dbg_inval,
-                         dbg_a_ms, dbg_b_ms);
+                         dbg_a_ms, dbg_b_ms, dbg_minor_ms, dbg_diffs_ms,
+                         dbg_fine_ms, dbg_region_ms, dbg_place_ms,
+                         dbg_res_ms);
     }
     // batch terminals never enter the tree (copies are placed), so all
     // of them reclaim here
