@@ -118,11 +118,14 @@ def run_engine_placement_full(budget=0, cores=1):
 
 
 def main():
-    # The in-process path beats the device path on this environment: the
-    # tunneled TPU backend executes elementwise XLA ops at ~1/100 of
-    # native v5e rates (see maple_tpu/ops/append_batch.py notes), so the
-    # batched device scoring loses to the C++ placement engine.  The
-    # device path remains available via MapleConfig(device_placement=True).
+    # The in-process path beats the device path on this environment:
+    # measured on the real chip (TUNNEL_r03.json / DEVICE_r03.json), the
+    # device placer sustains 7.7 seq/s with the Pallas scorer (0.4-1.0
+    # with XLA) against the engine's ~2,000 — the XLA scorer is
+    # kernel-bound at 0.019 of speed-of-light (SOL_r03.json) and the
+    # placer's per-batch feed overhead eats the Pallas margin; the
+    # tunnel's dispatch itself is sub-ms.  The device path remains
+    # available via MapleConfig(device_placement=True, device_pallas=True).
     try:
         # headline: best-first budgeted search (--placementBudget 1000,
         # quality-converged on this dataset) batched over 4 cores
