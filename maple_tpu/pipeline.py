@@ -484,10 +484,21 @@ class Run:
         tree.probVect[0] = self.rt.terminal_vector(self.data[first_sample])
         self.data[first_sample] = None
         num_samples = 1
+        # the model-refresh cadence caps non-JC batches at
+        # updateSubstMatrixEveryThisSamples queries, so padding the
+        # scorer's query axis to the full batch_size would burn grid
+        # compute on padding rows (the pool axis is already padded to
+        # capacity); chunk to the cadence cap instead, rounded up for
+        # lane alignment, one scorer call per batch
+        qc = batch_size
+        if cfg.model != "JC":
+            qc = min(batch_size,
+                     cfg.updateSubstMatrixEveryThisSamples)
+            qc += (-qc) % 8
         placer = BatchedPlacer(self.rt, self.stats, batch_size=batch_size,
                                # one scorer call per batch: every
                                # round-trip costs a tunnel latency floor
-                               query_chunk=batch_size,
+                               query_chunk=qc,
                                mesh=mesh,
                                use_pallas=getattr(cfg, "device_pallas",
                                                   False),
