@@ -31,6 +31,28 @@ import jax.numpy as jnp
 from .pack import PackedBatch, TYPE_N, TYPE_O, TYPE_PAD, TYPE_R
 
 
+def enable_compilation_cache(path: str = None):
+    """Turn on JAX's persistent compilation cache for the device paths.
+
+    On the tunneled single-chip backend a grid-scorer compile measures
+    minutes; the cache pays it once per (shape, program) EVER instead of
+    once per process.  No-op if already configured or if the jax build
+    lacks the option.  MAPLE_JAX_CACHE overrides the location; set it to
+    "0" to disable."""
+    env = __import__("os").environ.get("MAPLE_JAX_CACHE")
+    if env == "0":
+        return
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return
+        jax.config.update("jax_compilation_cache_dir",
+                          env or path
+                          or "/tmp/maple_jax_compilation_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax: cache options unavailable
+
+
 class DeviceModel(NamedTuple):
     """Device-resident model state for the batched kernels."""
 

@@ -42,6 +42,23 @@ from ..runtime.partials import TreeRuntime
 from ..search.placement import PlacementStats, place_sample_on_tree
 
 
+def _host_pad_rows(p, n_pad: int):
+    """Pad a PackedBatch's leading (row) axis to ``n_pad`` by repeating
+    row 0, on host.  Device-side concat/repeat would compile a fresh
+    eager program per (field, shape) on the tunneled backend (~9 s per
+    pool update measured), so padding always happens before upload."""
+    import dataclasses
+    n = p.types.shape[0]
+    if n_pad <= n:
+        return p
+    def pad(a):
+        return np.concatenate([a, np.repeat(a[:1], n_pad - n, axis=0)],
+                              axis=0)
+    return dataclasses.replace(p, **{
+        f.name: pad(getattr(p, f.name))
+        for f in dataclasses.fields(p)})
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows(pool, idx, rows):
     """Write ``rows`` into ``pool`` at row indices ``idx`` on device; the
@@ -209,17 +226,17 @@ class DeviceTreePool:
         packed = OP.pack_genome_lists(vecs, rt.refd.lRef, self.budget,
                                       rt.model.using_error_rate,
                                       dtype=np.float32)
-        rows = to_device(packed, dtype=self.dtype)
         # pad the scatter to a power-of-two row count so XLA compiles a
-        # bounded number of shapes (duplicate writes are idempotent)
+        # bounded number of shapes (duplicate writes are idempotent).
+        # Padding happens HOST-side: eager jnp.concatenate/repeat on the
+        # device would compile a fresh tiny program per (field, row
+        # count) — measured ~9 s per update call on the tunneled backend
         r = len(idx)
         r_pad = 64
         while r_pad < r:
             r_pad *= 2
         idx = np.asarray(idx + [idx[0]] * (r_pad - r), dtype=np.int32)
-        rows = {k: jnp.concatenate(
-            [v, jnp.repeat(v[:1], r_pad - r, axis=0)], axis=0)
-            for k, v in rows.items()}
+        rows = to_device(_host_pad_rows(packed, r_pad), dtype=self.dtype)
         self.pool = _scatter_rows(self.pool, jnp.asarray(idx), rows)
         return True
 
@@ -232,6 +249,8 @@ class BatchedPlacer:
                  batch_size: int = 64, query_chunk: int = 16,
                  dtype=jnp.float32, mesh=None, use_pallas: bool = False,
                  expected_samples: int = 0):
+        from ..ops.append_batch import enable_compilation_cache
+        enable_compilation_cache()
         self.rt = rt
         self.stats = stats
         self.batch_size = batch_size
@@ -255,7 +274,11 @@ class BatchedPlacer:
         # runs only when this set outgrows the threshold, not every batch.
         self.recent: List[int] = []
         self.recent_set = set()
-        self.refresh_threshold = 768
+        # Nodes in ``recent`` are host-rescored for EVERY query until the
+        # next pool sync, so the single-device path (cheap incremental
+        # row scatter) syncs early and often; the mesh path falls back to
+        # a full repack+reupload per sync and keeps the high threshold.
+        self.refresh_threshold = 768 if mesh is not None else 48
         self.dm: Optional[DeviceModel] = None
         self.dm_version = -1
         self.time_scoring = 0.0
@@ -296,6 +319,16 @@ class BatchedPlacer:
         kern = rt.kern
         one_mut = dc.oneMutBLen
         t0 = time.time()
+        prof = getattr(self, "_prof", None)
+        if prof is None and __import__("os").environ.get(
+                "MAPLE_DEBUG_DEVBATCH"):
+            prof = self._prof = {}
+        def tick(key, t_start):
+            if prof is not None:
+                now = time.time()
+                prof[key] = prof.get(key, 0.0) + (now - t_start)
+                return now
+            return time.time()
         need_refresh = self.pool.pool is None or not self.pool.anchor_ids
         if not need_refresh and len(self.recent) > self.refresh_threshold:
             # incremental path: scatter only the changed rows into the
@@ -326,8 +359,10 @@ class BatchedPlacer:
                     if nr is not None:
                         root = nr
             return root
+        t1 = tick("sync_pool", t0)
         dm = self._device_model()
         self.warm_up()
+        t1 = tick("model_warm", t1)
         queries = [rt.kern.export(q) for _, q in samples]
         if any(len(q) > self.q_budget for q in queries):
             while any(len(q) > self.q_budget for q in queries):
@@ -335,19 +370,33 @@ class BatchedPlacer:
         packed_q = OP.pack_genome_lists(queries, rt.refd.lRef, self.q_budget,
                                         rt.model.using_error_rate,
                                         dtype=np.float32)
-        Q = to_device(packed_q, dtype=self.dtype)
-        # grid scores in fixed-size query chunks (pad the tail chunk so
-        # compiled shapes stay stable)
-        scores = []
+        # grid scores in fixed-size query chunks; the tail chunk pads
+        # HOST-side before upload (eager device-side concat/repeat would
+        # compile per shape on the tunneled backend)
         K_batch = len(samples)
         qc = self.query_chunk
-        for s in range(0, K_batch, qc):
+        pad_to = -(-K_batch // qc) * qc
+        Q = to_device(_host_pad_rows(packed_q, pad_to), dtype=self.dtype)
+        # score only the active power-of-two prefix of the pool: rows
+        # are assigned compactly, so anchors live in [0, len(row_of));
+        # the full-capacity pool is pre-padded for scatter stability and
+        # would waste grid compute on padding rows for most of a run.
+        # Each distinct prefix shape compiles once (persistent cache).
+        # The mesh path keeps the full pool — slicing breaks the cand-
+        # axis sharding.
+        grid_pool = self.pool.pool
+        n_active = len(self.pool.row_of)
+        n_used = self.pool.capacity
+        if self.mesh is None and n_active:
+            n_p2 = 64
+            while n_p2 < n_active:
+                n_p2 *= 2
+            if n_p2 < self.pool.capacity:
+                grid_pool = {k: v[:n_p2] for k, v in grid_pool.items()}
+                n_used = n_p2
+        scores = []
+        for s in range(0, pad_to, qc):
             sub = {k: v[s:s + qc] for k, v in Q.items()}
-            n_sub = sub["types"].shape[0]
-            if n_sub < qc:
-                sub = {k: jnp.concatenate(
-                    [v, jnp.repeat(v[:1], qc - n_sub, axis=0)], axis=0)
-                    for k, v in sub.items()}
             if self.mesh is not None:
                 from jax.sharding import PartitionSpec as PS
                 from .mesh import (host_fetch, placement_scores,
@@ -358,21 +407,22 @@ class BatchedPlacer:
                 scorer = placement_scores_pallas if self.use_pallas \
                     else placement_scores
                 out = host_fetch(scorer(
-                    self.mesh, self.pool.pool, sub, one_mut, dm))
+                    self.mesh, grid_pool, sub, one_mut, dm))
             elif self.use_pallas:
                 from ..ops.pallas_append import pallas_grid_append_scores
                 out = np.asarray(pallas_grid_append_scores(
-                    self.pool.pool, sub, one_mut, True, dm))
+                    grid_pool, sub, one_mut, True, dm))
             else:
                 out = np.asarray(grid_append_scores(
-                    self.pool.pool, sub, one_mut, True, dm))
-            scores.append(out[:n_sub])
+                    grid_pool, sub, one_mut, True, dm))
+            scores.append(out)
+        t1 = tick("score_readback", t1)
         # columns map to persistent pool rows; rows whose node became
         # ineligible (or were never assigned) are masked out
-        cap = self.pool.capacity
-        scores = np.concatenate(scores, axis=0)[:, :cap]  # [K, N]
+        scores = np.concatenate(scores, axis=0)[:K_batch, :n_used]
         if self.pool.valid is not None:
-            scores[:, ~self.pool.valid] = -np.inf
+            scores[:, ~self.pool.valid[:n_used]] = -np.inf
+        t1 = tick("mask", t1)
         self.time_scoring += time.time() - t0
 
         anchor_ids = self.pool.node_at
@@ -418,6 +468,13 @@ class BatchedPlacer:
                         recent.append(n)
         finally:
             rt.touch_log = prev_log
+        if prof is not None:
+            tick("host_apply", t1)
+            self._prof_batches = getattr(self, "_prof_batches", 0) + 1
+            if self._prof_batches % 40 == 0:
+                print("[devbatch]", {k: round(v, 1)
+                                     for k, v in sorted(prof.items())},
+                      flush=True)
         return root
 
     # ------------------------------------------------------------------

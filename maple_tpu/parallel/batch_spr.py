@@ -103,10 +103,12 @@ def device_topology_update(rt, root: int, params,
 
     from ..ops import pack as OP
     from ..ops.append_batch import (device_model_from, to_device,
-                                    grid_append_scores_var)
+                                    grid_append_scores_var,
+                                    enable_compilation_cache)
     from ..runtime.tree import set_all_dirty
     from .batch_placement import DeviceTreePool
 
+    enable_compilation_cache()
     if counters is None:
         counters = SprCounters()
     tree = rt.tree
