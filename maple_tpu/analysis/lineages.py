@@ -35,6 +35,9 @@ class _TreeShim:
     def merge_mutation_lists(self, m1, m2, downward=False):
         return self._mml(self, m1, m2, downward=downward)
 
+    def mark_mutated(self):
+        pass  # no cached-vector runtime in this mode
+
 
 def _read_references(cfg):
     references = {}

@@ -206,6 +206,7 @@ class NativePlacementEngine:
     def export_to_tree(self, stats) -> int:
         """Materialize the engine's tree into self.rt.tree (in place) and
         return the root id.  Vector handles transfer zero-copy."""
+        self.rt.mark_mutated()
         lib, h, store = self.lib, self.h, self.store
         n = lib.engine_node_count(h)
         i32, i64, f64, u8 = np.int32, np.int64, np.float64, np.uint8
@@ -671,6 +672,7 @@ def _import_engine(rt, root, transfer):
 def _export_engine(rt, h, raise_on=None):
     """Write the engine's tree back into rt.tree, re-wrapping vector ids
     (counterpart of the transfer-mode _import_engine)."""
+    rt.mark_mutated()  # every mutating one-shot engine phase exports here
     store = rt.kern.store
     lib = store.lib
     tree = rt.tree
@@ -780,6 +782,7 @@ class NativeSession:
 
     def blen_sweep(self, fast_pass=False) -> int:
         self._sync()
+        self.rt.mark_mutated()
         updates = np.zeros(1, np.int64)
         if self.lib.engine_blen_sweep(
                 self.h, 1 if fast_pass else 0,
@@ -789,6 +792,7 @@ class NativeSession:
 
     def blen_loop(self, max_extra=20) -> int:
         self._sync()
+        self.rt.mark_mutated()
         sub_rounds = np.zeros(1, np.int64)
         if self.lib.engine_blen_loop(
                 self.h, max_extra,
@@ -812,6 +816,7 @@ class NativeSession:
     def spr_pass(self, strict_stop, allowed_fails, threshold_log_lk,
                  threshold_topology_placement):
         self._sync()
+        self.rt.mark_mutated()
         rt = self.rt
         dc = rt.dc
         self.lib.engine_set_spr_params(
@@ -842,6 +847,7 @@ class NativeSession:
         fallback states (tag registry, aliased imports) cannot occur, so
         this never returns None."""
         self._sync()
+        self.rt.mark_mutated()
         rt = self.rt
         dc = rt.dc
         self.lib.engine_set_spr_params(
@@ -888,6 +894,7 @@ class NativeSession:
     def root_search(self, strict_stop, allowed_fails, threshold_log_lk,
                     threshold_consecutive, threshold_opt):
         self._sync()
+        self.rt.mark_mutated()
         n = self.lib.engine_node_count(self.h)
         best_node = np.zeros(1, np.int32)
         best_lk = np.zeros(1, np.float64)

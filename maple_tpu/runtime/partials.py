@@ -61,6 +61,15 @@ class TreeRuntime:
         # recalculate / em / blen / root_search), printed by the driver
         # next to the reference's timeFinding/timePlacing stats
         self.phase_times = {}
+        # Monotone counter bumped by every vector/topology mutation path
+        # (update_partials, update_blen, backend conversion, engine-phase
+        # exports/sessions, re-rooting).  recalculate_all records
+        # (epoch, model.version, root) on completion and becomes a no-op
+        # while that key is unchanged — a full recompute of unchanged
+        # inputs reproduces the same vectors bit-for-bit, so skipping is
+        # semantics-preserving (disable with MAPLE_NO_RECALC_SKIP=1).
+        self.mutation_epoch = 0
+        self._recalc_clean_key = None
         # Live persistent engine session (native/engine.py NativeSession);
         # when set, the native phase helpers run against the resident
         # engine state instead of round-tripping the tree per call.
@@ -91,6 +100,7 @@ class TreeRuntime:
         propagating through that aliasing even though the kernel operands
         are native mirrors (see refresh_terminal_errors)."""
         from ..core.backend import make_backend
+        self.mark_mutated()
         old = self.kern
         new = make_backend(self, backend)
         if old.name == new.name:
@@ -224,6 +234,7 @@ class TreeRuntime:
         the shared values into every other aliased tip's native mirror so
         mid-recompute reads see exactly what the reference's aliasing
         produces."""
+        self.mark_mutated()
         v = self.tree.probVect[node]
         if v is None:
             return
@@ -415,10 +426,16 @@ class TreeRuntime:
         return self.kern.find_prob_root_frame(vec)
 
     # ------------------------------------------------------------------
+    def mark_mutated(self):
+        """Record that tree vectors/topology changed since the last full
+        recompute (see mutation_epoch in __init__)."""
+        self.mutation_epoch += 1
+
     def update_blen(self, c_node: int, add_to_list: bool = False,
                     node_list=None):
         """Re-optimize the branch above c_node to repair an impossible merge
         and re-dirty the neighborhood (reference updateBLen :5385-5414)."""
+        self.mark_mutated()
         tree = self.tree
         node = tree.up[c_node]
         c_num = tree.child_index(c_node)
@@ -460,6 +477,7 @@ class TreeRuntime:
         (node, direction, lk_dirty, time_dirty) with direction 0/1 = from
         that child, 2 = from parent (reference updatePartials :5479-5817;
         time-vector propagation :5531-5554, :5602-5641, :5745-5800)."""
+        self.mark_mutated()
         tree = self.tree
         kern = self.kern
         dist = tree.dist
@@ -1001,12 +1019,30 @@ class TreeRuntime:
         ``first_setup`` also builds tips from raw data, collapses minor
         sequences, and initializes the MAT (reference
         reCalculateAllGenomeLists :6013-6347)."""
+        # Idempotence gate: nothing mutated since the last completed full
+        # recompute of the same root under the same model -> recomputing
+        # would reproduce every vector bit-for-bit; skip it.  Counting /
+        # setup / time-tree variants always run (their side effects are
+        # the point; time vectors mutate outside mark_mutated's paths).
+        key = (self.mutation_epoch, self.model.version, root)
+        if (not first_setup and not count_nodes and not count_pseudo_counts
+                and data is None and self.time is None
+                and not self.model.using_error_rate and not self.alias_tags
+                and self._recalc_clean_key == key
+                and not os.environ.get("MAPLE_NO_RECALC_SKIP")):
+            # (error-model runs always recompute: shared-ambiguity tip
+            # lists mutate through aliasing outside the epoch's
+            # chokepoints)
+            return
         t0 = time.time()
         try:
-            return self._recalculate_all(root, count_nodes,
-                                         count_pseudo_counts,
-                                         pseudo_mut_counts, data, names,
-                                         first_setup)
+            result = self._recalculate_all(root, count_nodes,
+                                           count_pseudo_counts,
+                                           pseudo_mut_counts, data, names,
+                                           first_setup)
+            self._recalc_clean_key = (self.mutation_epoch,
+                                      self.model.version, root)
+            return result
         finally:
             self.add_phase_time("recalculate", time.time() - t0)
             if os.environ.get("MAPLE_DEBUG_RECALC_LK") and not first_setup:

@@ -24,7 +24,10 @@ def re_root_tree(rt: TreeRuntime, root: int, sample,
                  re_root_at_internal_node: bool = False) -> int:
     """Re-root so that ``sample`` (a node id when re_root_at_internal_node,
     else a sample name) becomes (a child of) the new root (reference
-    reRootTree :2238-2371)."""
+    reRootTree :2238-2371).  Bumps the runtime's mutation epoch:
+    re-rooting flips branch directions and MAT lists, invalidating every
+    cached upper vector."""
+    rt.mark_mutated()
     tree = rt.tree
     cfg = rt.cfg
     up = tree.up
