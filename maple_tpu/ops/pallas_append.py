@@ -287,10 +287,17 @@ def _pallas_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
     Cflat = Cstk.reshape(K, 1, B2 * _NFIELDS)
     mm_flat = mm.reshape(1, 1, 16).astype(dtype)
     rf = root_freqs.reshape(1, 1, 4).astype(dtype)
-    prm = jnp.stack([jnp.asarray(blen, dtype),
-                     jnp.asarray(tip_c, dtype),
-                     global_tot_rate.astype(dtype),
-                     tot_error.astype(dtype)]).reshape(1, 1, 4)
+    # per-query params: blen/tip may be scalars (placement: every query is
+    # a tip at the same length) or [K] vectors (SPR screen: each pruned
+    # subtree keeps its own attachment length and tip flag); the kernel
+    # reads its query's row as SMEM scalars either way
+    blen_k = jnp.broadcast_to(jnp.asarray(blen, dtype).reshape(-1), (K,))
+    tip_k = jnp.broadcast_to(jnp.asarray(tip_c, dtype).reshape(-1), (K,))
+    prm = jnp.stack(
+        [blen_k, tip_k,
+         jnp.broadcast_to(global_tot_rate.astype(dtype), (K,)),
+         jnp.broadcast_to(tot_error.astype(dtype), (K,))],
+        axis=-1).reshape(K, 1, 4)
 
     c_specs = [
         pl.BlockSpec((1, 1, B2 * _NFIELDS), lambda k, n: (k, 0, 0),
@@ -299,7 +306,7 @@ def _pallas_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, 4), lambda k, n: (0, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 4), lambda k, n: (0, 0, 0),
+        pl.BlockSpec((1, 1, 4), lambda k, n: (k, 0, 0),
                      memory_space=pltpu.SMEM),
     ]
     if lanes:
@@ -320,10 +327,10 @@ def _pallas_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
             interpret=interpret,
         )(Pln, Cflat, mm_flat, rf, prm)
         scores = out.sum(axis=2).reshape(K, Npad)[:, :N]
-        scores = scores + jnp.asarray(blen, dtype) \
+        scores = scores + blen_k[:, None] \
             * global_tot_rate.astype(dtype)
         if uer:
-            scores = scores + jnp.asarray(tip_c, dtype) \
+            scores = scores + tip_k[:, None] \
                 * tot_error.astype(dtype)
         return scores  # [K, N]
 
@@ -359,6 +366,24 @@ def pallas_grid_append_scores(P: dict, C: dict, blen, tip_c: bool, dm,
     dtype = dm.mut_matrix.dtype
     return _pallas_scores_impl(
         P, C, jnp.asarray(blen, dtype), jnp.asarray(float(tip_c), dtype),
+        dm.mut_matrix, dm.root_freqs, dm.site_rates, dm.error_rates,
+        dm.global_tot_rate, dm.tot_error, dm.using_error_rate,
+        bool(interpret), tile_n=int(tile_n), lanes=(layout == "lanes"))
+
+
+def pallas_grid_append_scores_var(P: dict, C: dict, blens, tips, dm,
+                                  interpret=None, tile_n=_TILE_N,
+                                  layout="lanes"):
+    """Scores [K, N] with per-query branch length and tip flag — the
+    Pallas twin of :func:`append_batch.grid_append_scores_var` (the device
+    SPR screen's call shape: each pruned subtree carries its current
+    attachment length)."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    dtype = dm.mut_matrix.dtype
+    return _pallas_scores_impl(
+        P, C, jnp.asarray(blens, dtype),
+        jnp.asarray(tips).astype(dtype),
         dm.mut_matrix, dm.root_freqs, dm.site_rates, dm.error_rates,
         dm.global_tot_rate, dm.tot_error, dm.using_error_rate,
         bool(interpret), tile_n=int(tile_n), lanes=(layout == "lanes"))

@@ -92,7 +92,8 @@ def _current_attachment_lk(rt, node: int):
 
 def device_topology_update(rt, root: int, params,
                            counters: Optional[SprCounters] = None,
-                           mesh=None, query_chunk: int = 16):
+                           mesh=None, query_chunk: int = 16,
+                           use_pallas: bool = False):
     """One device-screened search / serial-apply SPR pass.  Returns
     (new_root_or_None, cumulative_improvement) like the fork path.
 
@@ -190,6 +191,14 @@ def device_topology_update(rt, root: int, params,
             tp = put_global(mesh, tp, PS("dp"))
             out = host_fetch(spr_screen_scores(mesh, pool.pool, sub, bl,
                                                tp, dm))
+        elif use_pallas:
+            # the Pallas scorer with per-query (blen, tip) SMEM params —
+            # ~30x the XLA scorer on-chip (SOL_r03.json) and, on the
+            # tunneled backend, avoids the giant lax.map executable that
+            # reproducibly wedges (DEVICE_r03.json spr_screen record)
+            from ..ops.pallas_append import pallas_grid_append_scores_var
+            out = np.asarray(pallas_grid_append_scores_var(
+                pool.pool, sub, bl, tp.astype(np.float32), dm))
         else:
             out = np.asarray(grid_append_scores_var(pool.pool, sub, bl,
                                                     tp, dm))

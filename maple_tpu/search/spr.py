@@ -1369,7 +1369,9 @@ def _parallel_update(run, params, abayes_on):
         # (parallel/batch_spr.py); SPRTA/network need the crawl's
         # per-candidate posteriors and fall through to the paths below
         from ..parallel.batch_spr import device_topology_update
-        return device_topology_update(rt, run.root, params, SprCounters())
+        return device_topology_update(
+            rt, run.root, params, SprCounters(),
+            use_pallas=getattr(cfg, "device_pallas", False))
     from ..native.engine import native_spr_supported, run_native_spr_parallel
     if native_spr_supported(rt, abayes_on, cfg.networkOutput,
                             cfg.debugging):

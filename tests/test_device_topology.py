@@ -128,3 +128,27 @@ def test_device_topology_full_pipeline_lk(tmp_path):
     with open(golden) as f:
         lk_gold = float(f.read().strip())
     assert abs(lk - lk_gold) <= 1.0, (lk, lk_gold)
+
+
+def test_device_topology_pallas_screen_lk(tmp_path):
+    """--deviceTopology --devicePallas: the screen scored by the Pallas
+    var-params kernel (interpret mode off-TPU) must land the same final
+    LK as the XLA screen — the screen only proposes; the serial apply
+    re-validates."""
+    if not os.path.isfile(EXAMPLE):
+        pytest.skip("example data not available")
+    from maple_tpu.pipeline import run_inference
+    golden = os.path.join(os.path.dirname(__file__), "goldens",
+                          "example_gtr_LK.txt")
+    if not os.path.isfile(golden):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "devtopo_pal")
+    cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR",
+                      overwrite=True, device_topology=True,
+                      device_pallas=True)
+    run_inference(cfg)
+    with open(out + "_LK.txt") as f:
+        lk = float(f.read().strip())
+    with open(golden) as f:
+        lk_gold = float(f.read().strip())
+    assert abs(lk - lk_gold) <= 1.0, (lk, lk_gold)
