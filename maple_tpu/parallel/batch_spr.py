@@ -92,7 +92,7 @@ def _current_attachment_lk(rt, node: int):
 
 def device_topology_update(rt, root: int, params,
                            counters: Optional[SprCounters] = None,
-                           mesh=None, query_chunk: int = 16,
+                           mesh=None, query_chunk: Optional[int] = None,
                            use_pallas: bool = False):
     """One device-screened search / serial-apply SPR pass.  Returns
     (new_root_or_None, cumulative_improvement) like the fork path.
@@ -110,6 +110,11 @@ def device_topology_update(rt, root: int, params,
     from .batch_placement import DeviceTreePool
 
     enable_compilation_cache()
+    if query_chunk is None:
+        # the Pallas candidate-lane scorer peaks at K=64 (SOL_r03.json);
+        # bigger chunks also amortize the tunneled backend's per-dispatch
+        # round trip over 4x the scores
+        query_chunk = 64 if use_pallas else 16
     if counters is None:
         counters = SprCounters()
     tree = rt.tree

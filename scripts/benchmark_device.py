@@ -138,7 +138,8 @@ def main():
         t0 = time.time()
         counters = SprCounters()
         new_root, improvement = device_topology_update(
-            rd.rt, rd.root, params, counters=counters, mesh=mesh)
+            rd.rt, rd.root, params, counters=counters, mesh=mesh,
+            use_pallas=args.pallas)
         res["device_spr_s"] = round(time.time() - t0, 2)
         res["device_spr_improvement"] = round(improvement, 4)
         res["device_spr_moves"] = counters.topology_updates

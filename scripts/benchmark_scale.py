@@ -43,6 +43,7 @@ def ensure_dataset(workdir, n, seed, mut_rate, n_rate, amb_rate):
     aln = os.path.join(workdir, f"scale_{tag}.maple.gz")
     truth = os.path.join(workdir, f"scale_{tag}_truth.nwk")
     if not (os.path.isfile(aln) and os.path.isfile(truth)):
+        os.makedirs(workdir, exist_ok=True)
         gen = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "make_synthetic_alignment.py")
         subprocess.run([sys.executable, gen, "--samples", str(n),
