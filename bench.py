@@ -130,11 +130,16 @@ def main():
         # headline: best-first budgeted search (--placementBudget 1000,
         # quality-converged on this dataset) batched over 4 cores
         # (search-parallel/apply-serial engine_place_batch), quality-
-        # gated in-bench against the byte-exact reference DFS run;
-        # best-of-2 because this host carries ±40% CPU contention
-        value, lk_budget = run_engine_placement_full(budget=1000, cores=4)
-        value2, _ = run_engine_placement_full(budget=1000, cores=4)
-        value = max(value, value2)
+        # gated in-bench against the byte-exact reference DFS run.
+        # Fixed median-of-3 protocol (VERDICT r3 item 8): the host
+        # carries ±40% CPU contention, so all runs are recorded and the
+        # median is the headline — no best-of-N selection.
+        runs = []
+        lk_budget = None
+        for _ in range(3):
+            v, lk_budget = run_engine_placement_full(budget=1000, cores=4)
+            runs.append(round(v, 2))
+        value = sorted(runs)[1]
         _, lk_exact = run_engine_placement_full(budget=0)
         print(f"# LK delta budget4-vs-exact: {lk_budget - lk_exact:.3f}",
               file=sys.stderr)
@@ -142,7 +147,11 @@ def main():
             # quality gate failed: fall back to reporting the exact path
             print("# budget search off quality gate; reporting exact",
                   file=sys.stderr)
-            value, _ = run_engine_placement_full(budget=0)
+            runs = []
+            for _ in range(3):
+                v, _ = run_engine_placement_full(budget=0)
+                runs.append(round(v, 2))
+            value = sorted(runs)[1]
             metric = "placement_throughput_b1429_engine"
         else:
             metric = "placement_throughput_b1429_budget1000_cores4"
@@ -150,6 +159,7 @@ def main():
     except Exception as exc:  # pragma: no cover - defensive bench fallback
         print(f"# engine path failed ({exc!r})", file=sys.stderr)
         value = run_host_placement_subset(3000)
+        runs = [round(value, 2)]
         metric = "placement_throughput_b1429sub3000_host"
         baseline = BASELINE_SEQ_PER_S
     print(json.dumps({
@@ -157,6 +167,8 @@ def main():
         "value": round(value, 2),
         "unit": "seq/s",
         "vs_baseline": round(value / baseline, 3),
+        "protocol": "median-of-3",
+        "runs": runs,
     }))
 
 

@@ -122,3 +122,23 @@ def budget_for(vecs: Sequence, minimum: int = 64) -> int:
     while b < need:
         b *= 2
     return b
+
+
+def snug_budget(max_entries: int, minimum: int = 24,
+                headroom: float = 1.4) -> int:
+    """Entry budget from a x1.5 ladder of sublane multiples
+    (24, 40, 64, 96, 144, 216, 328, ...) with growth headroom.
+
+    The Pallas candidate-lane kernel only needs the entry axis to be a
+    sublane multiple (8), not a power of two — and measured entry counts
+    (mean ~25, max ~67 at 3k samples) make the power-of-two rounding the
+    single largest waste of pair work in the screen (budget 128 for a
+    mean-25 pool).  The coarse ladder + headroom keep the number of
+    distinct budgets per run at 1-2: every budget change invalidates
+    every compiled (prefix, budget) kernel variant, and compiles
+    serialize on the dispatch thread."""
+    need = max(minimum, int(max_entries * headroom) + 4)
+    b = minimum
+    while b < need:
+        b = (b + b // 2) + (-(b + b // 2)) % 8
+    return b

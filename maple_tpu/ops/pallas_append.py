@@ -13,10 +13,13 @@ an overlapping pair there can be no other breakpoint.  Scoring therefore
 needs no sort and no gather: it is a masked sum of per-pair log-factors
 over the B1 x B2 entry grid, pure element-wise VPU work.
 
-Layout.  Grid = (K queries, N/8 candidate tiles); each program holds an
-(8, B1) tile of candidate entry fields in VMEM (candidates on sublanes,
-entry slots on lanes) and walks the B2 query entries with a fori_loop,
-reading the current query entry's fields as SMEM scalars.  Query entries
+Layout.  Grid = (K queries, N/128 candidate tiles); each program holds
+a (B1, 128) tile of candidate entry fields in VMEM (128 candidates on
+the VPU lane axis, entry slots on sublanes — full lane utilization at
+any entry budget) and walks the B2 query entries with a fori_loop,
+reading the current query entry's fields as SMEM scalars.  An earlier
+entry-lane layout (candidates on sublanes) measured 16x slower
+(SOL_r03.json: 0.04 vs 0.68 of VPU speed-of-light) and was removed.  Query entries
 that can never contribute (N runs and padding — most of a padded tip
 list) are skipped with lax.cond, so per-program work tracks the *actual*
 query length, not the padded budget.  Per-site model state (site rates,
@@ -50,7 +53,36 @@ _F_P0, _F_P1, _F_P2, _F_P3 = 7, 8, 9, 10
 _F_END, _F_PREV, _F_RATE, _F_EPS = 11, 12, 13, 14
 _NFIELDS = 16  # padded to a power of two
 
-_TILE_N = 8  # default candidates per program (f32 sublane count)
+
+
+def stack_fields_host(p, site_rates, error_rates, axis, dtype=None):
+    """Host (numpy) twin of :func:`_stack_fields`: stack a PackedBatch's
+    per-entry fields — plus the derived end/prev/rate/eps planes — into
+    the kernel's _NFIELDS layout, so device uploads are ONE array instead
+    of nine (each host->device transfer on a tunneled backend costs a
+    latency floor, TUNNEL_r03/r04).  Per-entry site rate and error rate
+    are baked in at pack time; they are constant during placement and
+    during an SPR screen pass (both only change at EM boundaries).
+
+    axis=-2 packs candidates ([N, F, B]); axis=-1 packs queries
+    ([..., B, F])."""
+    import numpy as np
+    dtype = dtype or np.float32
+    ends = p.ends
+    pos = np.maximum(ends - 1, 0)
+    prev = np.concatenate(
+        [np.zeros_like(ends[..., :1]), ends[..., :-1]], axis=-1)
+    rate = (np.ones_like(ends, dtype=dtype) if site_rates is None
+            else np.asarray(site_rates)[pos])
+    eps = (np.zeros_like(ends, dtype=dtype) if error_rates is None
+           else np.asarray(error_rates)[pos])
+    fields = [
+        p.types, p.vals, p.bl1, p.bl2, p.has_bl1, p.has_bl2, p.flags,
+        p.probs[..., 0], p.probs[..., 1], p.probs[..., 2], p.probs[..., 3],
+        ends, prev, rate, eps, np.zeros_like(ends),
+    ]
+    return np.stack([np.asarray(f, dtype=dtype) for f in fields],
+                    axis=axis)
 
 
 def _stack_fields(X, site_rates, error_rates, axis):
@@ -79,8 +111,7 @@ def _stack_fields(X, site_rates, error_rates, axis):
 def _kernel_common(fP, Cref, mmref, rfref, prmref, *, uer, B2):
     """Shared kernel body: accumulate per-pair log factors over all B2
     query entries against the P planes produced by ``fP`` (any 2D plane
-    shape — (tile_n, B1) in the entry-lane layout, (B1, 128) in the
-    candidate-lane layout).  Returns the per-pair log-factor accumulator
+    shape; (B1, 128) in the candidate-lane layout).  Returns the per-pair log-factor accumulator
     (same shape as the planes) plus the scalar params needed by the
     caller's reduction."""
     cP = fP(_F_TYPE)
@@ -238,19 +269,6 @@ def _kernel_common(fP, Cref, mmref, rfref, prmref, *, uer, B2):
     return acc, blen, gtr, tip, tot_error
 
 
-def _append_kernel(Pref, Cref, mmref, rfref, prmref, oref, *, uer, B2):
-    """Entry-lane layout: one program = a (tile_n, B1) candidate tile
-    (candidates on sublanes, entry slots on lanes) x all B2 query
-    entries."""
-    fP = lambda i: Pref[:, i, :]                     # (TN, B1) planes
-    acc, blen, gtr, tip, tot_error = _kernel_common(
-        fP, Cref, mmref, rfref, prmref, uer=uer, B2=B2)
-    score = blen * gtr + jnp.sum(acc, axis=1, keepdims=True)  # (TN, 1)
-    if uer:
-        score = score + tip * tot_error
-    oref[0, :, :] = score
-
-
 def _append_kernel_lanes(Pref, Cref, mmref, rfref, prmref, oref, *, uer,
                          B2):
     """Candidate-lane layout: one program = 128 candidates on the lane
@@ -267,10 +285,10 @@ def _append_kernel_lanes(Pref, Cref, mmref, rfref, prmref, oref, *, uer,
     oref[0, 0, :, :] = jnp.sum(acc.reshape(b1 // 8, 8, 128), axis=0)
 
 
-@partial(jax.jit, static_argnames=("uer", "interpret", "tile_n", "lanes"))
+@partial(jax.jit, static_argnames=("uer", "interpret"))
 def _pallas_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
                         error_rates, global_tot_rate, tot_error, uer,
-                        interpret, tile_n=_TILE_N, lanes=False):
+                        interpret):
     dtype = mm.dtype
     Pstk = _stack_fields(P, site_rates, error_rates, axis=-2)  # [N,F,B1]
     Cstk = _stack_fields(C, site_rates, error_rates, axis=-1)  # [K,B2,F]
@@ -278,12 +296,10 @@ def _pallas_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
         Cstk = Cstk[None]
     K, B2, _ = Cstk.shape
     N, F, B1 = Pstk.shape
-    chunk = 128 if lanes else tile_n
-    n_pad = (-N) % chunk
+    n_pad = (-N) % 128
     if n_pad:
         Pstk = jnp.concatenate(
             [Pstk, jnp.repeat(Pstk[:1], n_pad, axis=0)], axis=0)
-    Npad = N + n_pad
     Cflat = Cstk.reshape(K, 1, B2 * _NFIELDS)
     mm_flat = mm.reshape(1, 1, 16).astype(dtype)
     rf = root_freqs.reshape(1, 1, 4).astype(dtype)
@@ -298,7 +314,26 @@ def _pallas_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
          jnp.broadcast_to(global_tot_rate.astype(dtype), (K,)),
          jnp.broadcast_to(tot_error.astype(dtype), (K,))],
         axis=-1).reshape(K, 1, 4)
+    scores = pallas_scores_prestacked(Pstk, Cflat, prm, mm_flat, rf,
+                                      uer=uer, interpret=interpret)
+    return scores[:, :N]  # [K, N]
 
+
+def pallas_scores_prestacked(Pstk, Cflat, prm, mm_flat, rf, *, uer,
+                             interpret):
+    """Candidate-lane Pallas screen over pre-stacked inputs — the hot
+    entry point for the fused device-placement step (traced inside the
+    caller's jit, so the scatter + screen + top-k pipeline is ONE
+    dispatch).
+
+    Pstk [Npad, F, B1] stacked candidate fields (Npad % 128 == 0, B1 % 8
+    == 0, see :func:`stack_fields_host`); Cflat [K, 1, B2*F] stacked
+    query fields; prm [K, 1, 4] per-query (blen, tip, global_tot_rate,
+    tot_error); mm_flat [1, 1, 16]; rf [1, 1, 4].  Returns [K, Npad]."""
+    Npad, F, B1 = Pstk.shape
+    K = Cflat.shape[0]
+    B2 = Cflat.shape[-1] // _NFIELDS
+    dtype = Pstk.dtype
     c_specs = [
         pl.BlockSpec((1, 1, B2 * _NFIELDS), lambda k, n: (k, 0, 0),
                      memory_space=pltpu.SMEM),
@@ -309,42 +344,26 @@ def _pallas_scores_impl(P, C, blen, tip_c, mm, root_freqs, site_rates,
         pl.BlockSpec((1, 1, 4), lambda k, n: (k, 0, 0),
                      memory_space=pltpu.SMEM),
     ]
-    if lanes:
-        # [Npad, F, B1] -> [Npad/128, F, B1, 128]: candidates minor
-        Pln = Pstk.reshape(Npad // 128, 128, F, B1) \
-                  .transpose(0, 2, 3, 1)
-        out = pl.pallas_call(
-            partial(_append_kernel_lanes, uer=uer, B2=B2),
-            grid=(K, Npad // 128),
-            in_specs=[pl.BlockSpec((1, F, B1, 128),
-                                   lambda k, n: (n, 0, 0, 0),
-                                   memory_space=pltpu.VMEM)] + c_specs,
-            out_specs=pl.BlockSpec((1, 1, 8, 128),
-                                   lambda k, n: (k, n, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((K, Npad // 128, 8, 128),
-                                           dtype),
-            interpret=interpret,
-        )(Pln, Cflat, mm_flat, rf, prm)
-        scores = out.sum(axis=2).reshape(K, Npad)[:, :N]
-        scores = scores + blen_k[:, None] \
-            * global_tot_rate.astype(dtype)
-        if uer:
-            scores = scores + tip_k[:, None] \
-                * tot_error.astype(dtype)
-        return scores  # [K, N]
-
+    # [Npad, F, B1] -> [Npad/128, F, B1, 128]: candidates minor
+    Pln = Pstk.reshape(Npad // 128, 128, F, B1).transpose(0, 2, 3, 1)
     out = pl.pallas_call(
-        partial(_append_kernel, uer=uer, B2=B2),
-        grid=(K, Npad // tile_n),
-        in_specs=[pl.BlockSpec((tile_n, F, B1), lambda k, n: (n, 0, 0),
+        partial(_append_kernel_lanes, uer=uer, B2=B2),
+        grid=(K, Npad // 128),
+        in_specs=[pl.BlockSpec((1, F, B1, 128),
+                               lambda k, n: (n, 0, 0, 0),
                                memory_space=pltpu.VMEM)] + c_specs,
-        out_specs=pl.BlockSpec((1, tile_n, 1), lambda k, n: (k, n, 0),
+        out_specs=pl.BlockSpec((1, 1, 8, 128),
+                               lambda k, n: (k, n, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K, Npad, 1), dtype),
+        out_shape=jax.ShapeDtypeStruct((K, Npad // 128, 8, 128), dtype),
         interpret=interpret,
-    )(Pstk, Cflat, mm_flat, rf, prm)
-    return out[:, :N, 0]  # [K, N]
+    )(Pln, Cflat, mm_flat, rf, prm)
+    scores = out.sum(axis=2).reshape(K, Npad)
+    blen_k = prm[:, 0, 0]
+    scores = scores + (blen_k * prm[:, 0, 2])[:, None]
+    if uer:
+        scores = scores + (prm[:, 0, 1] * prm[:, 0, 3])[:, None]
+    return scores  # [K, Npad]
 
 
 def _auto_interpret() -> bool:
@@ -352,15 +371,14 @@ def _auto_interpret() -> bool:
 
 
 def pallas_grid_append_scores(P: dict, C: dict, blen, tip_c: bool, dm,
-                              interpret=None, tile_n=_TILE_N,
-                              layout="lanes"):
+                              interpret=None):
     """Scores [K, N] for K packed queries against N candidate uppers —
     drop-in twin of :func:`append_batch.grid_append_scores`.
 
-    layout="lanes" (default) puts 128 candidates on the VPU lane axis and
-    entry slots on sublanes — full lane utilization at any entry budget;
-    "entries" is the original (tile_n candidates x B1 entry lanes) tiling,
-    kept for comparison (see scripts/speed_of_light.py)."""
+    Single kernel family: the candidate-lane layout (128 candidates on
+    the VPU lane axis, entry slots on sublanes).  The original
+    entry-lane layout was measured 16x slower (0.04 vs 0.68 fraction of
+    VPU speed-of-light, SOL_r03.json) and was removed in round 4."""
     if interpret is None:
         interpret = _auto_interpret()
     dtype = dm.mut_matrix.dtype
@@ -368,12 +386,11 @@ def pallas_grid_append_scores(P: dict, C: dict, blen, tip_c: bool, dm,
         P, C, jnp.asarray(blen, dtype), jnp.asarray(float(tip_c), dtype),
         dm.mut_matrix, dm.root_freqs, dm.site_rates, dm.error_rates,
         dm.global_tot_rate, dm.tot_error, dm.using_error_rate,
-        bool(interpret), tile_n=int(tile_n), lanes=(layout == "lanes"))
+        bool(interpret))
 
 
 def pallas_grid_append_scores_var(P: dict, C: dict, blens, tips, dm,
-                                  interpret=None, tile_n=_TILE_N,
-                                  layout="lanes"):
+                                  interpret=None):
     """Scores [K, N] with per-query branch length and tip flag — the
     Pallas twin of :func:`append_batch.grid_append_scores_var` (the device
     SPR screen's call shape: each pruned subtree carries its current
@@ -386,7 +403,7 @@ def pallas_grid_append_scores_var(P: dict, C: dict, blens, tips, dm,
         jnp.asarray(tips).astype(dtype),
         dm.mut_matrix, dm.root_freqs, dm.site_rates, dm.error_rates,
         dm.global_tot_rate, dm.tot_error, dm.using_error_rate,
-        bool(interpret), tile_n=int(tile_n), lanes=(layout == "lanes"))
+        bool(interpret))
 
 
 def pallas_batched_append_scores(P: dict, C: dict, blen, tip_c: bool, dm,

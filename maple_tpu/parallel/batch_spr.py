@@ -90,44 +90,13 @@ def _current_attachment_lk(rt, node: int):
     return lk
 
 
-def device_topology_update(rt, root: int, params,
-                           counters: Optional[SprCounters] = None,
-                           mesh=None, query_chunk: Optional[int] = None,
-                           use_pallas: bool = False):
-    """One device-screened search / serial-apply SPR pass.  Returns
-    (new_root_or_None, cumulative_improvement) like the fork path.
-
-    SPRTA/network annotation modes need the crawl's per-candidate
-    posteriors and stay on the fork/threaded paths (the dispatcher gates
-    them)."""
-    import jax.numpy as jnp
-
-    from ..ops import pack as OP
-    from ..ops.append_batch import (device_model_from, to_device,
-                                    grid_append_scores_var,
-                                    enable_compilation_cache)
-    from ..runtime.tree import set_all_dirty
-    from .batch_placement import DeviceTreePool
-
-    enable_compilation_cache()
-    if query_chunk is None:
-        # the Pallas candidate-lane scorer peaks at K=64 (SOL_r03.json);
-        # bigger chunks also amortize the tunneled backend's per-dispatch
-        # round trip over 4x the scores
-        query_chunk = 64 if use_pallas else 16
-    if counters is None:
-        counters = SprCounters()
+def _collect_queries(rt, root: int, placement_thresh):
+    """Eligible pruned-subtree queries with the serial crawl's own gates
+    (dirty flag, maxReplacements, the current-attachment threshold), each
+    exported as its global-frame lower vector plus (blen, tip, base
+    score)."""
     tree = rt.tree
     cfg = rt.cfg
-    strict, fails, threshold, placement_thresh = params
-    t0 = time.time()
-
-    pool = DeviceTreePool(rt, mesh=mesh)
-    n_anchors = pool.refresh()
-    if n_anchors == 0:
-        return None, 0.0
-
-    # eligible queries: the serial crawl's own gates
     q_nodes, q_vecs, q_blens, q_tips, q_base = [], [], [], [], []
     chains = {}
     stack = [root]
@@ -156,6 +125,203 @@ def device_topology_update(rt, root: int, params,
         q_blens.append(tree.dist[n])
         q_tips.append(tree.is_tip(n))
         q_base.append(base)
+    return q_nodes, q_vecs, q_blens, q_tips, q_base
+
+
+def _screen_chunk_impl(pool, valid, a_tin, Cflat, prm, q_lo, q_hi, excl,
+                       mm, rf, *, n_prefix, uer, interpret):
+    """One query chunk of the single-device screen: Pallas scores over
+    the pool prefix, on-device masking (own subtree via Euler-interval
+    containment, parent/sibling rows), per-query top-1."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas_append import pallas_scores_prestacked
+
+    scores = pallas_scores_prestacked(pool[:n_prefix], Cflat, prm, mm,
+                                      rf, uer=uer, interpret=interpret)
+    at = a_tin[None, :n_prefix]
+    inval = (at >= q_lo[:, None]) & (at < q_hi[:, None])
+    iota = jnp.arange(n_prefix, dtype=jnp.int32)[None, :]
+    inval = inval | (iota == excl[:, 0:1]) | (iota == excl[:, 1:2])
+    scores = jnp.where(valid[None, :n_prefix] & ~inval, scores,
+                       -jnp.inf)
+    return jax.lax.top_k(scores, 1)
+
+
+_screen_chunk = None
+
+
+def _get_screen_chunk():
+    global _screen_chunk
+    if _screen_chunk is None:
+        import jax
+        from functools import partial
+        _screen_chunk = partial(
+            jax.jit(_screen_chunk_impl,
+                    static_argnames=("n_prefix", "uer", "interpret")))
+    return _screen_chunk
+
+
+def _screen_single_device(rt, root: int, params, counters, t0,
+                          chunk: int = 64):
+    """Pipelined single-device SPR screen: every chunk's scores + masks +
+    top-1 run in one dispatch, all chunks are submitted before any result
+    is fetched (the device screens ahead while the host packs), and the
+    readback per chunk is K (score, row) pairs — never the [K, N] matrix.
+
+    The screen is exhaustive over anchors (a superset of the reference
+    crawl's stop-rule neighborhood, findBestParentTopology
+    MAPLEv0.7.5.4.py:6817-7724 with stop rules :8080-8088) and proposals
+    go through the same serial re-validated apply as the fork/threaded
+    paths — screen precision affects recall only."""
+    import jax.numpy as jnp
+
+    from ..ops import pack as OP
+    from ..ops.pallas_append import stack_fields_host
+    from ..runtime.tree import set_all_dirty
+    from .pipelined_placer import StackedDevicePool
+
+    import jax
+
+    tree = rt.tree
+    strict, fails, threshold, placement_thresh = params
+    interpret = jax.default_backend() != "tpu"
+
+    q_nodes, q_vecs, q_blens, q_tips, q_base = _collect_queries(
+        rt, root, placement_thresh)
+    if not q_nodes:
+        return None, 0.0
+
+    pool = StackedDevicePool(rt)
+    pool.full_rebuild()
+    n_anchors = len(pool.row_of)
+    if n_anchors == 0:
+        return None, 0.0
+    n_prefix = pool.n_prefix
+
+    tin, tout = _euler_intervals(tree, root)
+    a_tin = np.full(pool.capacity, np.iinfo(np.int32).max,
+                    dtype=np.int32)
+    live = pool.node_arr[:n_anchors]
+    a_tin[:n_anchors] = tin[live]
+    dev_a_tin = jnp.asarray(a_tin)
+    mm = jnp.asarray(np.asarray(rt.model.mut_matrix,
+                                dtype=np.float32).reshape(1, 1, 16))
+    rf = jnp.asarray(np.asarray(rt.model.refd.root_freqs,
+                                dtype=np.float32).reshape(1, 1, 4))
+    uer = rt.model.using_error_rate
+    dc = rt.dc
+    gtr = float(dc.globalTotRate)
+    tot_error = float(rt.model.tot_error or 0.0)
+    q_budget = OP.budget_for(q_vecs, 64)
+    screen = _get_screen_chunk()
+
+    futures = []
+    K_total = len(q_nodes)
+    for s in range(0, K_total, chunk):
+        vecs = q_vecs[s:s + chunk]
+        n_sub = len(vecs)
+        sl = list(range(s, s + n_sub)) + [s] * (chunk - n_sub)
+        vecs = vecs + [vecs[0]] * (chunk - n_sub)
+        packed = OP.pack_genome_lists(vecs, rt.refd.lRef, q_budget, uer,
+                                      dtype=np.float32)
+        Cflat = stack_fields_host(packed, pool.site_rates,
+                                  pool.error_rates,
+                                  axis=-1).reshape(chunk, 1, -1)
+        prm = np.stack([
+            np.asarray([q_blens[i] for i in sl], dtype=np.float32),
+            np.asarray([float(q_tips[i]) for i in sl], dtype=np.float32),
+            np.full(chunk, gtr, dtype=np.float32),
+            np.full(chunk, tot_error, dtype=np.float32),
+        ], axis=-1).reshape(chunk, 1, 4)
+        q_lo = np.asarray([tin[q_nodes[i]] for i in sl], dtype=np.int32)
+        q_hi = np.asarray([tout[q_nodes[i]] for i in sl], dtype=np.int32)
+        excl = np.full((chunk, 2), -1, dtype=np.int32)
+        for j, i in enumerate(sl):
+            node = q_nodes[i]
+            parent = tree.up[node]
+            sibling = tree.children[parent][1 - tree.child_index(node)]
+            excl[j, 0] = pool.row_of.get(parent, -1)
+            excl[j, 1] = pool.row_of.get(sibling, -1)
+        futures.append((s, n_sub, screen(
+            pool.dev_pool, pool.dev_valid, dev_a_tin,
+            jnp.asarray(Cflat), jnp.asarray(prm), jnp.asarray(q_lo),
+            jnp.asarray(q_hi), jnp.asarray(excl), mm, rf,
+            n_prefix=n_prefix, uer=uer, interpret=interpret)))
+
+    proposals = []
+    node_arr = pool.node_arr
+    for s, n_sub, (ts, ti) in futures:
+        ts = np.asarray(ts)
+        ti = np.asarray(ti)
+        for k in range(n_sub):
+            best = float(ts[k, 0])
+            if not np.isfinite(best):
+                continue
+            improvement = best - q_base[s + k]
+            # the serial acceptance test's form (screened, f32):
+            # re-validated exactly by the serial apply below
+            if best + placement_thresh > q_base[s + k] \
+                    and improvement > 0.0:
+                proposals.append((q_nodes[s + k],
+                                  int(node_arr[ti[k, 0]]), improvement))
+
+    proposals.sort(key=lambda p: p[2])
+    print(f"Device SPR screen: {K_total} queries x {n_anchors} anchors "
+          f"-> {len(proposals)} proposals in {time.time() - t0:.2f}s",
+          flush=True)
+    set_all_dirty(tree, root, dirtiness=False)
+    return apply_spr_moves(rt, proposals, params, counters)
+
+
+def device_topology_update(rt, root: int, params,
+                           counters: Optional[SprCounters] = None,
+                           mesh=None, query_chunk: Optional[int] = None,
+                           use_pallas: bool = False):
+    """One device-screened search / serial-apply SPR pass.  Returns
+    (new_root_or_None, cumulative_improvement) like the fork path.
+
+    Single-device runs take the pipelined Pallas screen
+    (:func:`_screen_single_device`): pre-stacked pool upload, on-device
+    subtree masking + per-query top-k, all chunks dispatched
+    asynchronously — one sync per chunk readback instead of one per
+    scorer call (the round-3 XLA lax.map screen also reproducibly wedged
+    the tunneled backend at 16k-row pools, DEVICE_r03.json, so the XLA
+    screen survives only behind the mesh path where shard_map drives it).
+
+    SPRTA/network annotation modes need the crawl's per-candidate
+    posteriors and stay on the fork/threaded paths (the dispatcher gates
+    them)."""
+    import jax.numpy as jnp
+
+    from ..ops import pack as OP
+    from ..ops.append_batch import (device_model_from, to_device,
+                                    grid_append_scores_var,
+                                    enable_compilation_cache)
+    from ..runtime.tree import set_all_dirty
+    from .batch_placement import DeviceTreePool
+
+    enable_compilation_cache()
+    if counters is None:
+        counters = SprCounters()
+    tree = rt.tree
+    cfg = rt.cfg
+    strict, fails, threshold, placement_thresh = params
+    t0 = time.time()
+
+    if mesh is None:
+        return _screen_single_device(rt, root, params, counters, t0)
+
+    pool = DeviceTreePool(rt, mesh=mesh)
+    n_anchors = pool.refresh()
+    if n_anchors == 0:
+        return None, 0.0
+    if query_chunk is None:
+        query_chunk = 16
+
+    q_nodes, q_vecs, q_blens, q_tips, q_base = _collect_queries(
+        rt, root, placement_thresh)
     if not q_nodes:
         return None, 0.0
 
@@ -186,27 +352,15 @@ def device_topology_update(rt, root: int, params,
                 for k, v in sub.items()}
             bl = np.concatenate([bl, np.repeat(bl[:1], qc - n_sub)])
             tp = np.concatenate([tp, np.repeat(tp[:1], qc - n_sub)])
-        if mesh is not None:
-            from jax.sharding import PartitionSpec as PS
-            from .mesh import host_fetch, put_global, spr_screen_scores
-            sub = {k: put_global(mesh, v,
-                                 PS("dp", *([None] * (v.ndim - 1))))
-                   for k, v in sub.items()}
-            bl = put_global(mesh, bl, PS("dp"))
-            tp = put_global(mesh, tp, PS("dp"))
-            out = host_fetch(spr_screen_scores(mesh, pool.pool, sub, bl,
-                                               tp, dm))
-        elif use_pallas:
-            # the Pallas scorer with per-query (blen, tip) SMEM params —
-            # ~30x the XLA scorer on-chip (SOL_r03.json) and, on the
-            # tunneled backend, avoids the giant lax.map executable that
-            # reproducibly wedges (DEVICE_r03.json spr_screen record)
-            from ..ops.pallas_append import pallas_grid_append_scores_var
-            out = np.asarray(pallas_grid_append_scores_var(
-                pool.pool, sub, bl, tp.astype(np.float32), dm))
-        else:
-            out = np.asarray(grid_append_scores_var(pool.pool, sub, bl,
-                                                    tp, dm))
+        from jax.sharding import PartitionSpec as PS
+        from .mesh import host_fetch, put_global, spr_screen_scores
+        sub = {k: put_global(mesh, v,
+                             PS("dp", *([None] * (v.ndim - 1))))
+               for k, v in sub.items()}
+        bl = put_global(mesh, bl, PS("dp"))
+        tp = put_global(mesh, tp, PS("dp"))
+        out = host_fetch(spr_screen_scores(mesh, pool.pool, sub, bl,
+                                           tp, dm))
         score_rows.append(out[:n_sub])
     scores = np.concatenate(score_rows, axis=0)[:, :n_anchors]  # [K, N]
 

@@ -495,16 +495,68 @@ class Run:
             qc = min(batch_size,
                      cfg.updateSubstMatrixEveryThisSamples)
             qc += (-qc) % 8
-        placer = BatchedPlacer(self.rt, self.stats, batch_size=batch_size,
-                               # one scorer call per batch: every
-                               # round-trip costs a tunnel latency floor
-                               query_chunk=qc,
-                               mesh=mesh,
-                               use_pallas=getattr(cfg, "device_pallas",
-                                                  False),
-                               expected_samples=len(distances) + 1)
         start_all = time.time()
         upd = cfg.updateSubstMatrixEveryThisSamples
+        use_pipelined = (mesh is None
+                         and not os.environ.get("MAPLE_DEVICE_LEGACY"))
+        if not use_pipelined:
+            placer = BatchedPlacer(self.rt, self.stats,
+                                   batch_size=batch_size,
+                                   # one scorer call per batch: every
+                                   # round-trip costs a tunnel latency
+                                   # floor
+                                   query_chunk=qc,
+                                   mesh=mesh,
+                                   use_pallas=getattr(
+                                       cfg, "device_pallas", False),
+                                   expected_samples=len(distances) + 1)
+        if use_pipelined:
+            # single-device fast path: fused-step pipelined placer (see
+            # maple_tpu.parallel.pipelined_placer) — host-serial warmup
+            # first, exactly as below
+            from .parallel.pipelined_placer import PipelinedPlacer
+            while distances and num_samples < warmup:
+                if cfg.model != "JC" and num_samples % upd == 0:
+                    self.model.update_from_pseudo_counts()
+                _, sample = distances.pop()
+                self.names_in_tree.append(sample)
+                new_partials = self.rt.terminal_vector(self.data[sample])
+                self.data[sample] = None
+                best_node, best_score, best_blens, best_vect = \
+                    find_best_parent_for_new_sample(
+                        self.rt, t1, new_partials, num_samples, self.stats)
+                if best_blens is not None:
+                    new_root = place_sample_on_tree(
+                        self.rt, best_node, best_vect, num_samples,
+                        best_score, best_blens[0], best_blens[1],
+                        best_blens[2], self.model.pseudo_counts, self.stats)
+                    if new_root is not None:
+                        t1 = new_root
+                num_samples += 1
+
+            def stream():
+                nonlocal num_samples
+                while distances:
+                    _, sample = distances.pop()
+                    self.names_in_tree.append(sample)
+                    v = self.rt.terminal_vector(self.data[sample])
+                    self.data[sample] = None
+                    yield (num_samples, v)
+                    num_samples += 1
+
+            pplacer = PipelinedPlacer(
+                self.rt, self.stats, batch_size=batch_size,
+                expected_samples=len(distances) + num_samples)
+            t1 = pplacer.place_all(
+                t1, stream(),
+                refresh_every=(upd if cfg.model != "JC" else 0),
+                n_placed=num_samples)
+            self.root = t1
+            self.timings["finding"] += (pplacer.time_scoring
+                                        + pplacer.time_fine)
+            self.timings["placing"] += pplacer.time_apply
+            print("Device-batched sample placement completed", flush=True)
+            return
         while distances:
             # exact serial model-refresh cadence (reference :11708-11711);
             # batches below never cross a refresh boundary, so the model

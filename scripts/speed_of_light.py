@@ -18,8 +18,8 @@ case selects) plus one transcendental log:
   executed pairs = K * Npad * B1 * B2_active
   flops          = pairs * F_PAIR
 
-Data model.  Grid = (K, Npad/tile_n) with n fastest, so the candidate
-entry planes stream from HBM once per query:
+Data model.  Grid = (K, Npad/128) with n fastest (candidate-lane
+layout), so the candidate entry planes stream from HBM once per query:
 
   bytes = K * Npad * NFIELDS * B1 * 4   (P planes, f32)
         + K * B2 * NFIELDS * 4          (query scalars, SMEM)
@@ -144,7 +144,7 @@ def _chained_time(score_fn, blen, iters_hi, reps):
     return best
 
 
-def run_config(n, k, b1, b2, tile_ns, reps, use_xla=True, iters_hi=5,
+def run_config(n, k, b1, b2, reps, use_xla=True, iters_hi=5,
                use_pallas=True):
     import jax
     import jax.numpy as jnp
@@ -172,17 +172,13 @@ def run_config(n, k, b1, b2, tile_ns, reps, use_xla=True, iters_hi=5,
     t_sol = max(t_vpu, t_hbm)
     bound = "vpu" if t_vpu >= t_hbm else "hbm"
 
-    for tile_n in (tile_ns if use_pallas else ()):
-        layout = "lanes" if tile_n == 0 else "entries"
-
-        def pallas_score(b, tile_n=tile_n, layout=layout):
+    if use_pallas:
+        def pallas_score(b):
             return pallas_grid_append_scores(P_dev, C_dev, b, True, dm,
-                                             interpret=not on_tpu,
-                                             tile_n=max(tile_n, 8),
-                                             layout=layout)
+                                             interpret=not on_tpu)
         dt = _chained_time(pallas_score, blen, iters_hi, reps)
         rows.append({
-            "kernel": f"pallas-{layout}", "tile_n": tile_n, "K": k, "N": n,
+            "kernel": "pallas-lanes", "K": k, "N": n,
             "B1": b1, "B2": b2, "B2_active": round(b2_active, 1),
             "wall_s": round(dt, 5),
             "scores_per_s": round(k * n / dt),
@@ -213,9 +209,6 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None, help="write JSON rows here")
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--tile-ns", default="0,8",
-                    help="candidate tile sizes; 0 = the candidate-lane "
-                         "(128-wide) layout")
     ap.add_argument("--configs", default="2048,64,64,64;8192,64,64,64;"
                     "8192,128,128,128",
                     help="semicolon list of N,K,B1,B2")
@@ -229,11 +222,10 @@ def main():
     import jax
     print(f"# backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)
-    tile_ns = [int(t) for t in args.tile_ns.split(",")]
     all_rows = []
     for spec in args.configs.split(";"):
         n, k, b1, b2 = (int(x) for x in spec.split(","))
-        all_rows += run_config(n, k, b1, b2, tile_ns, args.reps,
+        all_rows += run_config(n, k, b1, b2, args.reps,
                                use_xla=not args.no_xla,
                                use_pallas=not args.no_pallas,
                                iters_hi=args.iters_hi)
@@ -244,7 +236,7 @@ def main():
     pallas_rows = [r for r in all_rows if r["kernel"].startswith("pallas")]
     if pallas_rows:
         best = max(pallas_rows, key=lambda r: r["fraction_of_light"])
-        print(f"# best {best['kernel']}: tile_n={best['tile_n']} "
+        print(f"# best {best['kernel']}: "
               f"N={best['N']} B1={best['B1']}: "
               f"{best['scores_per_s']:,} scores/s, "
               f"{best['fraction_of_light']:.1%} of light "

@@ -112,12 +112,14 @@ def test_batched_placer_with_mat_frames(tmp_path):
     assert abs(lk_d - lk_s) <= 1e-6, (lk_d, lk_s)
 
 
-def test_batched_placer_incremental_pool(tmp_path):
-    """Forced-low refresh threshold exercises the incremental pool path
-    (persistent rows + device row-scatter + host validity masking):
-    decisions must stay exactly serial."""
+def test_batched_placer_incremental_pool(tmp_path, monkeypatch):
+    """Forced-low refresh threshold exercises the legacy BatchedPlacer's
+    incremental pool path (persistent rows + device row-scatter + host
+    validity masking): decisions must stay exactly serial.  The legacy
+    placer remains the mesh path's driver, so it keeps its own test."""
     if not os.path.isfile(EXAMPLE):
         pytest.skip("example data not available")
+    monkeypatch.setenv("MAPLE_DEVICE_LEGACY", "1")
     from maple_tpu.parallel import batch_placement as BP
     run_s, lk_s = _run_serial(tmp_path)
     orig_init = BP.BatchedPlacer.__init__
@@ -142,6 +144,40 @@ def test_batched_placer_incremental_pool(tmp_path):
     assert n_updates[0] > 0, "incremental path never exercised"
     assert _placed_count(run_d) == _placed_count(run_s) == 112
     assert abs(lk_d - lk_s) <= 1e-6, (lk_d, lk_s)
+
+
+def test_pipelined_placer_rebuild_and_scatter(tmp_path):
+    """The pipelined placer's pool must take both sync paths — incremental
+    row scatter AND mid-run full rebuilds (forced via a tiny scatter
+    bucket) — without breaking serial-exact decisions."""
+    if not os.path.isfile(EXAMPLE):
+        pytest.skip("example data not available")
+    from maple_tpu.parallel import pipelined_placer as PP
+    run_s, lk_s = _run_serial(tmp_path)
+    orig = PP.StackedDevicePool.make_update
+    counts = {"scatter": 0, "rebuild": 0}
+
+    def counting(self, changed):
+        upd = orig(self, changed)
+        if upd is None:
+            counts["rebuild"] += 1
+        elif len(upd[0]):
+            counts["scatter"] += 1
+        return upd
+
+    PP.StackedDevicePool.make_update = counting
+    try:
+        run_d, lk_d = _run_device(tmp_path, warmup=16, batch_size=16)
+        assert counts["scatter"] > 0, "incremental scatter never exercised"
+        assert _placed_count(run_d) == _placed_count(run_s) == 112
+        assert abs(lk_d - lk_s) <= 1e-6, (lk_d, lk_s)
+        # force mid-run rebuilds: cap the scatter bucket at zero rows
+        PP.StackedDevicePool.make_update = lambda self, changed: None
+        run_r, lk_r = _run_device(tmp_path, warmup=16, batch_size=16)
+        assert _placed_count(run_r) == 112
+        assert abs(lk_r - lk_s) <= 1e-6, (lk_r, lk_s)
+    finally:
+        PP.StackedDevicePool.make_update = orig
 
 
 def test_batched_placer_pallas_end_to_end(tmp_path):

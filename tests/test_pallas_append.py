@@ -22,10 +22,9 @@ from test_kernels_vs_reference import build_ctx, random_genome_list
 from test_ops_batched import MODES, x64  # noqa: F401  (fixture reuse)
 
 
-@pytest.mark.parametrize("layout", ["lanes", "entries"])
 @pytest.mark.parametrize("model_name,rate_var,error_mode", MODES)
 def test_pallas_append_matches_host_and_xla(refmod, x64, model_name,  # noqa: F811
-                                            rate_var, error_mode, layout):
+                                            rate_var, error_mode):
     import jax.numpy as jnp
     from maple_tpu.ops import append_batch as AB
     from maple_tpu.ops import pallas_append as PA
@@ -63,7 +62,7 @@ def test_pallas_append_matches_host_and_xla(refmod, x64, model_name,  # noqa: F8
         Q = AB.to_device(OP.pack_genome_lists(
             queries, ctx.lRef, B, ctx.using_error_rate), dtype=jnp.float64)
         pal = np.asarray(PA.pallas_grid_append_scores(
-            P, Q, blen, tip, dm, interpret=True, layout=layout))  # [K, N]
+            P, Q, blen, tip, dm, interpret=True))  # [K, N]
         xla = np.asarray(AB.grid_append_scores(P, Q, blen, tip, dm))
         for qi, query in enumerate(queries):
             host = [K.append_prob_node(ctx, c, query, tip, blen)
