@@ -164,6 +164,24 @@ def _load():
     lib.engine_place_batch.argtypes = [C.c_void_p, C.c_int, C.c_int64,
                                        C.POINTER(C.c_int64),
                                        C.POINTER(C.c_int32)]
+    lib.engine_place_batch_seeded.restype = C.c_int
+    lib.engine_place_batch_seeded.argtypes = [
+        C.c_void_p, C.c_int, C.c_int64, p(C.c_int64), p(C.c_int32),
+        p(C.c_int32), C.c_int32, C.c_int64]
+    lib.engine_screen_log.restype = None
+    lib.engine_screen_log.argtypes = [C.c_void_p, C.c_int]
+    lib.engine_screen_drain.restype = C.c_long
+    lib.engine_screen_drain.argtypes = [C.c_void_p, p(C.c_int32),
+                                        C.c_long]
+    lib.engine_export_feats.restype = C.c_long
+    lib.engine_export_feats.argtypes = [
+        C.c_void_p, p(C.c_int32), C.c_long, C.c_int32, C.c_int32,
+        C.c_int32, p(C.c_int32), p(C.c_float), p(C.c_int32),
+        p(C.c_uint8)]
+    lib.engine_export_query_feats.restype = C.c_long
+    lib.engine_export_query_feats.argtypes = [
+        C.c_void_p, p(C.c_int64), C.c_long, C.c_int32, C.c_int32,
+        C.c_int32, p(C.c_int32), p(C.c_float), p(C.c_int32)]
     lib.engine_set_threads.restype = None
     lib.engine_set_threads.argtypes = [C.c_void_p, C.c_int]
     lib.engine_import_ndesc0.restype = None

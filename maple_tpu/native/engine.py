@@ -142,6 +142,87 @@ class NativePlacementEngine:
             msg = self.lib.engine_error(self.h).decode()
             raise RuntimeError(f"native placement engine: {msg}")
 
+    # -- device proxy-screen support (maple_tpu/parallel/proxy_placer) --
+    def terminal_vid(self, diffs) -> int:
+        """Public terminal-vector handle for the device screen driver
+        (feature export + later seeded placement).  The seeded batch
+        call reclaims the handle."""
+        return self._terminal_vid(diffs)
+
+    def screen_log(self, on: bool):
+        self.lib.engine_screen_log(self.h, 1 if on else 0)
+
+    def screen_drain(self) -> np.ndarray:
+        """Nodes whose screen row went stale since the last drain
+        (sorted, unique)."""
+        cap = int(self.lib.engine_node_count(self.h)) + 16
+        out = np.empty(cap, np.int32)
+        m = self.lib.engine_screen_drain(
+            self.h, out.ctypes.data_as(C.POINTER(C.c_int32)), cap)
+        return out[:m]
+
+    def export_feats(self, nodes: np.ndarray, d_hash: int, g_buckets: int,
+                     fmax: int):
+        """(idx [n, fmax] i32, w [n, fmax] f32, valid [n] bool, max_nf)
+        anchor-side proxy features of the nodes' mid-branch vectors."""
+        n = len(nodes)
+        nodes = np.ascontiguousarray(nodes, np.int32)
+        idx = np.empty((n, fmax), np.int32)
+        w = np.empty((n, fmax), np.float32)
+        counts = np.empty(n, np.int32)
+        valid = np.empty(n, np.uint8)
+        max_nf = self.lib.engine_export_feats(
+            self.h, nodes.ctypes.data_as(C.POINTER(C.c_int32)), n,
+            d_hash, g_buckets, fmax,
+            idx.ctypes.data_as(C.POINTER(C.c_int32)),
+            w.ctypes.data_as(C.POINTER(C.c_float)),
+            counts.ctypes.data_as(C.POINTER(C.c_int32)),
+            valid.ctypes.data_as(C.POINTER(C.c_uint8)))
+        return idx, w, valid.astype(bool), int(max_nf)
+
+    def export_query_feats(self, vids: np.ndarray, d_hash: int,
+                           g_buckets: int, fmax: int):
+        n = len(vids)
+        vids = np.ascontiguousarray(vids, np.int64)
+        idx = np.empty((n, fmax), np.int32)
+        w = np.empty((n, fmax), np.float32)
+        counts = np.empty(n, np.int32)
+        max_nf = self.lib.engine_export_query_feats(
+            self.h, vids.ctypes.data_as(C.POINTER(C.c_int64)), n,
+            d_hash, g_buckets, fmax,
+            idx.ctypes.data_as(C.POINTER(C.c_int32)),
+            w.ctypes.data_as(C.POINTER(C.c_float)),
+            counts.ctypes.data_as(C.POINTER(C.c_int32)))
+        return idx, w, int(max_nf)
+
+    def place_batch_seeded(self, vids: np.ndarray, first_sample: int,
+                           seeds: np.ndarray, num_cores: int,
+                           seed_budget: int):
+        """Seeded batched placement (native engine_place_batch_seeded):
+        vids are terminal handles from :meth:`terminal_vid` (reclaimed
+        by the call), seeds is [n, seeds_per] i32 (pad with -1).  Falls
+        back to serial placement when unsupported (alias tags)."""
+        n = len(vids)
+        vids = np.ascontiguousarray(vids, np.int64)
+        seeds = np.ascontiguousarray(seeds, np.int32)
+        samples = np.arange(first_sample, first_sample + n,
+                            dtype=np.int32)
+        rc = self.lib.engine_place_batch_seeded(
+            self.h, num_cores, n,
+            vids.ctypes.data_as(C.POINTER(C.c_int64)),
+            samples.ctypes.data_as(C.POINTER(C.c_int32)),
+            seeds.ctypes.data_as(C.POINTER(C.c_int32)),
+            seeds.shape[1], seed_budget)
+        if rc == 2:  # engine_place owns and reclaims each vid
+            for vid, sample in zip(vids.tolist(), samples.tolist()):
+                if self.lib.engine_place(self.h, int(vid),
+                                         int(sample)) < 0:
+                    rc = -1
+                    break
+        if rc < 0:
+            msg = self.lib.engine_error(self.h).decode()
+            raise RuntimeError(f"native placement engine: {msg}")
+
     def flush_pseudo_counts(self, pseudo_counts):
         """Move the engine's accumulated substitution counts into the
         model's pseudo-count matrix (same totals as the Python loop's

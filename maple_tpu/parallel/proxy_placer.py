@@ -1,0 +1,347 @@
+"""Device MXU proxy screen + engine seeded placement (the TPU fast path).
+
+Round-3/4 measurement closed the book on exhaustive exact screening for
+single-chip placement: the exact Pallas pair kernel runs ~1-5 M
+scores/s at 10k-tree shapes, so screening every query against every
+anchor costs ~1 ms/sample of VPU time alone — an order of magnitude
+over the ≥1,100 seq/s target — and the Python host fine phase added
+5-15 ms/sample on top.  This module replaces both ends:
+
+* **Screen on the MXU, not the VPU.**  Each anchor's mid-branch vector
+  and each query are embedded as sparse features over a fixed
+  D-dimensional space (hashed (position, nucleotide) buckets of
+  non-reference entries + genome-interval buckets for missing-data
+  coverage + a bias term, extracted engine-side in C++ —
+  native/maple_native.cpp feat_extract).  The screen is then ONE
+  [K, D] x [D, N] matmul: qf . af = 2*|shared muts| - |anchor muts|
+  + N-coverage correction, a monotone proxy (up to hash collisions) for
+  the exact relative appendProbNode score.  At K=256 queries against a
+  32k-row pool this is ~70 GFLOP — tens of microseconds of MXU time
+  where the exact VPU screen needed seconds.
+* **Decide on the engine, not in Python.**  The device returns only the
+  top-M anchor rows per query; the C++ engine then runs a *seeded*
+  best-first crawl from those anchors against the live tree (exact
+  appendProbNode scores, minor-sequence absorption, reference stop
+  rules — native E_find_best_parent_budget in seeded mode) and applies
+  through the same serially-re-validated batch apply as
+  engine_place_batch.  Proxy error and pipeline staleness therefore
+  cost recall only, never exactness: every decision is made on live
+  vectors by the exact kernels.
+* **One-batch-deep pipelining.**  Batch i+1's screen is dispatched
+  before batch i is applied; the engine's changed-node log
+  (engine_screen_drain) tells the host which pool rows to re-export
+  between screens.
+
+Reference contract being replaced: the strictly serial stepwise
+addition loop, MAPLEv0.7.5.4.py:11692-11752 with the per-sample DFS at
+:7912-8293.  Multi-chip: the anchor pool (AF matrix) shards over the
+candidate axis — the matmul is column-parallel and top-M reduces over
+the shard axis (see parallel/mesh.py for the mesh twin).
+"""
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Feature space (must match native feat_extract's layout): bucket 0 =
+# bias, [1, D_HASH) = hashed (pos, nuc), [D_HASH, D) = genome-interval
+# coverage channel.
+D_HASH = 7936
+G_BUCKETS = 256
+D = D_HASH + G_BUCKETS
+FMAX_ANCHOR = 192   # 2 features per mutation + bias
+FMAX_QUERY = 448    # 2*muts + up to G_BUCKETS coverage + bias
+
+_R_BUCKETS = (1024, 2048, 4096, 8192)
+
+
+@partial(jax.jit, static_argnames=("topm",), donate_argnums=(0, 1))
+def _proxy_step(AF, valid, upd_idx, upd_fidx, upd_fw, upd_valid,
+                q_fidx, q_fw, *, topm):
+    """Scatter stale anchor rows + proxy matmul + top-M in one dispatch.
+
+    AF [cap, D] f32 (donated), valid [cap] bool (donated),
+    upd_idx [R] i32 (unique rows), upd_fidx/[R, Fa] i32, upd_fw [R, Fa]
+    f32, upd_valid [R] bool, q_fidx [K, Fq] i32, q_fw [K, Fq] f32.
+    Returns (AF, valid, topm_scores [K, topm], topm_rows [K, topm]).
+
+    The matmul runs over the FULL pool capacity, not an active prefix:
+    on the MXU the padded rows are noise-level cost ([256, 8192] x
+    [8192, 32768] f32 is ~1 ms), while a prefix ladder would multiply
+    the compile variants — and each tunnel-side compile costs minutes
+    on this environment.  Unassigned/invalid rows are masked to -inf
+    before the top-k."""
+    R = upd_idx.shape[0]
+    rows = jnp.zeros((R, AF.shape[1]), AF.dtype)
+    rows = rows.at[jnp.arange(R)[:, None], upd_fidx].add(upd_fw)
+    AF = AF.at[upd_idx].set(rows)
+    valid = valid.at[upd_idx].set(upd_valid)
+    K = q_fidx.shape[0]
+    QF = jnp.zeros((K, AF.shape[1]), AF.dtype)
+    QF = QF.at[jnp.arange(K)[:, None], q_fidx].add(q_fw)
+    scores = jax.lax.dot_general(
+        QF, AF, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    scores = jnp.where(valid[None, :], scores, -jnp.inf)
+    ts, ti = jax.lax.top_k(scores, min(topm, AF.shape[0]))
+    return AF, valid, ts, ti
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_only(AF, valid, upd_idx, upd_fidx, upd_fw, upd_valid):
+    """Row scatter without a screen (initial pool build spill-over when
+    the changed set exceeds the largest fused-step bucket)."""
+    R = upd_idx.shape[0]
+    rows = jnp.zeros((R, AF.shape[1]), AF.dtype)
+    rows = rows.at[jnp.arange(R)[:, None], upd_fidx].add(upd_fw)
+    AF = AF.at[upd_idx].set(rows)
+    valid = valid.at[upd_idx].set(upd_valid)
+    return AF, valid
+
+
+class ProxyPool:
+    """Device-resident anchor feature matrix with persistent rows.
+
+    A node keeps its row for the whole run; new nodes append; stale or
+    ineligible nodes are re-exported/invalidated via the engine's
+    changed-node log.  Capacity is fixed up front from the expected
+    sample count (2 nodes per placed sample), so the matmul's prefix is
+    the only growing shape (pow2 ladder)."""
+
+    def __init__(self, expected_nodes: int):
+        cap = 1024
+        while cap < expected_nodes:
+            cap *= 2
+        self.capacity = cap
+        self.node_arr = np.full(cap, -1, dtype=np.int64)
+        self.row_of = {}
+        self.AF = jnp.zeros((cap, D), jnp.float32)
+        self.valid = jnp.zeros(cap, bool)
+
+    def assign_rows(self, nodes: np.ndarray) -> Optional[np.ndarray]:
+        """Rows for ``nodes`` (assigning fresh rows to new ones); None
+        when capacity is exhausted."""
+        rows = np.empty(len(nodes), np.int32)
+        nxt = len(self.row_of)
+        for i, node in enumerate(nodes):
+            r = self.row_of.get(int(node))
+            if r is None:
+                if nxt >= self.capacity:
+                    return None
+                r = nxt
+                self.row_of[int(node)] = r
+                self.node_arr[r] = node
+                nxt += 1
+            rows[i] = r
+        return rows
+
+
+class EngineProxyPlacer:
+    """Drives device-screened, engine-applied stepwise addition."""
+
+    def __init__(self, run, eng, num_cores: int = 1,
+                 batch_size: int = 256, topm: int = 64,
+                 seed_budget: int = 48):
+        from ..ops.append_batch import enable_compilation_cache
+        enable_compilation_cache()
+        self.run = run
+        self.eng = eng
+        self.num_cores = max(1, num_cores)
+        self.batch_size = batch_size
+        self.topm = topm
+        self.seed_budget = seed_budget
+        n_expected = len(run.data) * 2 + 64
+        self.pool = ProxyPool(n_expected)
+        self.time_screen = 0.0
+        self.time_place = 0.0
+        self.time_export = 0.0
+        self._prof = bool(os.environ.get("MAPLE_DEBUG_DEVBATCH"))
+
+    # ------------------------------------------------------------------
+    def _sync_pool(self, changed: np.ndarray):
+        """Export features for ``changed`` nodes and return the padded
+        scatter arrays for the next fused step (spilling oversized sets
+        through _scatter_only)."""
+        t0 = time.time()
+        pool = self.pool
+        changed = np.unique(changed)
+        rows = pool.assign_rows(changed)
+        if rows is None:
+            raise RuntimeError("proxy pool capacity exhausted")
+        idx, w, valid, _ = self.eng.export_feats(
+            changed, D_HASH, G_BUCKETS, FMAX_ANCHOR)
+        self.time_export += time.time() - t0
+        # spill everything beyond the largest bucket through plain
+        # scatter steps (initial build only)
+        spill = len(rows) > _R_BUCKETS[-1]
+        while len(rows) > _R_BUCKETS[-1]:
+            r = _R_BUCKETS[-1]
+            pool.AF, pool.valid = _scatter_only(
+                pool.AF, pool.valid, jnp.asarray(rows[:r]),
+                jnp.asarray(idx[:r]), jnp.asarray(w[:r]),
+                jnp.asarray(valid[:r]))
+            rows, idx, w, valid = rows[r:], idx[r:], w[r:], valid[r:]
+        r = len(rows)
+        r_pad = next(b for b in _R_BUCKETS if b >= max(r, 1))
+        if r == 0:
+            # re-write row 0 with its current content (no-op scatter)
+            rows = np.zeros(1, np.int32)
+            idx, w, valid2, _ = self.eng.export_feats(
+                pool.node_arr[:1].astype(np.int32), D_HASH, G_BUCKETS,
+                FMAX_ANCHOR)
+            valid = valid2
+            r = 1
+        if r < r_pad:
+            pad = r_pad - r
+            rows = np.concatenate([rows, np.repeat(rows[:1], pad)])
+            idx = np.concatenate([idx, np.repeat(idx[:1], pad, axis=0)])
+            w = np.concatenate([w, np.repeat(w[:1], pad, axis=0)])
+            valid = np.concatenate([valid, np.repeat(valid[:1], pad)])
+        if spill and self._prof:
+            print(f"[proxy] initial pool build spilled "
+                  f"({len(changed)} rows)", flush=True)
+        return rows, idx, w, valid
+
+    def _submit(self, vids: np.ndarray, changed: np.ndarray):
+        """Upload one batch's queries + pool updates, dispatch the fused
+        step; returns (futures, row->node snapshot)."""
+        t0 = time.time()
+        pool = self.pool
+        rows, aidx, aw, avalid = self._sync_pool(changed)
+        K = self.batch_size
+        qidx, qw, _ = self.eng.export_query_feats(
+            vids, D_HASH, G_BUCKETS, FMAX_QUERY)
+        if len(vids) < K:  # tail batch: pad with null queries
+            pad = K - len(vids)
+            qidx = np.concatenate(
+                [qidx, np.zeros((pad, FMAX_QUERY), np.int32)])
+            qw = np.concatenate(
+                [qw, np.zeros((pad, FMAX_QUERY), np.float32)])
+        self.time_export += time.time() - t0
+        t0 = time.time()
+        dev = (jnp.asarray(rows), jnp.asarray(aidx), jnp.asarray(aw),
+               jnp.asarray(avalid), jnp.asarray(qidx), jnp.asarray(qw))
+        t1 = time.time()
+        pool.AF, pool.valid, ts, ti = _proxy_step(
+            pool.AF, pool.valid, *dev, topm=self.topm)
+        dt = time.time() - t0
+        self.time_screen += dt
+        if self._prof:
+            self._t_upload = getattr(self, "_t_upload", 0.0) + t1 - t0
+            self._t_dispatch = getattr(self, "_t_dispatch", 0.0) \
+                + time.time() - t1
+            if dt > 1.0:
+                print(f"[proxy] slow submit {dt:.1f}s (R={len(rows)}, "
+                      f"cap={pool.capacity})", flush=True)
+        return ts, ti, pool.node_arr.copy()
+
+    # ------------------------------------------------------------------
+    def _place(self, vids, first_sample: int, fut, refresh_every: int,
+               checkpoint=None):
+        """Block on the screen, map rows to seeds, place through the
+        engine in model-refresh-aligned chunks."""
+        ts, ti, node_arr = fut
+        t0 = time.time()
+        ts = np.asarray(ts)[:len(vids)]
+        ti = np.asarray(ti)[:len(vids)]
+        self.time_screen += time.time() - t0
+        if self._prof:
+            self._t_block = getattr(self, "_t_block", 0.0) \
+                + time.time() - t0
+        t0 = time.time()
+        seeds = node_arr[ti].astype(np.int32)
+        seeds[~np.isfinite(ts)] = -1
+        run = self.run
+        cfg = run.cfg
+        eng = self.eng
+        s = 0
+        num = first_sample
+        n = len(vids)
+        while s < n:
+            k = n - s
+            if refresh_every:
+                if num % refresh_every == 0:
+                    eng.flush_pseudo_counts(run.model.pseudo_counts)
+                    run.model.update_from_pseudo_counts()
+                    eng.sync_model()
+                k = min(k, refresh_every - num % refresh_every)
+            k = min(k, cfg.saveInitialTreeEvery
+                    - num % cfg.saveInitialTreeEvery)
+            eng.place_batch_seeded(vids[s:s + k], num, seeds[s:s + k],
+                                   self.num_cores, self.seed_budget)
+            num += k
+            s += k
+            if checkpoint and num % cfg.saveInitialTreeEvery == 0:
+                checkpoint(num)
+        self.time_place += time.time() - t0
+        return num
+
+    # ------------------------------------------------------------------
+    def place_all(self, distances, num_samples: int, checkpoint=None,
+                  progress_every: int = 4096) -> int:
+        """Place every remaining sample from ``distances`` (a list used
+        as a pop()-stack of (key, name), mirroring the serial loop's
+        order).  Returns the final sample count."""
+        run = self.run
+        eng = self.eng
+        cfg = run.cfg
+        refresh_every = (cfg.updateSubstMatrixEveryThisSamples
+                         if cfg.model != "JC" else 0)
+        eng.screen_log(True)
+        start = time.time()
+        n_start = num_samples
+        last_print = num_samples
+        # initial pool: every current node
+        n_nodes = int(eng.lib.engine_node_count(eng.h))
+        eng.screen_drain()  # clear the warmup log; we export all nodes
+        changed = np.arange(n_nodes, dtype=np.int32)
+
+        def next_batch():
+            vids = []
+            for _ in range(self.batch_size):
+                if not distances:
+                    break
+                _, sample = distances.pop()
+                run.names_in_tree.append(sample)
+                vids.append(eng.terminal_vid(run.data[sample]))
+                run.data[sample] = None
+            return np.asarray(vids, np.int64)
+
+        vids = next_batch()
+        if not len(vids):
+            eng.screen_log(False)
+            return num_samples
+        pend = (vids, self._submit(vids, changed))
+        while pend is not None:
+            nxt = next_batch()
+            fut_next = None
+            if len(nxt):
+                fut_next = self._submit(nxt, eng.screen_drain())
+            cur_vids, fut_cur = pend
+            num_samples = self._place(cur_vids, num_samples, fut_cur,
+                                      refresh_every, checkpoint)
+            pend = (nxt, fut_next) if len(nxt) else None
+            if progress_every and num_samples - last_print \
+                    >= progress_every:
+                last_print = num_samples
+                el = time.time() - start
+                rate = (num_samples - n_start) / max(el, 1e-9)
+                msg = (f"placed {num_samples} samples, {rate:.1f} seq/s "
+                       f"(screen {self.time_screen:.1f}s place "
+                       f"{self.time_place:.1f}s export "
+                       f"{self.time_export:.1f}s)")
+                if self._prof:
+                    msg += (f" [upload {getattr(self, '_t_upload', 0):.1f}"
+                            f" dispatch "
+                            f"{getattr(self, '_t_dispatch', 0):.1f}"
+                            f" block {getattr(self, '_t_block', 0):.1f}]")
+                print(msg, flush=True)
+        eng.screen_log(False)
+        return num_samples

@@ -461,6 +461,60 @@ class Run:
               f"{self.stats.num_minors_found}")
         return root
 
+    def _build_initial_tree_engine_device(self, distances,
+                                          first_sample) -> int:
+        """TPU production path: serial engine warmup, then the MXU
+        proxy screen feeding the engine's seeded batched placement
+        (maple_tpu/parallel/proxy_placer.py module docstring).  Model
+        refreshes, checkpoints, and progress prints keep the serial
+        cadence (reference :11686-11760)."""
+        from .native.engine import NativePlacementEngine
+        from .parallel.proxy_placer import EngineProxyPlacer
+        cfg = self.cfg
+        eng = NativePlacementEngine(self.rt, self.data[first_sample])
+        self.data[first_sample] = None
+        num_samples = 1
+        start = time.time()
+        upd = cfg.updateSubstMatrixEveryThisSamples
+        warmup = max(2, cfg.device_warmup)
+        while distances and num_samples < warmup:
+            if num_samples % upd == 0 and cfg.model != "JC":
+                eng.flush_pseudo_counts(self.model.pseudo_counts)
+                self.model.update_from_pseudo_counts()
+                eng.sync_model()
+            _, sample = distances.pop()
+            self.names_in_tree.append(sample)
+            eng.place(self.data[sample], num_samples)
+            self.data[sample] = None
+            num_samples += 1
+
+        def checkpoint(num):
+            # restartable-state checkpoint (reference :11754-11760)
+            snap, snap_root = eng.snapshot_tree()
+            s = create_newick(
+                snap, snap_root, binary=not cfg.nonBinaryTree,
+                names_in_tree=self.names_in_tree,
+                support_for_identical=cfg.supportForIdenticalSequences)
+            with open(cfg.output + f"_initialTree_{num}samples.tree",
+                      "w") as f:
+                f.write(s)
+
+        placer = EngineProxyPlacer(
+            self, eng, num_cores=cfg.numCores,
+            batch_size=cfg.device_proxy_batch,
+            topm=cfg.device_seed_topm,
+            seed_budget=cfg.device_seed_budget)
+        placer.place_all(distances, num_samples, checkpoint)
+        eng.flush_pseudo_counts(self.model.pseudo_counts)
+        root = eng.export_to_tree(self.stats)
+        self.timings["finding"] += time.time() - start \
+            - placer.time_place
+        self.timings["placing"] += placer.time_place
+        print("Device-batched sample placement completed", flush=True)
+        print(f"Placed samples that became minor sequences: "
+              f"{self.stats.num_minors_found}")
+        return root
+
     # ------------------------------------------------------------------
     def build_initial_tree_device(self, warmup: int = 256,
                                   batch_size: int = 64, mesh=None):
@@ -481,6 +535,19 @@ class Run:
         self.tree = tree
         self.rt = TreeRuntime(tree, self.refd, self.model, dc, cfg)
         t1 = 0
+        if mesh is None and self.rt.kern.name == "native" \
+                and native_engine_supported(self) \
+                and not self.model.using_error_rate \
+                and not os.environ.get("MAPLE_DEVICE_LEGACY") \
+                and not os.environ.get("MAPLE_DEVICE_RT"):
+            # MXU proxy screen + C++ engine seeded placement — the
+            # single-chip production device path (proxy_placer module
+            # docstring).  Error-model runs keep the rt-based pipelined
+            # placer below (alias-tag registration is placement-order-
+            # dependent, so the engine refuses batched applies there).
+            self.root = self._build_initial_tree_engine_device(
+                distances, first_sample)
+            return
         tree.probVect[0] = self.rt.terminal_vector(self.data[first_sample])
         self.data[first_sample] = None
         num_samples = 1

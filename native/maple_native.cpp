@@ -3068,6 +3068,16 @@ struct Engine {
     const int32_t *err_tags = nullptr;
     const double *err_vals = nullptr;
 
+    // Device proxy-screen support (engine_screen_*): while enabled,
+    // every node whose mid-branch vector slot (totUp) is re-installed —
+    // plus every new node — is logged so the host re-exports only those
+    // rows to the device screen between batches.  The log is a recall
+    // aid only: a missed entry can cost the screen a candidate, never
+    // correctness (the batch apply re-validates every decision against
+    // live vectors).
+    bool screen_log_on = false;
+    std::vector<int32_t> screen_log;
+
     int add_node() {
         up.push_back(-1); c0.push_back(-1); c1.push_back(-1);
         dist.push_back(0.0); name.push_back(-1); nDesc.push_back(0);
@@ -3077,6 +3087,7 @@ struct Engine {
         minorSeqs.emplace_back(); muts.emplace_back();
         pv.push_back(-1); upR.push_back(-1); upL.push_back(-1);
         totUp.push_back(-1);
+        if (screen_log_on) screen_log.push_back((int32_t)up.size() - 1);
 #ifdef MAPLE_PROFILE
         stamp((int)up.size() - 1);
 #endif
@@ -3117,6 +3128,11 @@ struct Engine {
         auto &o = own_set();
         if (*slot >= 0 && *slot != id) o.insert(*slot);
         if (id >= 0) o.erase(id);
+        if (screen_log_on && !totUp.empty()) {
+            // mid-branch slot write -> the node's screen row is stale
+            size_t ix = (size_t)(slot - totUp.data());
+            if (ix < totUp.size()) screen_log.push_back((int32_t)ix);
+        }
         *slot = id;
     }
     void end_call() {
@@ -3203,6 +3219,45 @@ static int64_t E_pass_down(Engine *E, int64_t v, int node) {
 }
 static int64_t E_pass_up(Engine *E, int64_t v, int node) {
     return E_pass(E, v, E->muts[node], true);
+}
+
+// Frame-translate a terminal vector from the global reference frame to
+// `node`'s local frame: pass down through every muts-bearing node on the
+// root->node path (inclusive), mirroring what the search crawl does as
+// it descends (placement.py find_best_parent_for_new_sample; reference
+// passGenomeListThroughBranch :3749).  Returned id is engine-owned.
+static int64_t E_diffs_at_node(Engine *E, int64_t vid, int node) {
+    std::vector<int> path;
+    for (int a = node; a >= 0; a = E->up[a]) path.push_back(a);
+    int64_t d = vid;
+    for (auto it = path.rbegin(); it != path.rend(); ++it)
+        if (!E->muts[*it].empty()) d = E_pass_down(E, d, *it);
+    return d;
+}
+
+// Memoized twin of E_diffs_at_node for one proposal's apply step: many
+// candidate/region nodes share MAT frames (a frame is identified by the
+// deepest muts-bearing node on the root->node path), and parent frames
+// are shared prefixes — so each distinct frame costs exactly ONE
+// incremental pass from its parent frame's cached translation instead
+// of a full root-path walk per query node.  Valid only while the MAT
+// mutation lists are unchanged (i.e. within one proposal, before
+// E_place_sample / end_call).
+struct FrameDiffCache {
+    int64_t vid;                           // global-frame terminal
+    std::unordered_map<int, int64_t> m;    // frame node -> translated id
+};
+static int64_t E_diffs_cached(Engine *E, FrameDiffCache &fc, int node) {
+    int f = node;
+    while (f >= 0 && E->muts[f].empty()) f = E->up[f];
+    if (f < 0) return fc.vid;
+    auto it = fc.m.find(f);
+    if (it != fc.m.end()) return it->second;
+    int64_t base = (E->up[f] >= 0) ? E_diffs_cached(E, fc, E->up[f])
+                                   : fc.vid;
+    int64_t d = E_pass_down(E, base, f);
+    fc.m.emplace(f, d);
+    return d;
 }
 
 // partials.py root_vector :145-161 — pass up to the global frame, apply
@@ -4027,13 +4082,27 @@ static FindResult E_find_best_parent(Engine *E, int64_t diffs, int sample) {
 // O(depth + budget) visits.  NOT byte-parity with the reference DFS:
 // visit order differs and the budget prunes plateau tails; placement
 // quality is pinned by LK-tolerance tests (tests/test_beam_placement.py).
+// With `seeds`, the crawl is *seeded*: instead of starting at the root's
+// children it starts best-first expansion at the given node set (the
+// device proxy screen's top-M candidates, maple_tpu/parallel/
+// proxy_placer.py), plus the first seeds' ancestor chains for upward
+// coverage, deduplicating visits across overlapping seed subtrees.  Stop
+// rule = `seed_budget` consecutive non-improving scored nodes.  Same
+// LK-tolerance contract as the budget crawl (quality pinned by
+// tests/test_device_placement.py; every proposal is re-validated by the
+// batch apply).
 static FindResult E_find_best_parent_budget(Engine *E, int64_t diffs,
-                                            int sample) {
+                                            int sample,
+                                            const int32_t *seeds = nullptr,
+                                            int n_seeds = 0,
+                                            int64_t seed_budget = 0) {
     FindResult R;
     int root = E->root;
     std::vector<BestCand> best_nodes;
     int best_node = root;
     double best_top = 0.0, best_bottom = 0.0, best_app = E->one_mut;
+    const int64_t gdiffs = diffs;   // global-frame terminal (seed frames)
+    const int64_t budget = seeds ? seed_budget : E->search_budget;
     if (!E->muts[root].empty()) diffs = E_pass_down(E, diffs, root);
     int64_t best_diffs = diffs;
     if (E->is_leaf(root)) {
@@ -4059,6 +4128,9 @@ static FindResult E_find_best_parent_budget(Engine *E, int64_t diffs,
     std::vector<HeapItem> heap;
     int64_t since_improve = 0;
     bool absorbed = false;
+    // seeded mode: visit-dedup across overlapping seed subtrees
+    std::vector<uint8_t> seen;
+    if (seeds) seen.assign(E->up.size(), 0);
     auto prefetch_vec = [&](int64_t id) {
         if (id < 0) return;
         const Vec &vv = E->S->v(id);
@@ -4084,6 +4156,10 @@ static FindResult E_find_best_parent_budget(Engine *E, int64_t diffs,
         while (!chase.empty()) {
             auto [c, dcur] = chase.back();
             chase.pop_back();
+            if (seeds) {
+                if (seen[c]) continue;
+                seen[c] = 1;
+            }
             int64_t dcc = dcur;
             if (!E->muts[c].empty()) dcc = E_pass_down(E, dcur, c);
             bool leaf = E->is_leaf(c);
@@ -4139,11 +4215,45 @@ static FindResult E_find_best_parent_budget(Engine *E, int64_t diffs,
             }
         }
     };
-    for (int i = 0; i < 2 && !E->is_leaf(root); i++) {
-        discover(E->child(root, i), best_lk_diff, 0, diffs);
+    if (seeds) {
+        // Seed frames: translate the global terminal into each seed's
+        // parent frame (discover() handles the seed's own mutations);
+        // frames memoize across seeds sharing MAT chains.
+        FrameDiffCache fc{gdiffs, {}};
+        auto seed_one = [&](int32_t s) {
+            if (s < 0 || (size_t)s >= E->up.size() || E->up[s] < 0)
+                return;  // spliced out / stale row / root (base covers)
+            int64_t d_in = E->up[s] >= 0
+                ? E_diffs_cached(E, fc, E->up[s]) : gdiffs;
+            discover(s, best_lk_diff, 0, d_in);
+        };
+        for (int i = 0; i < n_seeds && !absorbed; i++) seed_one(seeds[i]);
+        // upward coverage: the strongest seeds' ancestor chains (the
+        // screen ranks by proxy score, so seed 0 is the hot region; its
+        // ancestors cover attachments just above it), plus the parents
+        // of the next few seeds
+        if (!absorbed && n_seeds > 0) {
+            int a = seeds[0];
+            for (int hops = 0; a >= 0 && hops < 16 && !absorbed; hops++) {
+                seed_one(a);
+                a = (size_t)a < E->up.size() ? E->up[a] : -1;
+            }
+            for (int i = 1; i < n_seeds && i < 8 && !absorbed; i++)
+                if (seeds[i] >= 0 && (size_t)seeds[i] < E->up.size())
+                    seed_one(E->up[seeds[i]]);
+        }
         if (absorbed) { R.absorbed = 1; return R; }
+        // the budget is a CRAWL budget: scoring the seed set itself
+        // (mostly non-improving by construction — only one seed is the
+        // argmax) must not eat it, or expansion never starts
+        since_improve = 0;
+    } else {
+        for (int i = 0; i < 2 && !E->is_leaf(root); i++) {
+            discover(E->child(root, i), best_lk_diff, 0, diffs);
+            if (absorbed) { R.absorbed = 1; return R; }
+        }
     }
-    while (!heap.empty() && since_improve < E->search_budget) {
+    while (!heap.empty() && since_improve < budget) {
         std::pop_heap(heap.begin(), heap.end(), HeapLess());
         HeapItem it = heap.back();
         heap.pop_back();
@@ -6695,6 +6805,114 @@ static int E_blen_sweep(Engine *E, bool fast_pass, int64_t *updates_out) {
     return 0;
 }
 
+// ----------------------------------------------------------------------
+// Proxy-screen feature extraction (device MXU screen,
+// maple_tpu/parallel/proxy_placer.py).
+//
+// One genome list -> sparse features over a D = d_hash + g_buckets
+// dimensional space:
+//   bucket 0                  bias (anchor: -|muts|; query: 1)
+//   [1, d_hash)               hashed (position, nucleotide) of non-
+//                             reference entries
+//   [d_hash, d_hash+g_b)      genome-interval channel: anchor -> mut
+//                             count per interval; query -> fraction of
+//                             the interval under its N runs
+// Anchor (af) and query (qf) weights are complementary so that
+//   qf . af  =  2*|shared muts| - |anchor muts|
+//               + sum_g frac_N(q, g) * muts(a, g)
+//            ~  |shared| - |anchor-only muts the query observes|,
+// a monotone proxy (up to hash collisions) for the exact relative
+// appendProbNode placement score (reference :6505-6785): every anchor
+// mutation the query lacks (and observes) costs ~log(t*rate*m) exactly
+// once, shared mutations cost ~nothing, and query-only mutations are a
+// per-query constant that cancels in the argmax.  Recall-only: the
+// seeded crawl + batch apply re-validate with exact kernels.
+static long feat_extract(const Store &S, const Vec &v, bool query_side,
+                         int32_t d_hash, int32_t g_buckets, int32_t fmax,
+                         int32_t *idx, float *w) {
+    const int lref = S.lRef;
+    long nf = 0;
+    auto emit = [&](int32_t i, float ww) {
+        if (nf < fmax) { idx[nf] = i; w[nf] = ww; nf++; }
+    };
+    // bias first so the fmax cap can never drop it (anchor weight is
+    // patched once the miss-penalty mass is known)
+    emit(0, query_side ? 1.0f : 0.0f);
+    float miss_mass = 0.0f;
+    std::vector<float> cover;
+    if (query_side) cover.assign(g_buckets, 0.0f);
+    // One supported non-reference nucleotide.  `match` scales the hash
+    // feature (how strongly matching this mutation helps); `miss`
+    // scales the anchor-side bias/coverage penalty (what a query that
+    // observes the position but lacks the mutation pays).  Mid-branch
+    // anchor vectors carry clade mutations as O entries with mass split
+    // between the mutation and the reference (subtree vs rest-of-tree)
+    // — measured ~50/50 and almost never as concrete nucleotides — and
+    // against such an entry the exact appendProbNode penalty for a
+    // non-matching query is ~log(0.5), an order of magnitude milder
+    // than against a concrete mutation (~log(t*rate*m)), hence the
+    // smaller miss weight for partial support.
+    auto mut_feat = [&](int p, int nuc, float match, float miss) {
+        uint32_t hsh = (uint32_t)(p * 4 + nuc) * 2654435761u;
+        emit(1 + (int32_t)(hsh % (uint32_t)(d_hash - 1)),
+             (query_side ? 2.0f : 1.0f) * match);
+        if (!query_side && miss > 0.0f) {
+            emit(d_hash + (int32_t)((int64_t)(p - 1) * g_buckets / lref),
+                 miss);
+            miss_mass += miss;
+        }
+    };
+    int pos = 0;
+    for (const Entry &e : v) {
+        if (e.type < 4) {
+            // concrete entry: the TYPE is the nucleotide (e.val is the
+            // frame's reference nucleotide, == global ref here)
+            int p = ++pos;
+            if (e.type != S.ref_indices[p - 1])
+                mut_feat(p, e.type, 1.0f, 1.0f);
+        } else if (e.type == TYPE_R) {
+            pos = e.val;
+        } else if (e.type == TYPE_N) {
+            if (query_side) {
+                // fractional coverage of the interval buckets under
+                // this N run: positions [pos+1, e.val]
+                int p0 = pos + 1, p1 = e.val;
+                int g0 = (int)((int64_t)(p0 - 1) * g_buckets / lref);
+                int g1 = (int)((int64_t)(p1 - 1) * g_buckets / lref);
+                for (int g = g0; g <= g1 && g < g_buckets; g++) {
+                    long bs = (long)g * lref / g_buckets + 1;
+                    long be = (long)(g + 1) * lref / g_buckets;
+                    long ov = std::min<long>(p1, be)
+                              - std::max<long>(p0, bs) + 1;
+                    if (ov > 0 && be > bs)
+                        cover[g] += (float)ov / (float)(be - bs + 1);
+                }
+            }
+            pos = e.val;
+        } else {  // TYPE_O: every supported non-reference nucleotide is
+                  // a (partial) mutation feature
+            int p = ++pos;
+            int ref = S.ref_indices[p - 1];
+            for (int k2 = 0; k2 < 4; k2++) {
+                float pk = (float)e.probs[k2];
+                if (k2 == ref || pk <= 0.03f) continue;
+                float match = std::min(1.0f, 2.0f * pk);
+                mut_feat(p, k2, match, 0.15f * match);
+            }
+        }
+    }
+    if (query_side) {
+        for (int g = 0; g < g_buckets; g++)
+            if (cover[g] > 0.0f) emit(d_hash + g, cover[g]);
+    } else {
+        w[0] = -miss_mass;
+    }
+    // zero-pad so the host can upload rows without masking (bucket 0
+    // with weight 0 is a no-op)
+    for (long k2 = nf; k2 < fmax; k2++) { idx[k2] = 0; w[k2] = 0.0f; }
+    return nf;
+}
+
 }  // namespace
 
 extern "C" {
@@ -6812,45 +7030,6 @@ static int64_t E_copy_vec(Engine *E, int64_t id) {
     return nid;
 }
 
-// Frame-translate a terminal vector from the global reference frame to
-// `node`'s local frame: pass down through every muts-bearing node on the
-// root->node path (inclusive), mirroring what the search crawl does as
-// it descends (placement.py find_best_parent_for_new_sample; reference
-// passGenomeListThroughBranch :3749).  Returned id is engine-owned.
-static int64_t E_diffs_at_node(Engine *E, int64_t vid, int node) {
-    std::vector<int> path;
-    for (int a = node; a >= 0; a = E->up[a]) path.push_back(a);
-    int64_t d = vid;
-    for (auto it = path.rbegin(); it != path.rend(); ++it)
-        if (!E->muts[*it].empty()) d = E_pass_down(E, d, *it);
-    return d;
-}
-
-// Memoized twin of E_diffs_at_node for one proposal's apply step: many
-// candidate/region nodes share MAT frames (a frame is identified by the
-// deepest muts-bearing node on the root->node path), and parent frames
-// are shared prefixes — so each distinct frame costs exactly ONE
-// incremental pass from its parent frame's cached translation instead
-// of a full root-path walk per query node.  Valid only while the MAT
-// mutation lists are unchanged (i.e. within one proposal, before
-// E_place_sample / end_call).
-struct FrameDiffCache {
-    int64_t vid;                           // global-frame terminal
-    std::unordered_map<int, int64_t> m;    // frame node -> translated id
-};
-static int64_t E_diffs_cached(Engine *E, FrameDiffCache &fc, int node) {
-    int f = node;
-    while (f >= 0 && E->muts[f].empty()) f = E->up[f];
-    if (f < 0) return fc.vid;
-    auto it = fc.m.find(f);
-    if (it != fc.m.end()) return it->second;
-    int64_t base = (E->up[f] >= 0) ? E_diffs_cached(E, fc, E->up[f])
-                                   : fc.vid;
-    int64_t d = E_pass_down(E, base, f);
-    fc.m.emplace(f, d);
-    return d;
-}
-
 // Batched stepwise addition: search-parallel / apply-serial placement —
 // the placement twin of engine_spr_pass_parallel.  The host hands a
 // batch of terminal vectors (global reference frame, store ids it does
@@ -6868,6 +7047,25 @@ static int64_t E_diffs_cached(Engine *E, FrameDiffCache &fc, int node) {
 // first (frame-invariant: both sides compared in the global frame).
 // Returns 0 ok, 2 unsupported (host falls back to the serial loop),
 // -1 error (engine_error has the message).
+// Proposal record shared by the batched placement entry points
+// (engine_place_batch / engine_place_batch_seeded): phase A fills one
+// per sample from a read-only search, E_apply_batch re-validates and
+// applies them serially in host order.
+struct PlaceProp {
+    int32_t absorb_leaf = -1;
+    int32_t best_node = -1;
+    double score = 0, top = 0, bottom = 0, appending = 0;
+    // fine-candidate set from the worker crawl (node, crawl score),
+    // best first; the serial apply re-runs the fine phase over it
+    std::vector<std::pair<int32_t, double>> cands;
+    std::vector<int32_t> visited;  // crawl-discovered nodes
+    uint8_t searched = 0;  // 0 = worker failed; re-search serially
+};
+static int E_apply_batch(Engine *E, std::vector<PlaceProp> &props,
+                         const int64_t *vids, const int32_t *samples,
+                         int64_t n, size_t batch_start,
+                         std::chrono::steady_clock::time_point t_a0);
+
 int engine_place_batch(Engine *E, int num_cores, int64_t n,
                        const int64_t *vids, const int32_t *samples) {
     if (E->search_budget <= 0 || num_cores < 1 || E->S->tags_active)
@@ -6879,17 +7077,7 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
         for (int32_t v : E->nDesc0) max_nd = std::max(max_nd, (int)v);
         E->hnz(2 * max_nd + 4);
     }
-    struct Prop {
-        int32_t absorb_leaf = -1;
-        int32_t best_node = -1;
-        double score = 0, top = 0, bottom = 0, appending = 0;
-        // fine-candidate set from the worker crawl (node, crawl score),
-        // best first; the serial apply re-runs the fine phase over it
-        std::vector<std::pair<int32_t, double>> cands;
-        std::vector<int32_t> visited;  // crawl-discovered nodes
-        uint8_t searched = 0;  // 0 = worker failed; re-search serially
-    };
-    std::vector<Prop> props(n);
+    std::vector<PlaceProp> props(n);
     const size_t batch_start = E->up.size();  // snapshot/new boundary
     if (getenv("MAPLE_DEBUG_TREEHASH")) {
         uint64_t h = 1469598103934665603ull;
@@ -6937,7 +7125,7 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
             ctx.visited.clear();
             FindResult R = E_find_best_parent_budget(E, vids[i],
                                                      samples[i]);
-            Prop &p = props[i];
+            PlaceProp &p = props[i];
             if (ctx.error.empty()) {
                 if (R.absorbed) {
                     p.absorb_leaf = ctx.absorb_leaf;
@@ -6989,7 +7177,17 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
                 std::fprintf(stderr, "%d:%.6f ", pc.first, pc.second);
             std::fprintf(stderr, "]\n");
         }
-    // phase B: serial apply in host order
+    return E_apply_batch(E, props, vids, samples, n, batch_start, t_a0);
+}
+
+// Phase B of the batched placement entry points: serial re-validated
+// apply in host order, with re-search fallbacks for every staleness
+// class (within-batch minors, structurally invalidated candidates,
+// fresh-branch regions the snapshot search could have reached).
+static int E_apply_batch(Engine *E, std::vector<PlaceProp> &props,
+                         const int64_t *vids, const int32_t *samples,
+                         int64_t n, size_t batch_start,
+                         std::chrono::steady_clock::time_point t_a0) {
     static int64_t dbg_n = 0, dbg_coll = 0, dbg_absorb = 0, dbg_inval = 0;
     static double dbg_a_ms = 0, dbg_b_ms = 0;
     // phase-B section breakdown (MAPLE_DEBUG_BATCH): minor checks,
@@ -7044,7 +7242,7 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
         return rc;
     };
     for (int64_t i = 0; i < n; i++) {
-        Prop &p = props[i];
+        PlaceProp &p = props[i];
         int64_t vid = vids[i];
         if (!p.searched) {
             // rare (worker fine-phase error): exact serial semantics
@@ -7271,6 +7469,176 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
     // of them reclaim here
     for (int64_t i = 0; i < n; i++) E->S->free_slot(vids[i]);
     return 0;
+}
+
+// ----------------------------------------------------------------------
+// Device proxy-screen integration (maple_tpu/parallel/proxy_placer.py).
+//
+// The TPU-native placement path replaces the reference's serial from-
+// root DFS (MAPLEv0.7.5.4.py:11692-11752, :7912-8293) with a device MXU
+// proxy screen over every anchor followed by an engine-side *seeded*
+// best-first crawl: the screen supplies top-M candidate anchors per
+// query, phase A crawls from those seeds read-only against the live
+// tree (exact appendProbNode scores, minor-sequence checks, stop rules),
+// and phase B re-validates/applies serially with the same staleness
+// machinery as engine_place_batch.  The engine side here provides
+// (1) a changed-node log so the host re-exports only stale screen rows,
+// (2) feature extraction for the proxy (hashed mutation buckets +
+// missing-data coverage buckets, see feat_extract), and (3) the
+// seeded batched placement entry point.
+
+// Batched placement seeded by device screen candidates.  seeds is
+// [n, seeds_per] row-major (entries < 0 = padding); seed_budget is the
+// crawl's consecutive-non-improvement stop (the from-root budget
+// crawl's E->search_budget analogue, smaller because the crawl starts
+// at the screened optimum).  Returns 0 ok, 2 unsupported (error-model
+// alias-tag registration is placement-order-dependent), -1 error.
+int engine_place_batch_seeded(Engine *E, int num_cores, int64_t n,
+                              const int64_t *vids, const int32_t *samples,
+                              const int32_t *seeds, int32_t seeds_per,
+                              int64_t seed_budget) {
+    if (num_cores < 1 || seeds_per <= 0 || seed_budget <= 0
+            || E->S->tags_active)
+        return 2;
+    if (E->hnz_mode) {
+        // pre-grow the HnZ memo (lazy grow is not thread-safe)
+        int max_nd = 2;
+        for (int32_t v : E->nDesc0) max_nd = std::max(max_nd, (int)v);
+        E->hnz(2 * max_nd + 4);
+    }
+    std::vector<PlaceProp> props(n);
+    const size_t batch_start = E->up.size();
+    auto t_a0 = std::chrono::steady_clock::now();
+    std::atomic<int64_t> next{0};
+    int64_t dfs = 0, missed = 0, fine = 0;
+    std::mutex agg_mu;
+    auto worker = [&]() {
+        std::unordered_set<int64_t> my_owned;
+        Engine::tl_owned = &my_owned;
+        BatchCtx ctx;
+        tl_batch = &ctx;
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n) break;
+            ctx.absorb_leaf = -1;
+            ctx.error.clear();
+            ctx.visited.clear();
+            FindResult R = E_find_best_parent_budget(
+                E, vids[i], samples[i], seeds + i * seeds_per, seeds_per,
+                seed_budget);
+            PlaceProp &p = props[i];
+            if (ctx.error.empty()) {
+                if (R.absorbed) {
+                    p.absorb_leaf = ctx.absorb_leaf;
+                } else {
+                    p.best_node = R.best_node;
+                    p.score = R.best_score;
+                    p.top = R.top;
+                    p.bottom = R.bottom;
+                    p.appending = R.appending;
+                    p.cands = std::move(ctx.cands);
+                    std::sort(ctx.visited.begin(), ctx.visited.end());
+                    ctx.visited.erase(std::unique(ctx.visited.begin(),
+                                                  ctx.visited.end()),
+                                      ctx.visited.end());
+                    p.visited = std::move(ctx.visited);
+                }
+                p.searched = 1;
+            }
+            E->end_call();
+        }
+        {
+            std::lock_guard<std::mutex> g(agg_mu);
+            dfs += ctx.dfs_visits;
+            missed += ctx.missed_minors;
+            fine += ctx.fine_evals;
+        }
+        tl_batch = nullptr;
+        Engine::tl_owned = nullptr;
+    };
+    {
+        std::vector<std::thread> workers;
+        int T = std::min<int64_t>(num_cores, n);
+        workers.reserve(T);
+        for (int c = 0; c < T; c++) workers.emplace_back(worker);
+        for (auto &t : workers) t.join();
+    }
+    E->dfs_visits += dfs;
+    E->total_missed_minors += missed;
+    E->fine_evals += fine;
+    return E_apply_batch(E, props, vids, samples, n, batch_start, t_a0);
+}
+
+void engine_screen_log(Engine *E, int on) {
+    E->screen_log_on = on != 0;
+    if (!on) E->screen_log.clear();
+}
+
+// Drain the changed-node log (sorted, unique).  Returns the count
+// written; the host passes cap >= engine_node_count so truncation never
+// happens in practice (a truncated drain would only cost screen recall).
+long engine_screen_drain(Engine *E, int32_t *out, long cap) {
+    auto &log = E->screen_log;
+    std::sort(log.begin(), log.end());
+    log.erase(std::unique(log.begin(), log.end()), log.end());
+    long m = std::min<long>(cap, (long)log.size());
+    std::copy(log.begin(), log.begin() + m, out);
+    log.clear();
+    return m;
+}
+
+// Anchor-row features for the device proxy screen: for each node,
+// valid[j] says whether the node is screen-eligible (attached, non-zero
+// branch, cached mid-branch vector — the same criteria as the round-3
+// device pool), and idx/w [n, fmax] carry the global-frame features of
+// its probVectTotUp (MAT frames composed out via pass-up, reference
+// :3749).  counts[j] = features written.  Returns the max count seen
+// (host grows fmax when it approaches the cap).
+long engine_export_feats(Engine *E, const int32_t *nodes, long n,
+                         int32_t d_hash, int32_t g_buckets, int32_t fmax,
+                         int32_t *idx, float *w, int32_t *counts,
+                         uint8_t *valid) {
+    long max_nf = 0;
+    for (long j = 0; j < n; j++) {
+        int node = nodes[j];
+        int32_t *ji = idx + j * fmax;
+        float *jw = w + j * fmax;
+        bool ok = node >= 0 && (size_t)node < E->up.size()
+                  && E->up[node] >= 0 && E->dist[node] > E->eff0
+                  && E->totUp[node] >= 0;
+        valid[j] = ok ? 1 : 0;
+        if (!ok) {
+            counts[j] = 0;
+            for (int k2 = 0; k2 < fmax; k2++) { ji[k2] = 0; jw[k2] = 0; }
+            continue;
+        }
+        int64_t v = E->totUp[node];
+        for (int a = node; a >= 0; a = E->up[a])
+            if (!E->muts[a].empty()) v = E_pass_up(E, v, a);
+        long nf = feat_extract(*E->S, E->S->v(v), false, d_hash,
+                               g_buckets, fmax, ji, jw);
+        counts[j] = (int32_t)nf;
+        max_nf = std::max(max_nf, nf);
+        E->end_call();  // reclaim pass-up temporaries
+    }
+    return max_nf;
+}
+
+// Query features: same space, query-side weights, straight from the
+// global-frame terminal vectors (vids stay host-owned).
+long engine_export_query_feats(Engine *E, const int64_t *vids, long n,
+                               int32_t d_hash, int32_t g_buckets,
+                               int32_t fmax, int32_t *idx, float *w,
+                               int32_t *counts) {
+    long max_nf = 0;
+    for (long j = 0; j < n; j++) {
+        long nf = feat_extract(*E->S, E->S->v(vids[j]), true, d_hash,
+                               g_buckets, fmax, idx + j * fmax,
+                               w + j * fmax);
+        counts[j] = (int32_t)nf;
+        max_nf = std::max(max_nf, nf);
+    }
+    return max_nf;
 }
 
 // Dev microbenchmark: cycles/append over a set of (vP, vC) pairs.

@@ -166,6 +166,7 @@ def test_pipelined_placer_rebuild_and_scatter(tmp_path):
         return upd
 
     PP.StackedDevicePool.make_update = counting
+    os.environ["MAPLE_DEVICE_RT"] = "1"  # force the rt pipelined path
     try:
         run_d, lk_d = _run_device(tmp_path, warmup=16, batch_size=16)
         assert counts["scatter"] > 0, "incremental scatter never exercised"
@@ -178,6 +179,7 @@ def test_pipelined_placer_rebuild_and_scatter(tmp_path):
         assert abs(lk_r - lk_s) <= 1e-6, (lk_r, lk_s)
     finally:
         PP.StackedDevicePool.make_update = orig
+        os.environ.pop("MAPLE_DEVICE_RT", None)
 
 
 def test_batched_placer_pallas_end_to_end(tmp_path):
