@@ -182,6 +182,14 @@ def _load():
     lib.engine_export_query_feats.argtypes = [
         C.c_void_p, p(C.c_int64), C.c_long, C.c_int32, C.c_int32,
         C.c_int32, p(C.c_int32), p(C.c_float), p(C.c_int32)]
+    lib.store_export_feats.restype = C.c_long
+    lib.store_export_feats.argtypes = [
+        C.c_void_p, p(C.c_int64), C.c_long, C.c_int, C.c_int32,
+        C.c_int32, C.c_int32, p(C.c_int32), p(C.c_float), p(C.c_int32)]
+    lib.k_append_grid.restype = None
+    lib.k_append_grid.argtypes = [
+        C.c_void_p, p(C.c_int64), p(C.c_int64), p(d), p(C.c_uint8),
+        C.c_long, C.c_long, C.c_int, p(d)]
     lib.engine_set_threads.restype = None
     lib.engine_set_threads.argtypes = [C.c_void_p, C.c_int]
     lib.engine_import_ndesc0.restype = None
@@ -427,6 +435,43 @@ class NativeStore:
 
     def append(self, vP, vC, tip_c, blen) -> float:
         return self.lib.k_append(self.h, vP, vC, 1 if tip_c else 0, blen)
+
+    def append_grid(self, vP, vC, blens, tips, n_threads=1) -> np.ndarray:
+        """Batched appendProbNode: out[i, k] = append(vP[i, k], vC[i],
+        tips[i], blens[i]); vP entries < 0 score -inf.  One native call
+        for a whole screen re-score (the per-call ctypes overhead would
+        otherwise dominate)."""
+        vP = np.ascontiguousarray(vP, np.int64)
+        n, m = vP.shape
+        vC = np.ascontiguousarray(vC, np.int64)
+        blens = np.ascontiguousarray(blens, np.float64)
+        tips = np.ascontiguousarray(tips, np.uint8)
+        out = np.empty((n, m), np.float64)
+        p = C.POINTER
+        self.lib.k_append_grid(
+            self.h, vP.ctypes.data_as(p(C.c_int64)),
+            vC.ctypes.data_as(p(C.c_int64)),
+            blens.ctypes.data_as(p(C.c_double)),
+            tips.ctypes.data_as(p(C.c_uint8)), n, m, n_threads,
+            out.ctypes.data_as(p(C.c_double)))
+        return out
+
+    def export_feats(self, vids, query_side, d_hash, g_buckets, fmax):
+        """Proxy-screen features of raw store handles (global frame);
+        vids < 0 produce empty rows.  Returns (idx, w, counts)."""
+        vids = np.ascontiguousarray(vids, np.int64)
+        n = len(vids)
+        idx = np.empty((n, fmax), np.int32)
+        w = np.empty((n, fmax), np.float32)
+        counts = np.empty(n, np.int32)
+        p = C.POINTER
+        self.lib.store_export_feats(
+            self.h, vids.ctypes.data_as(p(C.c_int64)), n,
+            1 if query_side else 0, d_hash, g_buckets, fmax,
+            idx.ctypes.data_as(p(C.c_int32)),
+            w.ctypes.data_as(p(C.c_float)),
+            counts.ctypes.data_as(p(C.c_int32)))
+        return idx, w, counts
 
     def shorten(self, vid):
         self.lib.k_shorten(self.h, vid)

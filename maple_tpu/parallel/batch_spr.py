@@ -28,6 +28,7 @@ engine's threaded crawl path, engine_spr_pass_parallel, applies).
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -90,11 +91,14 @@ def _current_attachment_lk(rt, node: int):
     return lk
 
 
-def _collect_queries(rt, root: int, placement_thresh):
+def _collect_queries(rt, root: int, placement_thresh,
+                     keep_handles: bool = False):
     """Eligible pruned-subtree queries with the serial crawl's own gates
     (dirty flag, maxReplacements, the current-attachment threshold), each
     exported as its global-frame lower vector plus (blen, tip, base
-    score)."""
+    score).  With ``keep_handles`` the raw global-frame vector handles
+    are returned instead of exported tuples (the proxy screen's feature
+    export and exact re-score both run store-side)."""
     tree = rt.tree
     cfg = rt.cfg
     q_nodes, q_vecs, q_blens, q_tips, q_base = [], [], [], [], []
@@ -121,7 +125,7 @@ def _collect_queries(rt, root: int, placement_thresh):
             v = rt.pass_up(v, link[0])
             link = link[1]
         q_nodes.append(n)
-        q_vecs.append(rt.kern.export(v))
+        q_vecs.append(v if keep_handles else rt.kern.export(v))
         q_blens.append(tree.dist[n])
         q_tips.append(tree.is_tip(n))
         q_base.append(base)
@@ -163,18 +167,209 @@ def _get_screen_chunk():
     return _screen_chunk
 
 
+def _collect_anchors(rt, root: int):
+    """Screen-eligible anchors (same criteria as the placement pool:
+    attached, non-zero branch, cached mid-branch vector) with their
+    global-frame totUp handles (MAT chains composed out, reference
+    :3749)."""
+    tree = rt.tree
+    eff0 = rt.dc.effectivelyNon0BLen
+    chains = {}
+    stack = []
+    for node in range(len(tree.up)):
+        if tree.up[node] is None and tree.children[node] is not None:
+            chains[node] = (node, None) if tree.mutations[node] else None
+            stack.append(node)
+    anchors, handles = [], []
+    while stack:
+        n = stack.pop()
+        for c in tree.children[n] or ():
+            chains[c] = (c, chains[n]) if tree.mutations[c] else chains[n]
+            stack.append(c)
+        if tree.up[n] is None or tree.children[n] is None:
+            continue
+        if tree.dist[n] > eff0 and tree.probVectTotUp[n] is not None:
+            v = tree.probVectTotUp[n]
+            link = chains.get(n)
+            while link is not None:
+                v = rt.pass_up(v, link[0])
+                link = link[1]
+            anchors.append(n)
+            handles.append(v)
+    return anchors, handles
+
+
+_spr_screen_step = None
+
+
+def _get_spr_screen_step():
+    global _spr_screen_step
+    if _spr_screen_step is None:
+        from functools import partial
+
+        import jax
+        import jax.numpy as jnp
+
+        @partial(jax.jit, static_argnames=("topm",))
+        def step(AF, valid, a_tin, q_fidx, q_fw, q_lo, q_hi, excl, *,
+                 topm):
+            """Proxy screen of one query chunk: feature scatter + MXU
+            matmul + on-device masking (own subtree via Euler-interval
+            containment, parent/sibling rows) + per-query top-M."""
+            K = q_fidx.shape[0]
+            QF = jnp.zeros((K, AF.shape[1]), AF.dtype)
+            QF = QF.at[jnp.arange(K)[:, None], q_fidx].add(q_fw)
+            scores = jax.lax.dot_general(
+                QF, AF, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            at = a_tin[None, :]
+            inval = (at >= q_lo[:, None]) & (at < q_hi[:, None])
+            iota = jnp.arange(AF.shape[0], dtype=jnp.int32)[None, :]
+            inval = inval | (iota == excl[:, 0:1]) | (iota == excl[:, 1:2])
+            scores = jnp.where(valid[None, :] & ~inval, scores, -jnp.inf)
+            return jax.lax.top_k(scores, min(topm, AF.shape[0]))
+
+        _spr_screen_step = step
+    return _spr_screen_step
+
+
 def _screen_single_device(rt, root: int, params, counters, t0,
-                          chunk: int = 64):
-    """Pipelined single-device SPR screen: every chunk's scores + masks +
+                          chunk: int = 256, topm: int = 128):
+    """Proxy-pruned single-device SPR screen.
+
+    The round-3 exhaustive screen scored every pruned query against
+    every anchor with the exact Pallas pair kernel — 295M scores and
+    948 s for one 10k pass (SCALE_r03.json).  This screen cuts the exact
+    work by ~120x with the same two-tier design as placement
+    (parallel/proxy_placer.py): queries and anchors embed as hashed
+    mutation features, ONE MXU matmul per chunk ranks all anchors with
+    own-subtree/parent/sibling masking on device, and only the top-M
+    anchors per query are re-scored with the exact native
+    appendProbNode (k_append_grid, threaded, f64) before the usual
+    acceptance test.  Proposals still go through the serial re-validated
+    apply, so screen precision affects recall only.  Reference crawl
+    being replaced: findBestParentTopology MAPLEv0.7.5.4.py:6817-7724
+    with stop rules :8080-8088."""
+    import jax.numpy as jnp
+
+    from ..runtime.tree import set_all_dirty
+    from .proxy_placer import (D, D_HASH, G_BUCKETS, FMAX_QUERY,
+                               _scatter_only, _R_BUCKETS)
+
+    if rt.kern.name != "native" or os.environ.get("MAPLE_SPR_EXACT"):
+        return _screen_single_device_exact(rt, root, params, counters,
+                                           t0)
+    tree = rt.tree
+    strict, fails, threshold, placement_thresh = params
+    q_nodes, q_handles, q_blens, q_tips, q_base = _collect_queries(
+        rt, root, placement_thresh, keep_handles=True)
+    if not q_nodes:
+        return None, 0.0
+    anchors, a_handles = _collect_anchors(rt, root)
+    if not anchors:
+        return None, 0.0
+    store = rt.kern.store
+    FMAX_A = 192
+    a_vids = np.asarray([h.vid for h in a_handles], np.int64)
+    aidx, aw, _ = store.export_feats(a_vids, False, D_HASH, G_BUCKETS,
+                                     FMAX_A)
+    q_vids = np.asarray([h.vid for h in q_handles], np.int64)
+    qidx, qw, _ = store.export_feats(q_vids, True, D_HASH, G_BUCKETS,
+                                     FMAX_QUERY)
+
+    N = len(anchors)
+    cap = 1024
+    while cap < N:
+        cap *= 2
+    AF = jnp.zeros((cap, D), jnp.float32)
+    valid = jnp.zeros(cap, bool)
+    rows_all = np.arange(N, dtype=np.int32)
+    s0 = 0
+    while s0 < N:  # scatter in compile-bucketed spills
+        r = min(N - s0, _R_BUCKETS[-1])
+        r_pad = next(b for b in _R_BUCKETS if b >= r)
+        sl = np.arange(s0, s0 + r, dtype=np.int32)
+        if r < r_pad:
+            sl = np.concatenate([sl, np.repeat(sl[:1], r_pad - r)])
+        AF, valid = _scatter_only(
+            AF, valid, jnp.asarray(sl), jnp.asarray(aidx[sl]),
+            jnp.asarray(aw[sl]), jnp.asarray(np.ones(len(sl), bool)))
+        s0 += r
+    tin, tout = _euler_intervals(tree, root)
+    a_tin_arr = np.full(cap, np.iinfo(np.int32).max, dtype=np.int32)
+    a_tin_arr[:N] = tin[np.asarray(anchors)]
+    dev_a_tin = jnp.asarray(a_tin_arr)
+    row_of = {node: i for i, node in enumerate(anchors)}
+    step = _get_spr_screen_step()
+
+    futures = []
+    K_total = len(q_nodes)
+    for s in range(0, K_total, chunk):
+        n_sub = min(chunk, K_total - s)
+        sl = list(range(s, s + n_sub)) + [s] * (chunk - n_sub)
+        q_lo = np.asarray([tin[q_nodes[i]] for i in sl], dtype=np.int32)
+        q_hi = np.asarray([tout[q_nodes[i]] for i in sl], dtype=np.int32)
+        excl = np.full((chunk, 2), -1, dtype=np.int32)
+        for j, i in enumerate(sl):
+            node = q_nodes[i]
+            parent = tree.up[node]
+            sibling = tree.children[parent][1 - tree.child_index(node)]
+            excl[j, 0] = row_of.get(parent, -1)
+            excl[j, 1] = row_of.get(sibling, -1)
+        futures.append((s, n_sub, step(
+            AF, valid, dev_a_tin, jnp.asarray(qidx[sl]),
+            jnp.asarray(qw[sl]), jnp.asarray(q_lo), jnp.asarray(q_hi),
+            jnp.asarray(excl), topm=topm)))
+
+    # exact re-score of each query's top-M (native appendProbNode, f64)
+    proposals = []
+    n_threads = max(1, rt.cfg.numCores)
+    blens_arr = np.asarray(q_blens, np.float64)
+    tips_arr = np.asarray(q_tips, np.uint8)
+    n_exact = 0
+    for s, n_sub, (ts, ti) in futures:
+        ts = np.asarray(ts)[:n_sub]
+        ti = np.asarray(ti)[:n_sub]
+        vP = np.where((ti < N) & np.isfinite(ts), a_vids[np.minimum(ti, N - 1)],
+                      -1)
+        exact = store.append_grid(vP, q_vids[s:s + n_sub],
+                                  blens_arr[s:s + n_sub],
+                                  tips_arr[s:s + n_sub], n_threads)
+        n_exact += vP.size
+        for k in range(n_sub):
+            j = int(np.argmax(exact[k]))
+            best = float(exact[k, j])
+            if not np.isfinite(best):
+                continue
+            improvement = best - q_base[s + k]
+            # the serial acceptance test's form; re-validated exactly by
+            # the serial apply below
+            if best + placement_thresh > q_base[s + k] \
+                    and improvement > 0.0:
+                proposals.append((q_nodes[s + k],
+                                  int(anchors[int(ti[k, j])]),
+                                  improvement))
+    proposals.sort(key=lambda p: p[2])
+    print(f"Device SPR screen: {K_total} queries x {N} anchors "
+          f"(proxy; {n_exact} exact re-scores) -> {len(proposals)} "
+          f"proposals in {time.time() - t0:.2f}s", flush=True)
+    set_all_dirty(tree, root, dirtiness=False)
+    return apply_spr_moves(rt, proposals, params, counters)
+
+
+def _screen_single_device_exact(rt, root: int, params, counters, t0,
+                                chunk: int = 64):
+    """Exhaustive single-device SPR screen (exact Pallas pair kernel over
+    every (query, anchor) pair): every chunk's scores + masks +
     top-1 run in one dispatch, all chunks are submitted before any result
     is fetched (the device screens ahead while the host packs), and the
     readback per chunk is K (score, row) pairs — never the [K, N] matrix.
 
-    The screen is exhaustive over anchors (a superset of the reference
-    crawl's stop-rule neighborhood, findBestParentTopology
-    MAPLEv0.7.5.4.py:6817-7724 with stop rules :8080-8088) and proposals
-    go through the same serial re-validated apply as the fork/threaded
-    paths — screen precision affects recall only."""
+    Kept as the python-kernel fallback and for screen-recall validation
+    (MAPLE_SPR_EXACT=1): exhaustive over anchors — a superset of the
+    reference crawl's stop-rule neighborhood (findBestParentTopology
+    MAPLEv0.7.5.4.py:6817-7724, stop rules :8080-8088) — but ~120x the
+    exact-scoring work of the proxy screen."""
     import jax.numpy as jnp
 
     from ..ops import pack as OP

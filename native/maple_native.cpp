@@ -7619,8 +7619,9 @@ long engine_export_feats(Engine *E, const int32_t *nodes, long n,
                                g_buckets, fmax, ji, jw);
         counts[j] = (int32_t)nf;
         max_nf = std::max(max_nf, nf);
-        E->end_call();  // reclaim pass-up temporaries
+        if ((j & 255) == 255) E->end_call();  // bound temp growth
     }
+    E->end_call();  // reclaim pass-up temporaries
     return max_nf;
 }
 
@@ -7639,6 +7640,60 @@ long engine_export_query_feats(Engine *E, const int64_t *vids, long n,
         max_nf = std::max(max_nf, nf);
     }
     return max_nf;
+}
+
+// Store-level feature export for the rt-side device screens (the SPR
+// proxy screen, maple_tpu/parallel/batch_spr.py): same feature space as
+// engine_export_feats, over raw store vector handles the caller has
+// already translated to the global frame.
+long store_export_feats(Store *S, const int64_t *vids, long n,
+                        int query_side, int32_t d_hash,
+                        int32_t g_buckets, int32_t fmax, int32_t *idx,
+                        float *w, int32_t *counts) {
+    long max_nf = 0;
+    for (long j = 0; j < n; j++) {
+        if (vids[j] < 0) {
+            counts[j] = 0;
+            for (int k2 = 0; k2 < fmax; k2++) {
+                idx[j * fmax + k2] = 0;
+                w[j * fmax + k2] = 0.0f;
+            }
+            continue;
+        }
+        long nf = feat_extract(*S, S->v(vids[j]), query_side != 0,
+                               d_hash, g_buckets, fmax, idx + j * fmax,
+                               w + j * fmax);
+        counts[j] = (int32_t)nf;
+        max_nf = std::max(max_nf, nf);
+    }
+    return max_nf;
+}
+
+// Batched exact placement scoring over handle pairs (one crossing per
+// screen re-score instead of one Python ctypes call per pair):
+// out[i*m + k] = appendProbNode(vP[i*m + k], vC[i], blen[i], tip[i]).
+// vP entries < 0 score -inf (masked candidates).  Threaded: scores are
+// pure functions of immutable store vectors.
+void k_append_grid(Store *S, const int64_t *vP, const int64_t *vC,
+                   const double *blen, const uint8_t *tip_c, long n,
+                   long m, int n_threads, double *out) {
+    auto work = [&](long lo, long hi) {
+        for (long i = lo; i < hi; i++)
+            for (long k2 = 0; k2 < m; k2++) {
+                int64_t p = vP[i * m + k2];
+                out[i * m + k2] = p < 0
+                    ? -std::numeric_limits<double>::infinity()
+                    : append_prob_node(*S, S->v(p), S->v(vC[i]),
+                                       tip_c[i] != 0, blen[i]);
+            }
+    };
+    int T = std::max<long>(1, std::min<long>(n_threads, n));
+    if (T == 1) { work(0, n); return; }
+    std::vector<std::thread> ts;
+    ts.reserve(T);
+    for (int c = 0; c < T; c++)
+        ts.emplace_back(work, n * c / T, n * (c + 1) / T);
+    for (auto &t : ts) t.join();
 }
 
 // Dev microbenchmark: cycles/append over a set of (vP, vC) pairs.

@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--mesh", type=int, default=0,
                     help="virtual-device mesh size (0 = single device)")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--cores", type=int, default=1,
+                    help="host cores for the device path's engine phases")
     ap.add_argument("--spr", action="store_true",
                     help="also run one device SPR screen pass")
     ap.add_argument("--out", default=None)
@@ -67,7 +69,8 @@ def main():
 
     res = {"samples": args.samples, "backend": jax.default_backend(),
            "mesh": dict(zip(mesh.axis_names, mesh.devices.shape))
-           if mesh else None, "pallas": args.pallas}
+           if mesh else None, "pallas": args.pallas,
+           "device_cores": args.cores}
 
     # --- serial path (engine) ------------------------------------------
     cfg_s = MapleConfig(input=aln, output=os.path.join(args.workdir,
@@ -88,7 +91,8 @@ def main():
     cfg_d = MapleConfig(input=aln, output=os.path.join(args.workdir,
                                                        "dev_dev"),
                         model="UNREST", overwrite=True,
-                        device_placement=True, device_pallas=args.pallas)
+                        device_placement=True, device_pallas=args.pallas,
+                        numCores=args.cores)
     rd = Run(cfg_d)
     rd.load()
     t0 = time.time()
