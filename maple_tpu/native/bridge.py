@@ -190,6 +190,10 @@ def _load():
     lib.k_append_grid.argtypes = [
         C.c_void_p, p(C.c_int64), p(C.c_int64), p(d), p(C.c_uint8),
         C.c_long, C.c_long, C.c_int, p(d)]
+    lib.vec_from_diffs_batch.restype = None
+    lib.vec_from_diffs_batch.argtypes = [
+        C.c_void_p, C.c_int64, p(C.c_int64), p(C.c_int8), p(C.c_int32),
+        p(C.c_int32), C.c_int, p(C.c_int64)]
     lib.engine_set_threads.restype = None
     lib.engine_set_threads.argtypes = [C.c_void_p, C.c_int]
     lib.engine_import_ndesc0.restype = None
@@ -278,7 +282,9 @@ class NativeStore:
             return
         d = C.c_double
         mut = np.asarray(model.mut_matrix, dtype=np.float64).reshape(-1)
-        cum = np.asarray(model.cumulative_rate, dtype=np.float64)
+        cum = getattr(model, "cumulative_rate_np", None)
+        if cum is None:
+            cum = np.asarray(model.cumulative_rate, dtype=np.float64)
         site = None
         if model.use_rate_variation and model.site_rates is not None:
             site = np.asarray(model.site_rates, dtype=np.float64)

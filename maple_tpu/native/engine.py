@@ -108,6 +108,49 @@ class NativePlacementEngine:
                     return vid
         return self.store.from_tuples(self._terminal_tuples(diffs))
 
+    def terminal_vids_batch(self, diffs_list) -> np.ndarray:
+        """Terminal vector handles for a whole batch in one native call
+        (vec_from_diffs_batch).  Samples the fast path cannot express
+        (error model active, multi-character ambiguity codes, missing
+        diff lists) fall back to the per-sample python builder, exactly
+        as :meth:`_terminal_vid` does."""
+        n = len(diffs_list)
+        fast = not self.rt.model.using_error_rate
+        all_m: list = []
+        counts = np.empty(n, np.int64)
+        if fast:
+            for i, dl in enumerate(diffs_list):
+                if dl is None:
+                    fast = False
+                    break
+                counts[i] = len(dl)
+                all_m.extend(dl)
+        if fast:
+            s = "".join([m[0] for m in all_m])
+            if len(s) == len(all_m):  # all single-character diff codes
+                chars = np.frombuffer(s.encode("latin-1"), np.int8) \
+                    if all_m else np.empty(0, np.int8)
+                pos = np.array([m[1] for m in all_m], np.int32) \
+                    if all_m else np.empty(0, np.int32)
+                lens = np.array(
+                    [m[2] if len(m) > 2 else 1 for m in all_m],
+                    np.int32) if all_m else np.empty(0, np.int32)
+                out = np.empty(n, np.int64)
+                self.lib.vec_from_diffs_batch(
+                    self.store.h, n,
+                    counts.ctypes.data_as(C.POINTER(C.c_int64)),
+                    chars.ctypes.data_as(C.POINTER(C.c_int8)),
+                    pos.ctypes.data_as(C.POINTER(C.c_int32)),
+                    lens.ctypes.data_as(C.POINTER(C.c_int32)),
+                    1 if self.rt.cfg.onlyNambiguities else 0,
+                    out.ctypes.data_as(C.POINTER(C.c_int64)))
+                for i in np.nonzero(out < 0)[0]:
+                    out[i] = self.store.from_tuples(
+                        self._terminal_tuples(diffs_list[i]))
+                return out
+        return np.fromiter((self._terminal_vid(d) for d in diffs_list),
+                           np.int64, n)
+
     def place(self, diffs, sample: int) -> bool:
         """Place one sample; returns True when absorbed as a minor
         sequence."""
@@ -125,9 +168,17 @@ class NativePlacementEngine:
         (the exact DFS is order-dependent by design).  If the engine
         reports the configuration unsupported (alias tags active), the
         already-uploaded terminals are placed serially instead."""
-        n = len(diffs_list)
-        vids = np.fromiter((self._terminal_vid(d) for d in diffs_list),
-                           np.int64, n)
+        self.place_batch_vids(self.terminal_vids_batch(diffs_list),
+                              first_sample, num_cores)
+
+    def place_batch_vids(self, vids: np.ndarray, first_sample: int,
+                         num_cores: int):
+        """place_batch over prebuilt terminal handles (the pipelined
+        driver builds the next batch's vectors while the engine places
+        the current one — store slot allocation is mutex-guarded, so
+        the overlap is safe)."""
+        n = len(vids)
+        vids = np.ascontiguousarray(vids, np.int64)
         samples = np.arange(first_sample, first_sample + n, dtype=np.int32)
         rc = self.lib.engine_place_batch(
             self.h, num_cores, n,

@@ -115,15 +115,37 @@ class ProxyPool:
     sample count (2 nodes per placed sample), so the matmul's prefix is
     the only growing shape (pow2 ladder)."""
 
-    def __init__(self, expected_nodes: int):
+    def __init__(self, expected_nodes: int, mesh=None):
         cap = 1024
         while cap < expected_nodes:
             cap *= 2
         self.capacity = cap
         self.node_arr = np.full(cap, -1, dtype=np.int64)
         self.row_of = {}
-        self.AF = jnp.zeros((cap, D), jnp.float32)
-        self.valid = jnp.zeros(cap, bool)
+        self.mesh = mesh
+        if mesh is not None:
+            # anchor rows shard over the candidate axis: the proxy
+            # matmul is row-parallel (each device scores every query
+            # against its anchor shard), top-M merges across shards —
+            # the multi-chip layout of SURVEY.md §2.5
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            self.AF = jax.device_put(
+                np.zeros((cap, D), np.float32),
+                NamedSharding(mesh, P("cand", None))) \
+                if jax.process_count() <= 1 else None
+            if self.AF is None:
+                from .mesh import put_global
+                self.AF = put_global(mesh, np.zeros((cap, D), np.float32),
+                                     P("cand", None))
+                self.valid = put_global(mesh, np.zeros(cap, bool),
+                                        P("cand"))
+            else:
+                self.valid = jax.device_put(
+                    np.zeros(cap, bool), NamedSharding(mesh, P("cand")))
+        else:
+            self.AF = jnp.zeros((cap, D), jnp.float32)
+            self.valid = jnp.zeros(cap, bool)
 
     def assign_rows(self, nodes: np.ndarray) -> Optional[np.ndarray]:
         """Rows for ``nodes`` (assigning fresh rows to new ones); None
@@ -148,7 +170,7 @@ class EngineProxyPlacer:
 
     def __init__(self, run, eng, num_cores: int = 1,
                  batch_size: int = 256, topm: int = 64,
-                 seed_budget: int = 48):
+                 seed_budget: int = 48, mesh=None):
         from ..ops.append_batch import enable_compilation_cache
         enable_compilation_cache()
         self.run = run
@@ -157,8 +179,9 @@ class EngineProxyPlacer:
         self.batch_size = batch_size
         self.topm = topm
         self.seed_budget = seed_budget
+        self.mesh = mesh
         n_expected = len(run.data) * 2 + 64
-        self.pool = ProxyPool(n_expected)
+        self.pool = ProxyPool(n_expected, mesh=mesh)
         self.time_screen = 0.0
         self.time_place = 0.0
         self.time_export = 0.0
@@ -181,12 +204,19 @@ class EngineProxyPlacer:
         # spill everything beyond the largest bucket through plain
         # scatter steps (initial build only)
         spill = len(rows) > _R_BUCKETS[-1]
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from .mesh import put_global
+            up = lambda a: put_global(self.mesh, a,
+                                      P(*([None] * np.ndim(a))))
+        else:
+            up = jnp.asarray
         while len(rows) > _R_BUCKETS[-1]:
             r = _R_BUCKETS[-1]
             pool.AF, pool.valid = _scatter_only(
-                pool.AF, pool.valid, jnp.asarray(rows[:r]),
-                jnp.asarray(idx[:r]), jnp.asarray(w[:r]),
-                jnp.asarray(valid[:r]))
+                pool.AF, pool.valid, up(rows[:r]), up(idx[:r]),
+                up(w[:r]), up(valid[:r]))
             rows, idx, w, valid = rows[r:], idx[r:], w[r:], valid[r:]
         r = len(rows)
         r_pad = next(b for b in _R_BUCKETS if b >= max(r, 1))
@@ -226,8 +256,17 @@ class EngineProxyPlacer:
                 [qw, np.zeros((pad, FMAX_QUERY), np.float32)])
         self.time_export += time.time() - t0
         t0 = time.time()
-        dev = (jnp.asarray(rows), jnp.asarray(aidx), jnp.asarray(aw),
-               jnp.asarray(avalid), jnp.asarray(qidx), jnp.asarray(qw))
+        if self.mesh is not None:
+            # replicated uploads onto the (possibly process-spanning)
+            # mesh; the scatter + matmul partition over the sharded AF
+            from jax.sharding import PartitionSpec as P
+
+            from .mesh import put_global
+            up = lambda a: put_global(self.mesh, a,
+                                      P(*([None] * np.ndim(a))))
+        else:
+            up = jnp.asarray
+        dev = (up(rows), up(aidx), up(aw), up(avalid), up(qidx), up(qw))
         t1 = time.time()
         pool.AF, pool.valid, ts, ti = _proxy_step(
             pool.AF, pool.valid, *dev, topm=self.topm)
@@ -249,8 +288,13 @@ class EngineProxyPlacer:
         engine in model-refresh-aligned chunks."""
         ts, ti, node_arr = fut
         t0 = time.time()
-        ts = np.asarray(ts)[:len(vids)]
-        ti = np.asarray(ti)[:len(vids)]
+        if self.mesh is not None:
+            from .mesh import host_fetch
+            ts = host_fetch(ts)[:len(vids)]
+            ti = host_fetch(ti)[:len(vids)]
+        else:
+            ts = np.asarray(ts)[:len(vids)]
+            ti = np.asarray(ti)[:len(vids)]
         self.time_screen += time.time() - t0
         if self._prof:
             self._t_block = getattr(self, "_t_block", 0.0) \
@@ -304,15 +348,19 @@ class EngineProxyPlacer:
         changed = np.arange(n_nodes, dtype=np.int32)
 
         def next_batch():
-            vids = []
+            names = []
             for _ in range(self.batch_size):
                 if not distances:
                     break
                 _, sample = distances.pop()
                 run.names_in_tree.append(sample)
-                vids.append(eng.terminal_vid(run.data[sample]))
-                run.data[sample] = None
-            return np.asarray(vids, np.int64)
+                names.append(sample)
+            if not names:
+                return np.empty(0, np.int64)
+            diffs = [run.data[s] for s in names]
+            for s in names:
+                run.data[s] = None
+            return eng.terminal_vids_batch(diffs)
 
         vids = next_batch()
         if not len(vids):

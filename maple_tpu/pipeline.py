@@ -384,6 +384,14 @@ class Run:
         print(f"Placed samples that became minor sequences: "
               f"{self.stats.num_minors_found}")
 
+    def _prep_pool(self):
+        """Single-thread executor for pipelined batch preparation."""
+        pool = getattr(self, "_prep_pool_obj", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = self._prep_pool_obj = ThreadPoolExecutor(1)
+        return pool
+
     def _build_initial_tree_engine(self, distances, first_sample) -> int:
         """Fast path: the whole stepwise-addition loop runs in the C++
         placement engine (see maple_tpu/native/engine.py); the Python side
@@ -418,7 +426,7 @@ class Run:
                       "w") as f:
                 f.write(s)
 
-        while distances:
+        while distances or getattr(self, "_prep_fut", None):
             if num_samples % cfg.updateSubstMatrixEveryThisSamples == 0 \
                     and cfg.model != "JC":
                 eng.flush_pseudo_counts(self.model.pseudo_counts)
@@ -427,23 +435,47 @@ class Run:
             if num_samples % 50000 == 0:
                 print(f"Sample num {num_samples}", flush=True)
             if batch_cores:
-                k = len(distances)
-                if cfg.model != "JC":
-                    upd = cfg.updateSubstMatrixEveryThisSamples
-                    k = min(k, upd - num_samples % upd)
-                if os.environ.get("MAPLE_BATCH_MAX"):  # debug bisection
-                    k = min(k, int(os.environ["MAPLE_BATCH_MAX"]))
-                k = min(k,
-                        cfg.saveInitialTreeEvery
-                        - num_samples % cfg.saveInitialTreeEvery,
-                        50000 - num_samples % 50000)
-                batch = []
-                for _ in range(k):
-                    _, sample = distances.pop()
-                    self.names_in_tree.append(sample)
-                    batch.append(self.data[sample])
-                    self.data[sample] = None
-                eng.place_batch(batch, num_samples, batch_cores)
+                def batch_cap(num):
+                    k = len(distances)
+                    if cfg.model != "JC":
+                        upd2 = cfg.updateSubstMatrixEveryThisSamples
+                        k = min(k, upd2 - num % upd2)
+                    if os.environ.get("MAPLE_BATCH_MAX"):  # debug
+                        k = min(k, int(os.environ["MAPLE_BATCH_MAX"]))
+                    return min(k,
+                               cfg.saveInitialTreeEvery
+                               - num % cfg.saveInitialTreeEvery,
+                               50000 - num % 50000)
+
+                def prep(k):
+                    batch = []
+                    for _ in range(k):
+                        _, sample = distances.pop()
+                        self.names_in_tree.append(sample)
+                        batch.append(self.data[sample])
+                        self.data[sample] = None
+                    return eng.terminal_vids_batch(batch)
+
+                # 1-deep pipelining: build the NEXT batch's terminal
+                # vectors while the engine places the current one (the
+                # ctypes call releases the GIL; store slot allocation is
+                # mutex-guarded).  Pops happen on the prep thread only
+                # while the main thread is inside place_batch_vids, so
+                # the serial cadence (refresh/checkpoint boundaries,
+                # computed ahead from the deterministic batch sizes) is
+                # unchanged.
+                vids = self._prep_fut.result() \
+                    if getattr(self, "_prep_fut", None) else prep(
+                        batch_cap(num_samples))
+                self._prep_fut = None
+                k = len(vids)
+                nxt = batch_cap(num_samples + k)
+                if nxt:
+                    # terminal vectors are model-independent on this
+                    # path (error-model runs use the serial loop), so
+                    # prepping across a refresh boundary is safe
+                    self._prep_fut = self._prep_pool().submit(prep, nxt)
+                eng.place_batch_vids(vids, num_samples, batch_cores)
                 num_samples += k
             else:
                 _, sample = distances.pop()
@@ -461,8 +493,8 @@ class Run:
               f"{self.stats.num_minors_found}")
         return root
 
-    def _build_initial_tree_engine_device(self, distances,
-                                          first_sample) -> int:
+    def _build_initial_tree_engine_device(self, distances, first_sample,
+                                          mesh=None) -> int:
         """TPU production path: serial engine warmup, then the MXU
         proxy screen feeding the engine's seeded batched placement
         (maple_tpu/parallel/proxy_placer.py module docstring).  Model
@@ -503,7 +535,7 @@ class Run:
             self, eng, num_cores=cfg.numCores,
             batch_size=cfg.device_proxy_batch,
             topm=cfg.device_seed_topm,
-            seed_budget=cfg.device_seed_budget)
+            seed_budget=cfg.device_seed_budget, mesh=mesh)
         placer.place_all(distances, num_samples, checkpoint)
         eng.flush_pseudo_counts(self.model.pseudo_counts)
         root = eng.export_to_tree(self.stats)
@@ -535,18 +567,20 @@ class Run:
         self.tree = tree
         self.rt = TreeRuntime(tree, self.refd, self.model, dc, cfg)
         t1 = 0
-        if mesh is None and self.rt.kern.name == "native" \
+        if self.rt.kern.name == "native" \
                 and native_engine_supported(self) \
                 and not self.model.using_error_rate \
                 and not os.environ.get("MAPLE_DEVICE_LEGACY") \
                 and not os.environ.get("MAPLE_DEVICE_RT"):
             # MXU proxy screen + C++ engine seeded placement — the
-            # single-chip production device path (proxy_placer module
-            # docstring).  Error-model runs keep the rt-based pipelined
-            # placer below (alias-tag registration is placement-order-
-            # dependent, so the engine refuses batched applies there).
+            # production device path (proxy_placer module docstring).
+            # With a mesh the anchor-feature matrix shards over the
+            # candidate axis (replicated tree, sharded screen).  Error-
+            # model runs keep the rt-based pipelined placer below
+            # (alias-tag registration is placement-order-dependent, so
+            # the engine refuses batched applies there).
             self.root = self._build_initial_tree_engine_device(
-                distances, first_sample)
+                distances, first_sample, mesh=mesh)
             return
         tree.probVect[0] = self.rt.terminal_vector(self.data[first_sample])
         self.data[first_sample] = None

@@ -191,6 +191,10 @@ class Model:
         cum[0] = 0.0
         np.add.accumulate(vals, out=cum[1:])
         self.cumulative_rate = cum.tolist()
+        # numpy twin for the native store sync (store_set_model copies
+        # from a C buffer): avoids re-converting the 30k-element Python
+        # list every model refresh — measured 1.6 s of a 50k placement
+        self.cumulative_rate_np = cum
         self.version += 1
 
     def update_from_pseudo_counts(self) -> bool:

@@ -2522,6 +2522,24 @@ int64_t vec_from_diffs(Store *s, int n, const int8_t *chars,
     return id;
 }
 
+// Batched vec_from_diffs: one call builds a whole placement batch's
+// terminal vectors (counts[i] diff entries per sample, concatenated
+// arrays).  out[i] = vec id, or -1 when sample i needs the python
+// builder (ambiguity code outside the fast table); successfully built
+// ids for such a mixed batch stay valid.
+void vec_from_diffs_batch(Store *s, int64_t n_samples,
+                          const int64_t *counts, const int8_t *chars,
+                          const int32_t *pos, const int32_t *lens,
+                          int only_n_ambiguities, int64_t *out) {
+    int64_t off = 0;
+    for (int64_t i = 0; i < n_samples; i++) {
+        out[i] = vec_from_diffs(s, (int)counts[i], chars + off,
+                                pos + off, lens + off,
+                                only_n_ambiguities);
+        off += counts[i];
+    }
+}
+
 int vec_size(Store *s, int64_t id) { return (int)s->v(id).size(); }
 
 // Entry-category counts for the genome-list statistics print

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Worker for scripts/benchmark_multihost.py: one jax.distributed
+process of an N-process group sharing a fixed-size global virtual-CPU
+mesh, running the production device placement path (MXU proxy screen
+sharded over the candidate axis + replicated engine apply) on a
+synthetic pandemic-scale alignment.
+
+Usage: multihost_worker.py <pid> <nproc> <port> <aln> <outdir> [cores]
+"""
+import json
+import os
+import sys
+import time
+
+TOTAL_DEVICES = 8
+
+
+def main():
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    aln, outdir = sys.argv[4], sys.argv[5]
+    cores = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    local = TOTAL_DEVICES // nproc
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={local}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"localhost:{port}",
+            num_processes=nproc, process_id=pid)
+    assert jax.device_count() == TOTAL_DEVICES
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from maple_tpu.config import MapleConfig
+    from maple_tpu.pipeline import Run
+
+    # all devices on the candidate axis: the proxy pool's AF matrix
+    # shards over it, so the screen matmul is row-parallel across every
+    # device (and every process)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(1, TOTAL_DEVICES),
+                ("dp", "cand"))
+    cfg = MapleConfig(input=aln,
+                      output=os.path.join(outdir, f"mh{nproc}_p{pid}"),
+                      model="UNREST", overwrite=True,
+                      device_placement=True, numCores=cores)
+    run = Run(cfg)
+    run.load()
+    t0 = time.time()
+    run.build_initial_tree_device(mesh=mesh)
+    wall = time.time() - t0
+    run.rt.recalculate_all(run.root)
+    lk = run.rt.calculate_tree_likelihood(run.root)
+    res = {"pid": pid, "nproc": nproc, "wall_s": round(wall, 2),
+           "lk": lk, "finding_s": round(run.timings["finding"], 2),
+           "placing_s": round(run.timings["placing"], 2)}
+    with open(os.path.join(outdir, f"mh{nproc}_p{pid}.json"), "w") as f:
+        json.dump(res, f)
+    print(f"WORKER_OK {pid} {json.dumps(res)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
