@@ -162,7 +162,42 @@ struct Store {
     int64_t dbg_guard = getenv("MAPLE_DEBUG_GUARD")
         ? atoll(getenv("MAPLE_DEBUG_GUARD")) : -1;
 
+    // Thread-local slot cache (SlotCacheScope): worker threads in the
+    // phase-parallel paths (full-tree recomputes, batched placement
+    // phase A, parallel SPR proposals) allocate/free a store vector
+    // every few microseconds, and the global slot_mu serialized them —
+    // measured as the difference between 1.6x and near-linear scaling
+    // of the 100k recompute.  With a scope installed, recycling runs
+    // lock-free against a per-thread free list that refills/spills from
+    // the global list in batches of 64.  Disabled under the
+    // MAPLE_DEBUG_SLOTS tracker (its free-set bookkeeping is global).
+    static thread_local std::vector<int64_t> *tl_slot_cache;
+
     int64_t alloc() {
+        std::vector<int64_t> *c = tl_slot_cache;
+        if (c) {
+            if (c->empty()) {
+                std::lock_guard<std::mutex> g(slot_mu);
+                int take = (int)std::min<size_t>(64, free_slots.size());
+                for (int i = 0; i < take; i++) {
+                    c->push_back(free_slots.back());
+                    free_slots.pop_back();
+                }
+                while (c->size() < 64) {
+                    if (vec_count == vec_chunks.size() * VCHUNK) {
+                        if (vec_chunks.size() == vec_chunks.capacity())
+                            vec_chunks.reserve(
+                                vec_chunks.capacity() * 2 + 1024);
+                        vec_chunks.emplace_back(new Vec[VCHUNK]);
+                    }
+                    c->push_back((int64_t)vec_count++);
+                }
+            }
+            int64_t id = c->back();
+            c->pop_back();
+            v(id).clear();
+            return id;
+        }
         std::lock_guard<std::mutex> g(slot_mu);
         if (!free_slots.empty()) {
             int64_t id = free_slots.back();
@@ -187,6 +222,17 @@ struct Store {
     // clear + recycle one slot (lock-guarded counterpart of alloc)
     void free_slot(int64_t id) {
         v(id).clear();
+        std::vector<int64_t> *c = tl_slot_cache;
+        if (c) {
+            if (c->size() >= 1024) {  // spill half back to the pool
+                std::lock_guard<std::mutex> g(slot_mu);
+                free_slots.insert(free_slots.end(), c->begin() + 512,
+                                  c->end());
+                c->resize(512);
+            }
+            c->push_back(id);
+            return;
+        }
         std::lock_guard<std::mutex> g(slot_mu);
         dbg_check_free(id);
         free_slots.push_back(id);
@@ -213,6 +259,30 @@ struct Store {
     }
     inline double eps_at(int pos) const {
         return site_err ? error_rates[pos] : error_rate;
+    }
+};
+
+thread_local std::vector<int64_t> *Store::tl_slot_cache = nullptr;
+
+// RAII installer for the thread-local slot cache (Store::tl_slot_cache
+// doc above): worker threads in phase-parallel paths wrap their work in
+// one of these; leftover cached ids spill back to the global pool on
+// scope exit.  No-op under the MAPLE_DEBUG_SLOTS tracker.
+struct SlotCacheScope {
+    Store *s;
+    std::vector<int64_t> cache;
+    bool on;
+    explicit SlotCacheScope(Store *st) : s(st), on(!st->dbg_slots) {
+        if (on) Store::tl_slot_cache = &cache;
+    }
+    ~SlotCacheScope() {
+        if (!on) return;
+        Store::tl_slot_cache = nullptr;
+        if (!cache.empty()) {
+            std::lock_guard<std::mutex> g(s->slot_mu);
+            s->free_slots.insert(s->free_slots.end(), cache.begin(),
+                                 cache.end());
+        }
     }
 };
 
@@ -3095,6 +3165,12 @@ struct Engine {
     // live vectors).
     bool screen_log_on = false;
     std::vector<int32_t> screen_log;
+    // Batch-apply touch stamps (E_apply_batch scope): every node whose
+    // ANY cached-vector slot (pv/upR/upL/totUp) is re-installed during
+    // the serial apply is stamped, so a later proposal can prove its
+    // speculative worker fine result read only untouched state.
+    bool touch_on = false;
+    std::vector<uint8_t> touch_stamp;
 
     int add_node() {
         up.push_back(-1); c0.push_back(-1); c1.push_back(-1);
@@ -3150,6 +3226,15 @@ struct Engine {
             // mid-branch slot write -> the node's screen row is stale
             size_t ix = (size_t)(slot - totUp.data());
             if (ix < totUp.size()) screen_log.push_back((int32_t)ix);
+        }
+        if (touch_on) {
+            for (std::vector<int64_t> *arr : {&pv, &upR, &upL, &totUp}) {
+                size_t ix = (size_t)(slot - arr->data());
+                if (ix < arr->size()) {
+                    if (ix < touch_stamp.size()) touch_stamp[ix] = 1;
+                    break;
+                }
+            }
         }
         *slot = id;
     }
@@ -3756,6 +3841,15 @@ struct BatchCtx {
     // split edge)
     std::vector<int32_t> visited;
     int64_t dfs_visits = 0, missed_minors = 0, fine_evals = 0;
+    // speculative worker-side fine result (consumed by the apply only
+    // when its freshness gate holds; see E_find_best_parent_budget)
+    uint8_t fine_ok = 0;
+    int32_t fine_node = -1;
+    double fine_score = 0, fine_top = 0, fine_bottom = 0, fine_app = 0;
+    // unowned copy of the winner's frame-translated diffs (the apply's
+    // fresh path places it directly: re-deriving the root->winner frame
+    // chain cost 77us/sample at 200k)
+    int64_t fine_diffs = -1;
     std::string error;
 };
 static thread_local BatchCtx *tl_batch = nullptr;
@@ -4302,14 +4396,12 @@ static FindResult E_find_best_parent_budget(Engine *E, int64_t diffs,
     }
 
     if (tl_batch) {
-        // batch worker: defer the fine phase to the serial apply (it
-        // re-runs against current vectors there); export the candidate
-        // set the fine phase would have evaluated, best first, capped
+        // batch worker: export the candidate set, in crawl DISCOVERY
+        // order (the fine phase's >= argmax makes later candidates win
+        // exact ties, and the serial search evaluates in this order —
+        // reordering changes tie-breaks)
         auto &out = tl_batch->cands;
         out.clear();
-        // crawl DISCOVERY order, not sorted: the fine phase's >= argmax
-        // makes later candidates win exact ties, and the serial search
-        // evaluates in this order — reordering changes tie-breaks
         for (const BestCand &bc : best_nodes)
             if (bc.score >= best_lk_diff - E->threshold_opt)
                 out.push_back({bc.node, bc.score});
@@ -4318,6 +4410,41 @@ static FindResult E_find_best_parent_budget(Engine *E, int64_t diffs,
         R.top = best_top;
         R.bottom = best_bottom;
         R.appending = best_app;
+        // Speculative worker-side fine phase (the dominant serial-apply
+        // cost at scale was re-translating diffs + re-optimizing per
+        // candidate: 27.5s of a 53s apply at 200k).  The apply uses
+        // this result verbatim ONLY when its freshness gate proves no
+        // candidate (or its parent) was touched by an earlier apply —
+        // otherwise it re-runs the fine phase against live vectors
+        // exactly as before.  HnZ runs skip it: the corrections read
+        // nDesc0, which absorbs/inserts mutate without installing any
+        // vector, so the gate could not see the change.
+        if (!E->hnz_mode) {
+            int f_node = best_node;
+            double f_score, f_top = best_top, f_bottom = best_bottom,
+                   f_app = best_app;
+            int64_t f_diffs = best_diffs;
+            if (E_fine_phase(E, best_nodes, best_lk_diff, f_node,
+                             f_score, f_top, f_bottom, f_app, f_diffs)) {
+                if (std::isinf(f_score) && f_score < 0)
+                    f_score = original_lk_diff;
+                tl_batch->fine_ok = 1;
+                tl_batch->fine_node = f_node;
+                tl_batch->fine_score = f_score;
+                tl_batch->fine_top = f_top;
+                tl_batch->fine_bottom = f_bottom;
+                tl_batch->fine_app = f_app;
+                // unowned copy (worker temps die at end_call; the
+                // apply consumes or the batch guard frees it)
+                Store *s2 = E->S;
+                int64_t cp = s2->alloc();
+                s2->v(cp) = s2->v(f_diffs);
+                s2->finish(cp);
+                tl_batch->fine_diffs = cp;
+            } else {
+                tl_batch->error.clear();  // apply re-runs the fine phase
+            }
+        }
         return R;
     }
     double best_score;
@@ -6256,6 +6383,7 @@ static int E_recalculate_parallel(Engine *E) {
             ws.emplace_back([&, fn] {
                 std::unordered_set<int64_t> my_owned;
                 Engine::tl_owned = &my_owned;
+                SlotCacheScope slot_cache(E->S);
                 size_t i;
                 while ((i = next.fetch_add(1)) < frontier.size()
                        && !bail.load(std::memory_order_relaxed))
@@ -6402,6 +6530,7 @@ static int E_tree_lk_parallel(Engine *E, double *out) {
         ws.emplace_back([&] {
             std::unordered_set<int64_t> my_owned;
             Engine::tl_owned = &my_owned;
+            SlotCacheScope slot_cache(E->S);
             Store *s = E->S;
             size_t c;
             while ((c = next.fetch_add(1)) < n_chunks
@@ -7075,9 +7204,15 @@ struct PlaceProp {
     double score = 0, top = 0, bottom = 0, appending = 0;
     // fine-candidate set from the worker crawl (node, crawl score),
     // best first; the serial apply re-runs the fine phase over it
+    // unless the speculative worker fine result below survives the
+    // freshness gate
     std::vector<std::pair<int32_t, double>> cands;
     std::vector<int32_t> visited;  // crawl-discovered nodes
     uint8_t searched = 0;  // 0 = worker failed; re-search serially
+    uint8_t fine_ok = 0;
+    int32_t fine_node = -1;
+    double fine_score = 0, fine_top = 0, fine_bottom = 0, fine_app = 0;
+    int64_t fine_diffs = -1;  // unowned store copy, batch-guard freed
 };
 static int E_apply_batch(Engine *E, std::vector<PlaceProp> &props,
                          const int64_t *vids, const int32_t *samples,
@@ -7133,6 +7268,7 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
     auto worker = [&]() {
         std::unordered_set<int64_t> my_owned;
         Engine::tl_owned = &my_owned;
+        SlotCacheScope slot_cache(E->S);
         BatchCtx ctx;
         tl_batch = &ctx;
         for (;;) {
@@ -7141,6 +7277,8 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
             ctx.absorb_leaf = -1;
             ctx.error.clear();
             ctx.visited.clear();
+            ctx.fine_ok = 0;
+            ctx.fine_diffs = -1;
             FindResult R = E_find_best_parent_budget(E, vids[i],
                                                      samples[i]);
             PlaceProp &p = props[i];
@@ -7153,6 +7291,14 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
                     p.top = R.top;
                     p.bottom = R.bottom;
                     p.appending = R.appending;
+                    p.fine_ok = ctx.fine_ok;
+                    p.fine_node = ctx.fine_node;
+                    p.fine_score = ctx.fine_score;
+                    p.fine_top = ctx.fine_top;
+                    p.fine_bottom = ctx.fine_bottom;
+                    p.fine_app = ctx.fine_app;
+                    p.fine_diffs = ctx.fine_diffs;
+                    ctx.fine_diffs = -1;
                     p.cands = std::move(ctx.cands);
                     std::sort(ctx.visited.begin(), ctx.visited.end());
                     ctx.visited.erase(std::unique(ctx.visited.begin(),
@@ -7226,6 +7372,24 @@ static int E_apply_batch(Engine *E, std::vector<PlaceProp> &props,
         }
     };
     auto t_b0 = std::chrono::steady_clock::now();
+    // arm the touch stamps for the speculative-fine freshness gate
+    // (RAII: early error returns must not leave stamping enabled)
+    E->touch_stamp.assign(E->up.size(), 0);
+    struct TouchGuard {
+        Engine *e;
+        ~TouchGuard() { e->touch_on = false; }
+    } touch_guard{E};
+    E->touch_on = true;
+    // every unconsumed speculative winner-diffs copy is reclaimed on
+    // ANY exit (error returns included)
+    struct FineDiffsGuard {
+        Engine *e;
+        std::vector<PlaceProp> *props;
+        ~FineDiffsGuard() {
+            for (PlaceProp &p : *props)
+                if (p.fine_diffs >= 0) e->S->free_slot(p.fine_diffs);
+        }
+    } fine_diffs_guard{E, &props};
     struct Applied { int32_t anchor; int32_t leaf; int64_t vid; };
     std::vector<Applied> leaves;        // for within-batch minor checks
     // Nodes where an earlier apply actually INSERTED a sample this
@@ -7345,24 +7509,65 @@ static int E_apply_batch(Engine *E, std::vector<PlaceProp> &props,
         double score = p.score, top = p.top, bottom = p.bottom,
                app = p.appending;
         FrameDiffCache fc{vid, {}};
-        {
-            SecT st(&dbg_diffs_ms, dbg);
-            for (BestCand &bc : cands)
-                bc.diffs = E_diffs_cached(E, fc, bc.node);
+        // Freshness gate for the speculative worker fine result: every
+        // surviving candidate AND its parent (the fine phase reads the
+        // parent's upper vector) must be untouched since the batch
+        // started, the fine winner must still be structurally valid,
+        // and no candidate may have been dropped INTO the winner slot.
+        // Dropped non-winning candidates cannot change the argmax, so
+        // the worker result equals what a live re-run would produce.
+        auto stamped = [&](int32_t x) {
+            return (size_t)x < E->touch_stamp.size()
+                   && E->touch_stamp[x];
+        };
+        bool fresh = p.fine_ok && !E->hnz_mode
+                     && cands.size() == p.cands.size();
+        if (fresh) {
+            int32_t fn = p.fine_node;
+            fresh = fn >= 0 && E->up[fn] >= 0 && !stamped(fn)
+                    && !stamped(E->up[fn])
+                    && !insert_anchors.count(fn);
+            for (size_t c = 0; fresh && c < cands.size(); c++) {
+                int32_t cn = cands[c].node;
+                fresh = !stamped(cn) && E->up[cn] >= 0
+                        && !stamped(E->up[cn]);
+            }
         }
-        // reference decision rule (placement.py :248-322): a fine
-        // candidate wins only if its 3-way-optimized score beats the
-        // crawl best; otherwise the crawl-best node places with its
-        // mid-branch defaults.  p.score (the snapshot crawl best) is
-        // the threshold, exactly as in the serial search.
+        bool fine_ok;
         int64_t d = -1;
-        for (const BestCand &bc : cands)
-            if (bc.node == p.best_node) { d = bc.diffs; break; }
-        if (d < 0) d = E_diffs_cached(E, fc, p.best_node);
-        SecT *sec_fine = dbg ? new SecT(&dbg_fine_ms, true) : nullptr;
-        bool fine_ok = E_fine_phase(E, cands, p.score, best_node, score,
-                                    top, bottom, app, d);
-        delete sec_fine;
+        if (fresh) {
+            best_node = p.fine_node;
+            score = p.fine_score;
+            top = p.fine_top;
+            bottom = p.fine_bottom;
+            app = p.fine_app;
+            SecT st(&dbg_diffs_ms, dbg);
+            if (p.fine_diffs >= 0) {
+                d = p.fine_diffs;   // worker-translated, frames fresh
+                p.fine_diffs = -1;  // consumed (placed into the tree)
+            } else {
+                d = E_diffs_cached(E, fc, best_node);
+            }
+            fine_ok = true;
+        } else {
+            {
+                SecT st(&dbg_diffs_ms, dbg);
+                for (BestCand &bc : cands)
+                    bc.diffs = E_diffs_cached(E, fc, bc.node);
+            }
+            // reference decision rule (placement.py :248-322): a fine
+            // candidate wins only if its 3-way-optimized score beats
+            // the crawl best; otherwise the crawl-best node places with
+            // its mid-branch defaults.  p.score (the snapshot crawl
+            // best) is the threshold, exactly as in the serial search.
+            for (const BestCand &bc : cands)
+                if (bc.node == p.best_node) { d = bc.diffs; break; }
+            if (d < 0) d = E_diffs_cached(E, fc, p.best_node);
+            SecT *sec_fine = dbg ? new SecT(&dbg_fine_ms, true) : nullptr;
+            fine_ok = E_fine_phase(E, cands, p.score, best_node, score,
+                                   top, bottom, app, d);
+            delete sec_fine;
+        }
         if (!fine_ok
                 || (std::isinf(score) && score < 0)) {
             E->error.clear();
@@ -7533,6 +7738,7 @@ int engine_place_batch_seeded(Engine *E, int num_cores, int64_t n,
     auto worker = [&]() {
         std::unordered_set<int64_t> my_owned;
         Engine::tl_owned = &my_owned;
+        SlotCacheScope slot_cache(E->S);
         BatchCtx ctx;
         tl_batch = &ctx;
         for (;;) {
@@ -7541,6 +7747,8 @@ int engine_place_batch_seeded(Engine *E, int num_cores, int64_t n,
             ctx.absorb_leaf = -1;
             ctx.error.clear();
             ctx.visited.clear();
+            ctx.fine_ok = 0;
+            ctx.fine_diffs = -1;
             FindResult R = E_find_best_parent_budget(
                 E, vids[i], samples[i], seeds + i * seeds_per, seeds_per,
                 seed_budget);
@@ -7554,6 +7762,14 @@ int engine_place_batch_seeded(Engine *E, int num_cores, int64_t n,
                     p.top = R.top;
                     p.bottom = R.bottom;
                     p.appending = R.appending;
+                    p.fine_ok = ctx.fine_ok;
+                    p.fine_node = ctx.fine_node;
+                    p.fine_score = ctx.fine_score;
+                    p.fine_top = ctx.fine_top;
+                    p.fine_bottom = ctx.fine_bottom;
+                    p.fine_app = ctx.fine_app;
+                    p.fine_diffs = ctx.fine_diffs;
+                    ctx.fine_diffs = -1;
                     p.cands = std::move(ctx.cands);
                     std::sort(ctx.visited.begin(), ctx.visited.end());
                     ctx.visited.erase(std::unique(ctx.visited.begin(),
@@ -8193,6 +8409,7 @@ static void E_spr_propose_core(Engine *E, int core, bool strict_stop,
     std::unordered_set<int64_t> my_owned;
     SprWorkerCache my_cache;
     Engine::tl_owned = &my_owned;
+    SlotCacheScope slot_cache(E->S);
     tl_spr_cache = &my_cache;
     tl_crawl_visits = 0;
     bool debug_progress = getenv("MAPLE_DEBUG_SPR_TIMING") != nullptr;

@@ -99,7 +99,8 @@ def main():
                         "mean_support": None if mean_s != mean_s
                         else mean_s})
     result = {"samples": args.samples, "seed": args.seed,
-              "mut_rate": args.mutRate, "n_supported": n_supported,
+              "mut_rate": args.mutRate, "n_rate": args.nRate,
+              "amb_rate": args.ambRate, "n_supported": n_supported,
               "bins": payload, "ts": time.time()}
     out_path = os.path.join(args.workdir, "support_calibration.jsonl")
     with open(out_path, "a") as f:
