@@ -75,6 +75,10 @@ class NativePlacementEngine:
             self.lib.engine_set_hnz(self.h, cfg.HnZ)
         if cfg.placementBudget:
             self.lib.engine_set_search_budget(self.h, cfg.placementBudget)
+        if cfg.numCores > 1:
+            # threads the read-only engine exports (device-screen
+            # feature rows) across the configured width
+            self.lib.engine_set_threads(self.h, cfg.numCores)
 
     def _terminal_tuples(self, diffs):
         model = self.rt.model

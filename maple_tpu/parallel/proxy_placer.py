@@ -282,10 +282,8 @@ class EngineProxyPlacer:
         return ts, ti, pool.node_arr.copy()
 
     # ------------------------------------------------------------------
-    def _place(self, vids, first_sample: int, fut, refresh_every: int,
-               checkpoint=None):
-        """Block on the screen, map rows to seeds, place through the
-        engine in model-refresh-aligned chunks."""
+    def _fetch(self, vids, fut):
+        """Block on a screen's results; host copies only."""
         ts, ti, node_arr = fut
         t0 = time.time()
         if self.mesh is not None:
@@ -299,6 +297,13 @@ class EngineProxyPlacer:
         if self._prof:
             self._t_block = getattr(self, "_t_block", 0.0) \
                 + time.time() - t0
+        return ts, ti, node_arr
+
+    def _place(self, vids, first_sample: int, res, refresh_every: int,
+               checkpoint=None):
+        """Map screen rows to seeds and place through the engine in
+        model-refresh-aligned chunks."""
+        ts, ti, node_arr = res
         t0 = time.time()
         seeds = node_arr[ti].astype(np.int32)
         seeds[~np.isfinite(ts)] = -1
@@ -368,12 +373,19 @@ class EngineProxyPlacer:
             return num_samples
         pend = (vids, self._submit(vids, changed))
         while pend is not None:
+            cur_vids, fut_cur = pend
+            # Fetch the CURRENT batch's screen results BEFORE dispatching
+            # the next step: the tunneled backend serializes transfers
+            # and executions on one stream, so a readback queued behind
+            # the next screen would block for that screen's full device
+            # time.  With the fetch first, the engine's place phase below
+            # overlaps the next screen's execution.
+            res = self._fetch(cur_vids, fut_cur)
             nxt = next_batch()
             fut_next = None
             if len(nxt):
                 fut_next = self._submit(nxt, eng.screen_drain())
-            cur_vids, fut_cur = pend
-            num_samples = self._place(cur_vids, num_samples, fut_cur,
+            num_samples = self._place(cur_vids, num_samples, res,
                                       refresh_every, checkpoint)
             pend = (nxt, fut_next) if len(nxt) else None
             if progress_every and num_samples - last_print \

@@ -7832,31 +7832,56 @@ long engine_export_feats(Engine *E, const int32_t *nodes, long n,
                          int32_t d_hash, int32_t g_buckets, int32_t fmax,
                          int32_t *idx, float *w, int32_t *counts,
                          uint8_t *valid) {
-    long max_nf = 0;
-    for (long j = 0; j < n; j++) {
-        int node = nodes[j];
-        int32_t *ji = idx + j * fmax;
-        float *jw = w + j * fmax;
-        bool ok = node >= 0 && (size_t)node < E->up.size()
-                  && E->up[node] >= 0 && E->dist[node] > E->eff0
-                  && E->totUp[node] >= 0;
-        valid[j] = ok ? 1 : 0;
-        if (!ok) {
-            counts[j] = 0;
-            for (int k2 = 0; k2 < fmax; k2++) { ji[k2] = 0; jw[k2] = 0; }
-            continue;
+    // read-only over the tree (pass-up temporaries are thread-owned),
+    // so the export threads across the engine's exec width
+    int T = (int)std::max<long>(1, std::min<long>(E->exec_threads, n / 256));
+    std::atomic<long> max_nf{0};
+    auto work = [&](long lo, long hi) {
+        std::unordered_set<int64_t> my_owned;
+        Engine::tl_owned = &my_owned;
+        SlotCacheScope slot_cache(E->S);
+        long local_max = 0;
+        for (long j = lo; j < hi; j++) {
+            int node = nodes[j];
+            int32_t *ji = idx + j * fmax;
+            float *jw = w + j * fmax;
+            bool ok = node >= 0 && (size_t)node < E->up.size()
+                      && E->up[node] >= 0 && E->dist[node] > E->eff0
+                      && E->totUp[node] >= 0;
+            valid[j] = ok ? 1 : 0;
+            if (!ok) {
+                counts[j] = 0;
+                for (int k2 = 0; k2 < fmax; k2++) {
+                    ji[k2] = 0;
+                    jw[k2] = 0;
+                }
+                continue;
+            }
+            int64_t v = E->totUp[node];
+            for (int a = node; a >= 0; a = E->up[a])
+                if (!E->muts[a].empty()) v = E_pass_up(E, v, a);
+            long nf = feat_extract(*E->S, E->S->v(v), false, d_hash,
+                                   g_buckets, fmax, ji, jw);
+            counts[j] = (int32_t)nf;
+            local_max = std::max(local_max, nf);
+            if ((j & 255) == 255) E->end_call();  // bound temp growth
         }
-        int64_t v = E->totUp[node];
-        for (int a = node; a >= 0; a = E->up[a])
-            if (!E->muts[a].empty()) v = E_pass_up(E, v, a);
-        long nf = feat_extract(*E->S, E->S->v(v), false, d_hash,
-                               g_buckets, fmax, ji, jw);
-        counts[j] = (int32_t)nf;
-        max_nf = std::max(max_nf, nf);
-        if ((j & 255) == 255) E->end_call();  // bound temp growth
+        E->end_call();  // reclaim pass-up temporaries
+        Engine::tl_owned = nullptr;
+        long cur = max_nf.load();
+        while (local_max > cur
+               && !max_nf.compare_exchange_weak(cur, local_max)) {}
+    };
+    if (T <= 1) {
+        work(0, n);
+    } else {
+        std::vector<std::thread> ts;
+        ts.reserve(T);
+        for (int c = 0; c < T; c++)
+            ts.emplace_back(work, n * c / T, n * (c + 1) / T);
+        for (auto &t : ts) t.join();
     }
-    E->end_call();  // reclaim pass-up temporaries
-    return max_nf;
+    return max_nf.load();
 }
 
 // Query features: same space, query-side weights, straight from the

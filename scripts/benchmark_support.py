@@ -68,6 +68,10 @@ def main():
     ap.add_argument("--mutRate", type=float, default=1.5)
     ap.add_argument("--nRate", type=float, default=0.2)
     ap.add_argument("--ambRate", type=float, default=0.05)
+    ap.add_argument("--supportFor0Branches", action="store_true",
+                    help="also compute supports for zero-length "
+                         "branches (populates the low-support bins "
+                         "with genuinely ambiguous placements)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -84,7 +88,9 @@ def main():
              "--output", aln, "--treeOut", truth], check=True)
 
     out_prefix = os.path.join(args.workdir, f"run_{tag}")
-    rows, n_supported = run_calibration(aln, truth, out_prefix)
+    extra = {"supportFor0Branches": True} \
+        if args.supportFor0Branches else None
+    rows, n_supported = run_calibration(aln, truth, out_prefix, extra)
 
     print(f"\n{'support bin':>16} {'branches':>9} {'frac correct':>13} "
           f"{'mean support':>13}")
@@ -99,6 +105,7 @@ def main():
                         "mean_support": None if mean_s != mean_s
                         else mean_s})
     result = {"samples": args.samples, "seed": args.seed,
+              "support_for_0branches": bool(args.supportFor0Branches),
               "mut_rate": args.mutRate, "n_rate": args.nRate,
               "amb_rate": args.ambRate, "n_supported": n_supported,
               "bins": payload, "ts": time.time()}
