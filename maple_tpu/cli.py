@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
         "device_batch_size": "deviceBatchSize",
         "use_device_kernels": "useDeviceKernels",
         "device_batch_min": "deviceBatchMin",
+        "device_proxy_batch": "deviceProxyBatch",
+        "device_seed_topm": "deviceSeedTopm",
+        "device_seed_budget": "deviceSeedBudget",
         "entry_budget": "entryBudget",
         "kernel_backend": "kernelBackend",
     }
@@ -66,6 +69,9 @@ def main(argv=None):
         "device_batch_size": "deviceBatchSize",
         "use_device_kernels": "useDeviceKernels",
         "device_batch_min": "deviceBatchMin",
+        "device_proxy_batch": "deviceProxyBatch",
+        "device_seed_topm": "deviceSeedTopm",
+        "device_seed_budget": "deviceSeedBudget",
         "entry_budget": "entryBudget",
         "kernel_backend": "kernelBackend",
     }.items()}
