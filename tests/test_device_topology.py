@@ -152,3 +152,29 @@ def test_device_topology_pallas_screen_lk(tmp_path):
     with open(golden) as f:
         lk_gold = float(f.read().strip())
     assert abs(lk - lk_gold) <= 1.0, (lk, lk_gold)
+
+
+def test_device_topology_exact_screen_fallback(tmp_path):
+    """MAPLE_SPR_EXACT=1 forces the exhaustive exact Pallas screen (the
+    python-kernel fallback / proxy-recall validator); it must land the
+    same golden LK as the proxy screen."""
+    if not os.path.isfile(EXAMPLE):
+        pytest.skip("example data not available")
+    from maple_tpu.pipeline import run_inference
+    golden = os.path.join(os.path.dirname(__file__), "goldens",
+                          "example_gtr_LK.txt")
+    if not os.path.isfile(golden):
+        pytest.skip("golden not generated")
+    out = str(tmp_path / "devtopo_exact")
+    os.environ["MAPLE_SPR_EXACT"] = "1"
+    try:
+        cfg = MapleConfig(input=EXAMPLE, output=out, model="GTR",
+                          overwrite=True, device_topology=True)
+        run_inference(cfg)
+    finally:
+        os.environ.pop("MAPLE_SPR_EXACT", None)
+    with open(out + "_LK.txt") as f:
+        lk = float(f.read().strip())
+    with open(golden) as f:
+        lk_gold = float(f.read().strip())
+    assert abs(lk - lk_gold) <= 1.0, (lk, lk_gold)
