@@ -160,10 +160,9 @@ def _get_screen_chunk():
     global _screen_chunk
     if _screen_chunk is None:
         import jax
-        from functools import partial
-        _screen_chunk = partial(
-            jax.jit(_screen_chunk_impl,
-                    static_argnames=("n_prefix", "uer", "interpret")))
+        _screen_chunk = jax.jit(
+            _screen_chunk_impl,
+            static_argnames=("n_prefix", "uer", "interpret"))
     return _screen_chunk
 
 
@@ -171,7 +170,12 @@ def _collect_anchors(rt, root: int):
     """Screen-eligible anchors (same criteria as the placement pool:
     attached, non-zero branch, cached mid-branch vector) with their
     global-frame totUp handles (MAT chains composed out, reference
-    :3749)."""
+    :3749).
+
+    NOTE: the eligibility rule + MAT-chain walk has two packed-row twins
+    (pipelined_placer.StackedDevicePool.full_rebuild and
+    batch_placement.DeviceTreePool.refresh) — an eligibility change must
+    land in all three or the screens diverge from their pools."""
     tree = rt.tree
     eff0 = rt.dc.effectivelyNon0BLen
     chains = {}
@@ -269,13 +273,22 @@ def _screen_single_device(rt, root: int, params, counters, t0,
     if not anchors:
         return None, 0.0
     store = rt.kern.store
-    FMAX_A = 192
     a_vids = np.asarray([h.vid for h in a_handles], np.int64)
-    aidx, aw, _ = store.export_feats(a_vids, False, D_HASH, G_BUCKETS,
-                                     FMAX_A)
+    fmax_a = 192
+    while True:  # budgets grow on saturation (truncation is silent)
+        aidx, aw, cnt = store.export_feats(a_vids, False, D_HASH,
+                                           G_BUCKETS, fmax_a)
+        if cnt.max(initial=0) < fmax_a:
+            break
+        fmax_a *= 2
     q_vids = np.asarray([h.vid for h in q_handles], np.int64)
-    qidx, qw, _ = store.export_feats(q_vids, True, D_HASH, G_BUCKETS,
-                                     FMAX_QUERY)
+    fmax_q = FMAX_QUERY
+    while True:
+        qidx, qw, cnt = store.export_feats(q_vids, True, D_HASH,
+                                           G_BUCKETS, fmax_q)
+        if cnt.max(initial=0) < fmax_q:
+            break
+        fmax_q *= 2
 
     N = len(anchors)
     cap = 1024
@@ -513,7 +526,9 @@ def device_topology_update(rt, root: int, params,
     if n_anchors == 0:
         return None, 0.0
     if query_chunk is None:
-        query_chunk = 16
+        # bigger chunks amortize the tunneled per-dispatch round trip
+        # over 4x the scores when the Pallas kernel does the scoring
+        query_chunk = 64 if use_pallas else 16
 
     q_nodes, q_vecs, q_blens, q_tips, q_base = _collect_queries(
         rt, root, placement_thresh)

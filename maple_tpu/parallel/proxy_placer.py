@@ -180,6 +180,12 @@ class EngineProxyPlacer:
         self.topm = topm
         self.seed_budget = seed_budget
         self.mesh = mesh
+        # feature budgets grow on saturation (feat_extract truncates at
+        # fmax; a truncated row mis-ranks silently, so saturation is
+        # detected via the returned max feature count and the budget
+        # doubles — one extra export + compile bucket, rare)
+        self.fmax_anchor = FMAX_ANCHOR
+        self.fmax_query = FMAX_QUERY
         n_expected = len(run.data) * 2 + 64
         self.pool = ProxyPool(n_expected, mesh=mesh)
         self.time_screen = 0.0
@@ -198,8 +204,14 @@ class EngineProxyPlacer:
         rows = pool.assign_rows(changed)
         if rows is None:
             raise RuntimeError("proxy pool capacity exhausted")
-        idx, w, valid, _ = self.eng.export_feats(
-            changed, D_HASH, G_BUCKETS, FMAX_ANCHOR)
+        idx, w, valid, max_nf = self.eng.export_feats(
+            changed, D_HASH, G_BUCKETS, self.fmax_anchor)
+        while max_nf >= self.fmax_anchor:
+            self.fmax_anchor *= 2
+            print(f"[proxy] anchor feature budget -> "
+                  f"{self.fmax_anchor}", flush=True)
+            idx, w, valid, max_nf = self.eng.export_feats(
+                changed, D_HASH, G_BUCKETS, self.fmax_anchor)
         self.time_export += time.time() - t0
         # spill everything beyond the largest bucket through plain
         # scatter steps (initial build only)
@@ -225,7 +237,7 @@ class EngineProxyPlacer:
             rows = np.zeros(1, np.int32)
             idx, w, valid2, _ = self.eng.export_feats(
                 pool.node_arr[:1].astype(np.int32), D_HASH, G_BUCKETS,
-                FMAX_ANCHOR)
+                self.fmax_anchor)
             valid = valid2
             r = 1
         if r < r_pad:
@@ -246,14 +258,20 @@ class EngineProxyPlacer:
         pool = self.pool
         rows, aidx, aw, avalid = self._sync_pool(changed)
         K = self.batch_size
-        qidx, qw, _ = self.eng.export_query_feats(
-            vids, D_HASH, G_BUCKETS, FMAX_QUERY)
+        qidx, qw, max_nf = self.eng.export_query_feats(
+            vids, D_HASH, G_BUCKETS, self.fmax_query)
+        while max_nf >= self.fmax_query:
+            self.fmax_query *= 2
+            print(f"[proxy] query feature budget -> "
+                  f"{self.fmax_query}", flush=True)
+            qidx, qw, max_nf = self.eng.export_query_feats(
+                vids, D_HASH, G_BUCKETS, self.fmax_query)
         if len(vids) < K:  # tail batch: pad with null queries
             pad = K - len(vids)
             qidx = np.concatenate(
-                [qidx, np.zeros((pad, FMAX_QUERY), np.int32)])
+                [qidx, np.zeros((pad, self.fmax_query), np.int32)])
             qw = np.concatenate(
-                [qw, np.zeros((pad, FMAX_QUERY), np.float32)])
+                [qw, np.zeros((pad, self.fmax_query), np.float32)])
         self.time_export += time.time() - t0
         t0 = time.time()
         if self.mesh is not None:

@@ -494,7 +494,8 @@ class Run:
         return root
 
     def _build_initial_tree_engine_device(self, distances, first_sample,
-                                          mesh=None) -> int:
+                                          mesh=None,
+                                          warmup=None) -> int:
         """TPU production path: serial engine warmup, then the MXU
         proxy screen feeding the engine's seeded batched placement
         (maple_tpu/parallel/proxy_placer.py module docstring).  Model
@@ -508,7 +509,8 @@ class Run:
         num_samples = 1
         start = time.time()
         upd = cfg.updateSubstMatrixEveryThisSamples
-        warmup = max(2, cfg.device_warmup)
+        warmup = max(2, warmup if warmup is not None
+                     else cfg.device_warmup)
         while distances and num_samples < warmup:
             if num_samples % upd == 0 and cfg.model != "JC":
                 eng.flush_pseudo_counts(self.model.pseudo_counts)
@@ -578,9 +580,12 @@ class Run:
             # candidate axis (replicated tree, sharded screen).  Error-
             # model runs keep the rt-based pipelined placer below
             # (alias-tag registration is placement-order-dependent, so
-            # the engine refuses batched applies there).
+            # the engine refuses batched applies there).  The caller's
+            # ``warmup`` is honored; ``batch_size`` is the legacy
+            # scorer-batch knob and does not apply — the proxy screen
+            # batches by cfg.device_proxy_batch.
             self.root = self._build_initial_tree_engine_device(
-                distances, first_sample, mesh=mesh)
+                distances, first_sample, mesh=mesh, warmup=warmup)
             return
         tree.probVect[0] = self.rt.terminal_vector(self.data[first_sample])
         self.data[first_sample] = None

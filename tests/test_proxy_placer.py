@@ -8,6 +8,8 @@ on the example alignment the proxy path reproduces the serial engine's
 final likelihood EXACTLY (measured property; it also holds at 3k and
 10k scale, DEVICE_r04.json).
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -15,6 +17,9 @@ from maple_tpu.config import MapleConfig
 from maple_tpu.pipeline import Run
 
 EXAMPLE = "/root/reference/example_files/MAPLE_alignment_example.txt"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(EXAMPLE), reason="example data not available")
 
 
 def _lk(run):
