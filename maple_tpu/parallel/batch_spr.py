@@ -102,13 +102,10 @@ def _collect_queries(rt, root: int, placement_thresh,
     tree = rt.tree
     cfg = rt.cfg
     q_nodes, q_vecs, q_blens, q_tips, q_base = [], [], [], [], []
-    chains = {}
     stack = [root]
-    chains[root] = (root, None) if tree.mutations[root] else None
     while stack:
         n = stack.pop()
         for c in tree.children[n] or ():
-            chains[c] = (c, chains[n]) if tree.mutations[c] else chains[n]
             stack.append(c)
         if tree.up[n] is None or not tree.dirty[n] \
                 or tree.replacements[n] > cfg.maxReplacements:
@@ -117,13 +114,9 @@ def _collect_queries(rt, root: int, placement_thresh,
         if not (base < placement_thresh or tree.dist[n] or tree.use_hnz) \
                 or cfg.doNotImproveTopology:
             continue
-        # pruned-subtree lower vector in the global frame: pass up the
-        # node's own mutation chain (innermost first)
-        v = tree.probVect[n]
-        link = chains.get(n)
-        while link is not None:
-            v = rt.pass_up(v, link[0])
-            link = link[1]
+        # pruned-subtree lower vector in the global frame (one pass
+        # through the composed frame list)
+        v = rt.global_frame_up(tree.probVect[n], n)
         q_nodes.append(n)
         q_vecs.append(v if keep_handles else rt.kern.export(v))
         q_blens.append(tree.dist[n])
@@ -178,28 +171,13 @@ def _collect_anchors(rt, root: int):
     land in all three or the screens diverge from their pools."""
     tree = rt.tree
     eff0 = rt.dc.effectivelyNon0BLen
-    chains = {}
-    stack = []
-    for node in range(len(tree.up)):
-        if tree.up[node] is None and tree.children[node] is not None:
-            chains[node] = (node, None) if tree.mutations[node] else None
-            stack.append(node)
     anchors, handles = [], []
-    while stack:
-        n = stack.pop()
-        for c in tree.children[n] or ():
-            chains[c] = (c, chains[n]) if tree.mutations[c] else chains[n]
-            stack.append(c)
+    for n in range(len(tree.up)):
         if tree.up[n] is None or tree.children[n] is None:
             continue
         if tree.dist[n] > eff0 and tree.probVectTotUp[n] is not None:
-            v = tree.probVectTotUp[n]
-            link = chains.get(n)
-            while link is not None:
-                v = rt.pass_up(v, link[0])
-                link = link[1]
             anchors.append(n)
-            handles.append(v)
+            handles.append(rt.global_frame_up(tree.probVectTotUp[n], n))
     return anchors, handles
 
 

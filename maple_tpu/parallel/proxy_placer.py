@@ -43,7 +43,7 @@ from __future__ import annotations
 import os
 import time
 from functools import partial
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -153,6 +153,41 @@ class TreeRuntime:
             return self.kern.pass_through_branch(vec, muts, dir_is_up=True)
         return vec
 
+    def global_frame_up(self, vec, node):
+        """Translate ``vec`` from ``node``'s MAT frame to the global
+        frame in ONE pass through the composed root->frame mutation
+        list (memoized per frame, invalidated by mutation_epoch) —
+        chains average 10-13 muts-bearing branches at 10k-50k, so this
+        replaces O(depth) list transforms with O(1) (the native twin is
+        E_frame_comp in maple_native.cpp)."""
+        tree = self.tree
+        f = node
+        while f is not None and not tree.mutations[f]:
+            f = tree.up[f]
+        if f is None:
+            return vec
+        if getattr(self, "_frame_comp_epoch", None) != \
+                self.mutation_epoch:
+            self._frame_comp_epoch = self.mutation_epoch
+            self._frame_comp = {}
+        memo = self._frame_comp
+        comp = memo.get(f)
+        if comp is None:
+            stack = []
+            g = f
+            while g is not None and g not in memo:
+                if tree.mutations[g]:
+                    stack.append(g)
+                g = tree.up[g]
+            comp = memo.get(g, [])
+            for h in reversed(stack):
+                # plain downward path composition (downward=False;
+                # parent comp applied first, then h's branch list)
+                comp = self.merge_mutation_lists(comp, tree.mutations[h]) \
+                    if comp else tree.mutations[h]
+                memo[h] = comp
+        return self.kern.pass_through_branch(vec, comp, dir_is_up=True)
+
     @property
     def do_time_tree(self) -> bool:
         return self.time is not None

@@ -7828,6 +7828,31 @@ long engine_screen_drain(Engine *E, int32_t *out, long cap) {
 // its probVectTotUp (MAT frames composed out via pass-up, reference
 // :3749).  counts[j] = features written.  Returns the max count seen
 // (host grows fmax when it approaches the cap).
+// Composed root->frame mutation list for the deepest muts-bearing
+// ancestor ``f`` (memoized; parent frames are shared prefixes).  One
+// upward pass through the composite replaces chain-depth passes per
+// exported row — chains average 10-13 branches at 10k-50k, so this is
+// the difference between O(depth) and O(1) list transforms per row.
+static const std::vector<int32_t> &E_frame_comp(
+        Engine *E,
+        std::unordered_map<int32_t, std::vector<int32_t>> &memo, int f) {
+    auto it = memo.find(f);
+    if (it != memo.end()) return it->second;
+    int pf = E->up[f];
+    while (pf >= 0 && E->muts[pf].empty()) pf = E->up[pf];
+    std::vector<int32_t> comp;
+    if (pf >= 0)
+        // plain downward path composition: parent comp applied first,
+        // then f's branch list (downward=false; true would REVERSE the
+        // first operand — that mode composes an upward-then-downward
+        // path, reference mergeMutationLists :2187-2233)
+        comp = E_merge_mutation_lists(E_frame_comp(E, memo, pf),
+                                      E->muts[f], false);
+    else
+        comp = E->muts[f];
+    return memo.emplace(f, std::move(comp)).first->second;
+}
+
 long engine_export_feats(Engine *E, const int32_t *nodes, long n,
                          int32_t d_hash, int32_t g_buckets, int32_t fmax,
                          int32_t *idx, float *w, int32_t *counts,
@@ -7836,10 +7861,12 @@ long engine_export_feats(Engine *E, const int32_t *nodes, long n,
     // so the export threads across the engine's exec width
     int T = (int)std::max<long>(1, std::min<long>(E->exec_threads, n / 256));
     std::atomic<long> max_nf{0};
+    const bool chain_mode = getenv("MAPLE_EXPORT_CHAIN") != nullptr;
     auto work = [&](long lo, long hi) {
         std::unordered_set<int64_t> my_owned;
         Engine::tl_owned = &my_owned;
         SlotCacheScope slot_cache(E->S);
+        std::unordered_map<int32_t, std::vector<int32_t>> frame_memo;
         long local_max = 0;
         for (long j = lo; j < hi; j++) {
             int node = nodes[j];
@@ -7858,8 +7885,16 @@ long engine_export_feats(Engine *E, const int32_t *nodes, long n,
                 continue;
             }
             int64_t v = E->totUp[node];
-            for (int a = node; a >= 0; a = E->up[a])
-                if (!E->muts[a].empty()) v = E_pass_up(E, v, a);
+            if (chain_mode) {  // validation twin: per-ancestor passes
+                for (int a = node; a >= 0; a = E->up[a])
+                    if (!E->muts[a].empty()) v = E_pass_up(E, v, a);
+            } else {
+                int f = node;
+                while (f >= 0 && E->muts[f].empty()) f = E->up[f];
+                if (f >= 0)
+                    v = E_pass(E, v, E_frame_comp(E, frame_memo, f),
+                               true);
+            }
             long nf = feat_extract(*E->S, E->S->v(v), false, d_hash,
                                    g_buckets, fmax, ji, jw);
             counts[j] = (int32_t)nf;
