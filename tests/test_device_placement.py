@@ -183,14 +183,20 @@ def test_pipelined_placer_rebuild_and_scatter(tmp_path):
 
 
 def test_batched_placer_pallas_end_to_end(tmp_path):
-    """--devicePallas: same contract as the XLA scorer, scored by the
-    Pallas kernel (interpret mode off-TPU).  The two scorers agree to
-    float32 rounding, so the resulting trees should be equivalent in
-    likelihood."""
+    """--devicePallas on the rt-based legacy placer: same contract as
+    the XLA scorer, scored by the Pallas kernel (interpret mode
+    off-TPU).  The two scorers agree to float32 rounding, so the
+    resulting trees should be equivalent in likelihood.  (The default
+    device path is the engine-proxy placer, which has no pallas/XLA
+    split — MAPLE_DEVICE_LEGACY pins the path this test targets.)"""
     if not os.path.isfile(EXAMPLE):
         pytest.skip("example data not available")
-    run_x, lk_x = _run_device(tmp_path)
-    run_p, lk_p = _run_device(tmp_path, device_pallas=True)
+    os.environ["MAPLE_DEVICE_LEGACY"] = "1"
+    try:
+        run_x, lk_x = _run_device(tmp_path)
+        run_p, lk_p = _run_device(tmp_path, device_pallas=True)
+    finally:
+        os.environ.pop("MAPLE_DEVICE_LEGACY", None)
     assert _placed_count(run_p) == _placed_count(run_x) == 112
     # the float32 screens may differ in rounding, but the float64 host
     # fine phase makes the decisions; allow only sub-logLK drift
