@@ -79,15 +79,15 @@ def _proxy_step(AF, valid, upd_idx, upd_fidx, upd_fw, upd_valid,
     on this environment.  Unassigned/invalid rows are masked to -inf
     before the top-k."""
     R = upd_idx.shape[0]
-    rows = jnp.zeros((R, AF.shape[1]), AF.dtype)
+    rows = jnp.zeros((R, AF.shape[1]), jnp.float32)
     rows = rows.at[jnp.arange(R)[:, None], upd_fidx].add(upd_fw)
-    AF = AF.at[upd_idx].set(rows)
+    AF = AF.at[upd_idx].set(rows.astype(AF.dtype))
     valid = valid.at[upd_idx].set(upd_valid)
     K = q_fidx.shape[0]
-    QF = jnp.zeros((K, AF.shape[1]), AF.dtype)
+    QF = jnp.zeros((K, AF.shape[1]), jnp.float32)
     QF = QF.at[jnp.arange(K)[:, None], q_fidx].add(q_fw)
     scores = jax.lax.dot_general(
-        QF, AF, (((1,), (1,)), ((), ())),
+        QF.astype(AF.dtype), AF, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     scores = jnp.where(valid[None, :], scores, -jnp.inf)
     ts, ti = jax.lax.top_k(scores, min(topm, AF.shape[0]))
@@ -99,9 +99,9 @@ def _scatter_only(AF, valid, upd_idx, upd_fidx, upd_fw, upd_valid):
     """Row scatter without a screen (initial pool build spill-over when
     the changed set exceeds the largest fused-step bucket)."""
     R = upd_idx.shape[0]
-    rows = jnp.zeros((R, AF.shape[1]), AF.dtype)
+    rows = jnp.zeros((R, AF.shape[1]), jnp.float32)
     rows = rows.at[jnp.arange(R)[:, None], upd_fidx].add(upd_fw)
-    AF = AF.at[upd_idx].set(rows)
+    AF = AF.at[upd_idx].set(rows.astype(AF.dtype))
     valid = valid.at[upd_idx].set(upd_valid)
     return AF, valid
 
@@ -123,6 +123,15 @@ class ProxyPool:
         self.node_arr = np.full(cap, -1, dtype=np.int64)
         self.row_of = {}
         self.mesh = mesh
+        # f32 storage by default: bf16 rounding measurably reorders
+        # near-tie candidates (-28.7 logLK at 3k with topm 64).  Pools
+        # too large for f32 on a 16 GB chip (>= 512k rows ~ 200k+
+        # samples) fall back to bf16 — there the halved footprint is
+        # what makes the run possible at all; callers should raise topm
+        # to recover recall.  MAPLE_PROXY_BF16=1 forces bf16.
+        dt = jnp.bfloat16 if (cap >= 524288
+                              or os.environ.get("MAPLE_PROXY_BF16")) \
+            else np.float32
         if mesh is not None:
             # anchor rows shard over the candidate axis: the proxy
             # matmul is row-parallel (each device scores every query
@@ -131,20 +140,21 @@ class ProxyPool:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
             self.AF = jax.device_put(
-                np.zeros((cap, D), np.float32),
+                jnp.zeros((cap, D), dt),
                 NamedSharding(mesh, P("cand", None))) \
                 if jax.process_count() <= 1 else None
             if self.AF is None:
                 from .mesh import put_global
-                self.AF = put_global(mesh, np.zeros((cap, D), np.float32),
-                                     P("cand", None))
+                self.AF = put_global(
+                    mesh, np.zeros((cap, D), np.float32).astype(dt),
+                    P("cand", None))
                 self.valid = put_global(mesh, np.zeros(cap, bool),
                                         P("cand"))
             else:
                 self.valid = jax.device_put(
                     np.zeros(cap, bool), NamedSharding(mesh, P("cand")))
         else:
-            self.AF = jnp.zeros((cap, D), jnp.float32)
+            self.AF = jnp.zeros((cap, D), dt)
             self.valid = jnp.zeros(cap, bool)
 
     def assign_rows(self, nodes: np.ndarray) -> Optional[np.ndarray]:
