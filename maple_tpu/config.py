@@ -127,7 +127,7 @@ class MapleConfig:
     device_warmup: int = 256         # samples placed serially before batching
     device_batch_size: int = 64      # samples per device-scored batch
     device_proxy_batch: int = 256    # samples per MXU proxy-screen batch
-    device_seed_topm: int = 64        # screen candidates handed to the engine
+    device_seed_topm: int = 128       # screen candidates handed to the engine
     device_seed_budget: int = 128     # seeded-crawl non-improvement budget
     kernel_backend: str = "native"   # "native" (C++ kernels) or "python"
     native_error_model: bool = True  # native kernels after error-model activation (alias-tagged)

@@ -135,3 +135,27 @@ def test_anchor_features_match_query(tmp_path):
     # shared-lineage anchors must clear the no-information score (bias
     # only): the best anchor shares mutations with the query
     assert proxy.max() > 0.5
+
+
+def test_proxy_path_exact_lk_b3000(tmp_path):
+    """Default knobs must hold exact serial-LK parity on the REAL
+    b1429 3,000-sample data, not just the synthetic sets (the
+    round-4 topm=64 default was exact on synthetic 10k but lost
+    28.7 logLK here — ties structure differs across datasets)."""
+    aln = os.path.join(os.path.dirname(__file__),
+                       "data_b1429_3000.maple.gz")
+    if not os.path.isfile(aln):
+        pytest.skip("b3000 data not available")
+    cfg_s = MapleConfig(input=aln, output=str(tmp_path / "ser"),
+                        model="UNREST", overwrite=True)
+    rs = Run(cfg_s)
+    rs.load()
+    rs.build_initial_tree()
+    cfg_d = MapleConfig(input=aln, output=str(tmp_path / "dev"),
+                        model="UNREST", overwrite=True,
+                        device_placement=True)
+    rd = Run(cfg_d)
+    rd.load()
+    rd.build_initial_tree_device()
+    assert _lk(rd) == pytest.approx(_lk(rs), abs=1e-6)
+    assert rd.stats.num_minors_found == rs.stats.num_minors_found
