@@ -199,10 +199,10 @@ def _get_spr_screen_step():
             matmul + on-device masking (own subtree via Euler-interval
             containment, parent/sibling rows) + per-query top-M."""
             K = q_fidx.shape[0]
-            QF = jnp.zeros((K, AF.shape[1]), AF.dtype)
+            QF = jnp.zeros((K, AF.shape[1]), jnp.float32)
             QF = QF.at[jnp.arange(K)[:, None], q_fidx].add(q_fw)
             scores = jax.lax.dot_general(
-                QF, AF, (((1,), (1,)), ((), ())),
+                QF.astype(AF.dtype), AF, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             at = a_tin[None, :]
             inval = (at >= q_lo[:, None]) & (at < q_hi[:, None])
@@ -272,7 +272,14 @@ def _screen_single_device(rt, root: int, params, counters, t0,
     cap = 1024
     while cap < N:
         cap *= 2
-    AF = jnp.zeros((cap, D), jnp.float32)
+    # bf16 fallback at 512k+ rows (f32 would exceed a 16 GB chip); the
+    # exact top-M re-score below absorbs the rounding, and topm deepens
+    # to keep recall (same policy as the placement pool, config.py note)
+    if cap >= 524288:
+        AF = jnp.zeros((cap, D), jnp.bfloat16)
+        topm = max(topm, 192)
+    else:
+        AF = jnp.zeros((cap, D), jnp.float32)
     valid = jnp.zeros(cap, bool)
     rows_all = np.arange(N, dtype=np.int32)
     s0 = 0
