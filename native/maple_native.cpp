@@ -40,24 +40,64 @@ constexpr uint8_t BIT_BL1 = 1;
 constexpr uint8_t BIT_BL2 = 2;
 constexpr uint8_t BIT_FLAG = 4;   // the error-model tip flag VALUE
 
+// O-entry payload, stored out of line so the common R/N/nuc entries are
+// 32 bytes (the round-4 counters blamed the 64-byte inline-probs layout
+// for the memory-bound placement crawl and recompute: every two-pointer
+// scan dragged 4 doubles of O-probs through the cache for every entry,
+// O or not).  `tag` is the alias-tag id of the shared Python probability
+// list these probs mirror, or -1.  The reference shares ONE mutable list
+// per tip ambiguity (:3959) and passthrough merge branches keep
+// referencing it, so error-model refreshes change cached vectors in
+// place; tags let store_patch_tag reproduce that (see tag_registry).
+// Blocks are owned (deep-copied with the entry): aliasing semantics are
+// emulated via the registry exactly as with the old inline layout.
+struct Prob {
+    double p[4];
+    int32_t tag;
+};
+
 struct Entry {
     int8_t type;
     uint8_t bits;
+    int16_t _pad;
     int32_t val;      // end position (R/N) or local-ref nucleotide (nuc/O)
     double bl1;
     double bl2;
-    double probs[4];  // O entries only
-    // Alias tag: id of the shared Python probability list these probs
-    // mirror, or -1.  The reference shares ONE mutable list per tip
-    // ambiguity (:3959) and passthrough merge branches keep referencing
-    // it, so error-model refreshes change cached vectors in place; tags
-    // let store_patch_tag reproduce that (see tag_registry).
-    int32_t tag = -1;
+    Prob *pp;         // O entries only (else null)
+
+    Entry() : type(0), bits(0), _pad(0), val(0), bl1(0), bl2(0),
+              pp(nullptr) {}
+    Entry(const Entry &o)
+        : type(o.type), bits(o.bits), _pad(0), val(o.val), bl1(o.bl1),
+          bl2(o.bl2), pp(o.pp ? new Prob(*o.pp) : nullptr) {}
+    Entry(Entry &&o) noexcept
+        : type(o.type), bits(o.bits), _pad(0), val(o.val), bl1(o.bl1),
+          bl2(o.bl2), pp(o.pp) { o.pp = nullptr; }
+    Entry &operator=(const Entry &o) {
+        if (this == &o) return *this;
+        type = o.type; bits = o.bits; val = o.val;
+        bl1 = o.bl1; bl2 = o.bl2;
+        if (o.pp) {
+            if (pp) *pp = *o.pp;
+            else pp = new Prob(*o.pp);
+        } else { delete pp; pp = nullptr; }
+        return *this;
+    }
+    Entry &operator=(Entry &&o) noexcept {
+        if (this == &o) return *this;
+        type = o.type; bits = o.bits; val = o.val;
+        bl1 = o.bl1; bl2 = o.bl2;
+        delete pp; pp = o.pp; o.pp = nullptr;
+        return *this;
+    }
+    ~Entry() { delete pp; }
 
     bool has_bl1() const { return bits & BIT_BL1; }
     bool has_bl2() const { return bits & BIT_BL2; }
     bool flag() const { return bits & BIT_FLAG; }
+    int32_t etag() const { return pp ? pp->tag : -1; }
 };
+static_assert(sizeof(Entry) == 32, "hot-entry layout is two per line");
 
 using Vec = std::vector<Entry>;
 
@@ -147,8 +187,8 @@ struct Store {
         if (!tags_active) return;
         const Vec &vv = v(id);
         for (int32_t i = 0; i < (int32_t)vv.size(); i++)
-            if (vv[i].tag >= 0)
-                tag_registry[vv[i].tag].emplace_back(id, i);
+            if (vv[i].pp && vv[i].pp->tag >= 0)
+                tag_registry[vv[i].pp->tag].emplace_back(id, i);
     }
 
     // Slot allocation/recycling is guarded so the parallel SPR proposal
@@ -421,8 +461,9 @@ inline Entry make_O(int32_t val, bool has_bl, double bl, const double *probs,
     e.val = val;
     e.bits = has_bl ? BIT_BL1 : 0;
     e.bl1 = bl;
-    for (int i = 0; i < 4; i++) e.probs[i] = probs[i];
-    e.tag = tag;
+    e.pp = new Prob;
+    for (int i = 0; i < 4; i++) e.pp->p[i] = probs[i];
+    e.pp->tag = tag;
     return e;
 }
 
@@ -639,7 +680,7 @@ int merge_vectors(Store &S, const Vec &v1, double bl1, bool tip1,
                 if (is_up_down) {
                     double tot_b = bl2 + (e2->has_bl1() ? e2->bl1 : 0.0);
                     double nv[4];
-                    partial_vec_O(S, pos, tot_b, e2->probs, false, nv);
+                    partial_vec_O(S, pos, tot_b, e2->pp->p, false, nv);
                     for (int i = 0; i < 4; i++) nv[i] *= S.root_freqs[i];
                     double s = neumaier_sum4(nv);
                     for (int i = 0; i < 4; i++) nv[i] /= s;
@@ -647,10 +688,10 @@ int merge_vectors(Store &S, const Vec &v1, double bl1, bool tip1,
                 } else {
                     if (e2->has_bl1())
                         out.push_back(make_O(e2->val, true, e2->bl1 + bl2,
-                                             e2->probs, e2->tag));
+                                             e2->pp->p, e2->etag()));
                     else if (bl2 != 0.0)
-                        out.push_back(make_O(e2->val, true, bl2, e2->probs,
-                                             e2->tag));
+                        out.push_back(make_O(e2->val, true, bl2, e2->pp->p,
+                                             e2->etag()));
                     else
                         out.push_back(*e2);
                 }
@@ -688,17 +729,17 @@ int merge_vectors(Store &S, const Vec &v1, double bl1, bool tip1,
                 if (evolve) {
                     double tot_b = bl1 + (e1->has_bl1() ? e1->bl1 : 0.0);
                     double nv[4];
-                    partial_vec_O(S, pos, tot_b, e1->probs, true, nv);
+                    partial_vec_O(S, pos, tot_b, e1->pp->p, true, nv);
                     double s = neumaier_sum4(nv);
                     for (int i = 0; i < 4; i++) nv[i] /= s;
                     out.push_back(make_O(e1->val, false, 0.0, nv));
                 } else {
                     if (e1->has_bl1())
                         out.push_back(make_O(e1->val, true, e1->bl1 + bl1,
-                                             e1->probs, e1->tag));
+                                             e1->pp->p, e1->etag()));
                     else if (bl1 != 0.0)
-                        out.push_back(make_O(e1->val, true, bl1, e1->probs,
-                                             e1->tag));
+                        out.push_back(make_O(e1->val, true, bl1, e1->pp->p,
+                                             e1->etag()));
                     else
                         out.push_back(*e1);
                 }
@@ -822,19 +863,19 @@ int merge_vectors(Store &S, const Vec &v1, double bl1, bool tip1,
                     }
                 } else {  // c1 is O
                     if (tot_len1 != 0.0)
-                        partial_vec_O(S, pos, tot_len1, e1->probs, is_up_down,
+                        partial_vec_O(S, pos, tot_len1, e1->pp->p, is_up_down,
                                       nv);
                     else
-                        for (int i = 0; i < 4; i++) nv[i] = e1->probs[i];
+                        for (int i = 0; i < 4; i++) nv[i] = e1->pp->p[i];
                 }
                 int i2n = (c2 == TYPE_R) ? ref_nuc : c2;
                 double nv2[4];
                 if (i2n == TYPE_O) {
                     if (tot_len2 != 0.0)
-                        partial_vec_O(S, pos, tot_len2, e2->probs, false,
+                        partial_vec_O(S, pos, tot_len2, e2->pp->p, false,
                                       nv2);
                     else
-                        for (int i = 0; i < 4; i++) nv2[i] = e2->probs[i];
+                        for (int i = 0; i < 4; i++) nv2[i] = e2->pp->p[i];
                 } else {
                     if (tot_len2 != 0.0 || flag2) {
                         partial_vec_nuc(S, pos, i2n, tot_len2, eps, flag2,
@@ -961,13 +1002,13 @@ static double append_prob_node_t(const Store &S, const Vec &vP,
                     if (e2->val == pos) e2 = &vC[++i2];
                 } else if (c2 == TYPE_O) {
                     int i1n = e2->val;
-                    if (e2->probs[i1n] > 0.02) {
-                        tot_factor *= e2->probs[i1n];
+                    if (e2->pp->p[i1n] > 0.02) {
+                        tot_factor *= e2->pp->p[i1n];
                     } else if (len1 == 4 + uer1) {
                         bool flag1 = uer && len1 > 2 && e1->flag();
                         double eps = uer ? S.eps_at(pos) : S.error_rate;
                         double t3[4], t2[4];
-                        partial_vec_O(S, pos, contrib, e2->probs, false, t3);
+                        partial_vec_O(S, pos, contrib, e2->pp->p, false, t3);
                         partial_vec_nuc(S, pos, i1n, e1->bl1, eps, flag1,
                                         false, t2);
                         double tot = 0.0;
@@ -978,11 +1019,11 @@ static double append_prob_node_t(const Store &S, const Vec &vP,
                     } else {
                         if (contrib != 0.0) {
                             double t3[4];
-                            partial_vec_O(S, pos, contrib, e2->probs, false,
+                            partial_vec_O(S, pos, contrib, e2->pp->p, false,
                                           t3);
                             tot_factor *= t3[i1n];
                         } else {
-                            tot_factor *= e2->probs[i1n];
+                            tot_factor *= e2->pp->p[i1n];
                         }
                     }
                     pos += 1;
@@ -1025,18 +1066,18 @@ static double append_prob_node_t(const Store &S, const Vec &vP,
                     double tot = 0.0;
                     if (contrib != 0.0) {
                         double t3[4];
-                        partial_vec_O(S, pos, contrib, e2->probs, false, t3);
+                        partial_vec_O(S, pos, contrib, e2->pp->p, false, t3);
                         for (int j = 0; j < 4; j++)
-                            tot += e1->probs[j] * t3[j];
+                            tot += e1->pp->p[j] * t3[j];
                     } else {
                         for (int j = 0; j < 4; j++)
-                            tot += e1->probs[j] * e2->probs[j];
+                            tot += e1->pp->p[j] * e2->pp->p[j];
                     }
                     tot_factor *= tot;
                 } else {
                     int i2n = (c2 == TYPE_R) ? e1->val : c2;
-                    if (e1->probs[i2n] > 0.02) {
-                        tot_factor *= e1->probs[i2n];
+                    if (e1->pp->p[i2n] > 0.02) {
+                        tot_factor *= e1->pp->p[i2n];
                     } else {
                         double t3[4];
                         if (uer && (tip_c || (len2 > 2 && e2->flag()))) {
@@ -1049,7 +1090,7 @@ static double append_prob_node_t(const Store &S, const Vec &vP,
                         }
                         double tot = 0.0;
                         for (int j = 0; j < 4; j++)
-                            tot += e1->probs[j] * t3[j];
+                            tot += e1->pp->p[j] * t3[j];
                         tot_factor *= tot;
                     }
                 }
@@ -1092,13 +1133,13 @@ static double append_prob_node_t(const Store &S, const Vec &vP,
                     } else {
                         // child is O
                         double eps = uer ? S.eps_at(pos) : S.error_rate;
-                        if (e2->probs[i1n] > 0.02) {
-                            tot_factor *= e2->probs[i1n];
+                        if (e2->pp->p[i1n] > 0.02) {
+                            tot_factor *= e2->pp->p[i1n];
                         } else if (len1 == 4 + uer1) {
                             double t2[4], t3[4];
                             partial_vec_nuc(S, pos, i1n, e1->bl1, eps, flag1,
                                             false, t2);
-                            partial_vec_O(S, pos, contrib, e2->probs, false,
+                            partial_vec_O(S, pos, contrib, e2->pp->p, false,
                                           t3);
                             double tot = 0.0;
                             for (int i = 0; i < 4; i++)
@@ -1106,11 +1147,11 @@ static double append_prob_node_t(const Store &S, const Vec &vP,
                             tot_factor *= tot / S.root_freqs[i1n];
                         } else if (contrib != 0.0) {
                             double t3[4];
-                            partial_vec_O(S, pos, contrib, e2->probs, false,
+                            partial_vec_O(S, pos, contrib, e2->pp->p, false,
                                           t3);
                             tot_factor *= t3[i1n];
                         } else {
-                            tot_factor *= e2->probs[i1n];
+                            tot_factor *= e2->pp->p[i1n];
                         }
                     }
                 }
@@ -1197,25 +1238,25 @@ double estimate_branch_length(const Store &S, const Vec &vP, const Vec &vC,
                         int i1n = e2->val;
                         double coeff0, coeff1 = 0.0;
                         if (len1 == 4 + uer1) {
-                            coeff0 = S.root_freqs[i1n] * e2->probs[i1n];
+                            coeff0 = S.root_freqs[i1n] * e2->pp->p[i1n];
                             for (int i = 0; i < 4; i++) {
                                 coeff0 += S.root_freqs[i] * S.mm(pos, i, i1n)
-                                          * e1->bl1 * e2->probs[i];
-                                coeff1 += S.mm(pos, i1n, i) * e2->probs[i];
+                                          * e1->bl1 * e2->pp->p[i];
+                                coeff1 += S.mm(pos, i1n, i) * e2->pp->p[i];
                             }
                             coeff1 *= S.root_freqs[i1n];
                             if (contrib != 0.0) coeff0 += coeff1 * contrib;
                             if (flag1) {
                                 coeff0 -= 1.33333 * eps * S.root_freqs[i1n]
-                                          * e2->probs[i1n];
+                                          * e2->pp->p[i1n];
                                 for (int i = 0; i < 4; i++)
-                                    coeff0 += S.root_freqs[i] * e2->probs[i]
+                                    coeff0 += S.root_freqs[i] * e2->pp->p[i]
                                               * 0.33333 * eps;
                             }
                         } else {
-                            coeff0 = e2->probs[i1n];
+                            coeff0 = e2->pp->p[i1n];
                             for (int j = 0; j < 4; j++)
-                                coeff1 += S.mm(pos, i1n, j) * e2->probs[j];
+                                coeff1 += S.mm(pos, i1n, j) * e2->pp->p[j];
                             if (contrib != 0.0) coeff0 += coeff1 * contrib;
                         }
                         if (coeff1 < 0.0) c1acc += coeff1 / coeff0;
@@ -1257,20 +1298,20 @@ double estimate_branch_length(const Store &S, const Vec &vP, const Vec &vC,
                 } else if (t1 == TYPE_O) {
                     double coeff0, coeff1 = 0.0;
                     if (t2 == TYPE_O) {
-                        coeff0 = e1->probs[0] * e2->probs[0]
-                                 + e1->probs[1] * e2->probs[1]
-                                 + e1->probs[2] * e2->probs[2]
-                                 + e1->probs[3] * e2->probs[3];
+                        coeff0 = e1->pp->p[0] * e2->pp->p[0]
+                                 + e1->pp->p[1] * e2->pp->p[1]
+                                 + e1->pp->p[2] * e2->pp->p[2]
+                                 + e1->pp->p[3] * e2->pp->p[3];
                         for (int i = 0; i < 4; i++)
                             for (int j = 0; j < 4; j++)
-                                coeff1 += e1->probs[i] * e2->probs[j]
+                                coeff1 += e1->pp->p[i] * e2->pp->p[j]
                                           * S.mm(pos, i, j);
                         if (contrib != 0.0) coeff0 += coeff1 * contrib;
                     } else {
                         int i2n = (t2 == TYPE_R) ? e1->val : t2;
-                        coeff0 = e1->probs[i2n];
+                        coeff0 = e1->pp->p[i2n];
                         for (int i = 0; i < 4; i++)
-                            coeff1 += e1->probs[i] * S.mm(pos, i, i2n);
+                            coeff1 += e1->pp->p[i] * S.mm(pos, i, i2n);
                         if (contrib != 0.0) coeff0 += coeff1 * contrib;
                         if (flag2) coeff0 += eps * 0.33333;
                     }
@@ -1317,13 +1358,13 @@ double estimate_branch_length(const Store &S, const Vec &vP, const Vec &vC,
                             // child is O
                             double coeff0, coeff1 = 0.0;
                             if (len1 == 4 + uer1) {
-                                coeff0 = S.root_freqs[i1n] * e2->probs[i1n];
+                                coeff0 = S.root_freqs[i1n] * e2->pp->p[i1n];
                                 for (int i = 0; i < 4; i++) {
                                     coeff0 += S.root_freqs[i]
                                               * S.mm(pos, i, i1n) * e1->bl1
-                                              * e2->probs[i];
+                                              * e2->pp->p[i];
                                     coeff1 += S.mm(pos, i1n, i)
-                                              * e2->probs[i];
+                                              * e2->pp->p[i];
                                 }
                                 coeff1 *= S.root_freqs[i1n];
                                 if (contrib != 0.0)
@@ -1331,17 +1372,17 @@ double estimate_branch_length(const Store &S, const Vec &vP, const Vec &vC,
                                 if (flag1) {
                                     coeff0 -= 1.33333 * eps
                                               * S.root_freqs[i1n]
-                                              * e2->probs[i1n];
+                                              * e2->pp->p[i1n];
                                     for (int i = 0; i < 4; i++)
                                         coeff0 += S.root_freqs[i]
-                                                  * e2->probs[i] * 0.33333
+                                                  * e2->pp->p[i] * 0.33333
                                                   * eps;
                                 }
                             } else {
-                                coeff0 = e2->probs[i1n];
+                                coeff0 = e2->pp->p[i1n];
                                 for (int j = 0; j < 4; j++)
                                     coeff1 += S.mm(pos, i1n, j)
-                                              * e2->probs[j];
+                                              * e2->pp->p[j];
                                 if (contrib != 0.0)
                                     coeff0 += coeff1 * contrib;
                             }
@@ -1494,11 +1535,11 @@ void root_vector_frame(const Store &S, const Vec &v, double blen,
             double tot_b = blen + (e.has_bl1() ? e.bl1 : 0.0);
             double nv[4];
             if (tot_b != 0.0) {
-                partial_vec_O(S, new_pos, tot_b, e.probs, false, nv);
+                partial_vec_O(S, new_pos, tot_b, e.pp->p, false, nv);
                 for (int i = 0; i < 4; i++) nv[i] *= S.root_freqs[i];
             } else {
                 for (int i = 0; i < 4; i++)
-                    nv[i] = e.probs[i] * S.root_freqs[i];
+                    nv[i] = e.pp->p[i] * S.root_freqs[i];
             }
             double sum = neumaier_sum4(nv);
             for (int i = 0; i < 4; i++) nv[i] /= sum;
@@ -1563,10 +1604,10 @@ double find_prob_root_frame(const Store &S, const Vec &v) {
                 log_lk += S.root_freqs_log[c];
                 pos += 1;
             } else if (c == TYPE_O) {
-                double tot = S.root_freqs[0] * e.probs[0]
-                             + S.root_freqs[1] * e.probs[1]
-                             + S.root_freqs[2] * e.probs[2]
-                             + S.root_freqs[3] * e.probs[3];
+                double tot = S.root_freqs[0] * e.pp->p[0]
+                             + S.root_freqs[1] * e.pp->p[1]
+                             + S.root_freqs[2] * e.pp->p[2]
+                             + S.root_freqs[3] * e.pp->p[3];
                 log_factor *= tot;
                 pos += 1;
             } else {
@@ -1620,15 +1661,15 @@ bool are_vectors_different(const Store &S, const Vec &v1, const Vec &v2) {
                     && std::fabs(e1->bl1 - e2->bl1) > tp)
                 return true;
             for (int i = 0; i < 4; i++) {
-                double d = std::fabs(e1->probs[i] - e2->probs[i]);
+                double d = std::fabs(e1->pp->p[i] - e2->pp->p[i]);
                 if (d != 0.0) {
-                    if (e1->probs[i] == 0.0 || e2->probs[i] == 0.0)
+                    if (e1->pp->p[i] == 0.0 || e2->pp->p[i] == 0.0)
                         return true;
                     if (d > S.threshold_diff_update
                             || (d > tp
-                                && (d / e1->probs[i]
+                                && (d / e1->pp->p[i]
                                         > S.threshold_fold_change
-                                    || d / e2->probs[i]
+                                    || d / e2->pp->p[i]
                                         > S.threshold_fold_change)))
                         return true;
                 }
@@ -1669,12 +1710,12 @@ int is_minor_sequence(const Store &S, const Vec &v1, const Vec &v2,
                 found1 = true;
             } else if (c1 == TYPE_O) {
                 int i2n = (c2 == TYPE_R) ? e1->val : c2;
-                if (e1->probs[i2n] > 0.1) found2 = true;
+                if (e1->pp->p[i2n] > 0.1) found2 = true;
                 else return 0;
                 pos += 1;
             } else if (c2 == TYPE_O) {
                 int i1n = (c1 == TYPE_R) ? e2->val : c1;
-                if (e2->probs[i1n] > 0.1) found1 = true;
+                if (e2->pp->p[i1n] > 0.1) found1 = true;
                 else return 0;
                 pos += 1;
             } else {
@@ -1683,10 +1724,10 @@ int is_minor_sequence(const Store &S, const Vec &v1, const Vec &v2,
         } else if (c1 == TYPE_O) {
             for (int j = 0; j < 4; j++) {
                 if (only_identical) {
-                    if (e2->probs[j] != e1->probs[j]) return 0;
-                } else if (e2->probs[j] > 0.1 && e1->probs[j] < 0.1) {
+                    if (e2->pp->p[j] != e1->pp->p[j]) return 0;
+                } else if (e2->pp->p[j] > 0.1 && e1->pp->p[j] < 0.1) {
                     found1 = true;
-                } else if (e1->probs[j] > 0.1 && e2->probs[j] < 0.1) {
+                } else if (e1->pp->p[j] > 0.1 && e2->pp->p[j] < 0.1) {
                     found2 = true;
                 }
             }
@@ -1747,8 +1788,8 @@ void update_pseudo_counts(const Store &S, const Vec &v1, const Vec &v2,
 // O upper vs O lower (em.py _em_O_O, reference :10247-10336)
 static double em_O_O(const Store &S, EMState &E, const Entry &e1,
                      const Entry &e2, double tot_len1, int pos, bool leaf) {
-    const double *p1 = e1.probs;
-    const double *p2 = e2.probs;
+    const double *p1 = e1.pp->p;
+    const double *p2 = e2.pp->p;
     const bool rv = E.rate_var;
     double err_ret = 0.0;
     if (leaf && E.uer) {
@@ -1840,7 +1881,7 @@ static double em_O_O(const Store &S, EMState &E, const Entry &e1,
 static double em_O_nuc(const Store &S, EMState &E, const Entry &e1,
                        const Entry &e2, double tot_len1, int pos, bool leaf,
                        bool has_minor) {
-    const double *p1 = e1.probs;
+    const double *p1 = e1.pp->p;
     const bool rv = E.rate_var;
     double err_ret = 0.0;
     const int i2 = (e2.type == TYPE_R) ? e1.val : e2.type;
@@ -1919,7 +1960,7 @@ static double em_O_nuc(const Store &S, EMState &E, const Entry &e1,
 static double em_nuc_O(const Store &S, EMState &E, const Entry &e1,
                        const Entry &e2, int i1, double tot_len1,
                        double tot_len2, int pos, bool leaf, int uer1) {
-    const double *p2 = e2.probs;
+    const double *p2 = e2.pp->p;
     const bool rv = E.rate_var;
     double err_inc = 0.0;
     if (p2[i1] > 0.1) {
@@ -2484,9 +2525,13 @@ int64_t vec_create(Store *s, int n, const int8_t *types,
         v[k].bits = bits[k];
         v[k].bl1 = bl1[k];
         v[k].bl2 = bl2[k];
-        for (int i = 0; i < 4; i++) v[k].probs[i] = probs[k * 4 + i];
-        v[k].tag = tags ? tags[k] : -1;
-        if (v[k].tag >= 0) s->tags_active = true;
+        int32_t tg = tags ? tags[k] : -1;
+        if (v[k].type == TYPE_O || tg >= 0) {
+            v[k].pp = new Prob;
+            for (int i = 0; i < 4; i++) v[k].pp->p[i] = probs[k * 4 + i];
+            v[k].pp->tag = tg;
+        }
+        if (tg >= 0) s->tags_active = true;
     }
     s->finish(id);
     return id;
@@ -2531,11 +2576,6 @@ int64_t vec_from_diffs(Store *s, int n, const int8_t *chars,
     int cur_pos = 1;
     const int lRef = s->lRef;
     Entry e;
-    e.bits = 0;
-    e.bl1 = 0.0;
-    e.bl2 = 0.0;
-    e.probs[0] = e.probs[1] = e.probs[2] = e.probs[3] = 0.0;
-    e.tag = -1;
     for (int k = 0; k < n; k++) {
         int cur = pos[k];
         if (cur > cur_pos) {
@@ -2566,6 +2606,7 @@ int64_t vec_from_diffs(Store *s, int n, const int8_t *chars,
             if (only_n_ambiguities) {
                 e.type = TYPE_N;
                 e.val = cur;
+                v.push_back(e);
             } else {
                 const double *p = amb_probs(c);
                 if (!p) {
@@ -2574,13 +2615,9 @@ int64_t vec_from_diffs(Store *s, int n, const int8_t *chars,
                     s->free_slots.push_back(id);
                     return -1;
                 }
-                e.type = TYPE_O;
-                e.val = s->ref_indices[cur - 1];
-                for (int i = 0; i < 4; i++) e.probs[i] = p[i];
+                v.push_back(make_O(s->ref_indices[cur - 1], false, 0.0, p));
             }
-            v.push_back(e);
             cur_pos = cur + 1;
-            e.probs[0] = e.probs[1] = e.probs[2] = e.probs[3] = 0.0;
         }
     }
     if (cur_pos <= lRef) {
@@ -2637,13 +2674,16 @@ void vec_export(Store *s, int64_t id, int8_t *types, int32_t *vals,
         bits[k] = v[k].bits;
         bl1[k] = v[k].bl1;
         bl2[k] = v[k].bl2;
-        for (int i = 0; i < 4; i++) probs[k * 4 + i] = v[k].probs[i];
+        if (v[k].pp)
+            for (int i = 0; i < 4; i++) probs[k * 4 + i] = v[k].pp->p[i];
+        else
+            for (int i = 0; i < 4; i++) probs[k * 4 + i] = 0.0;
     }
 }
 
 void vec_export_tags(Store *s, int64_t id, int32_t *tags) {
     const Vec &v = s->v(id);
-    for (size_t k = 0; k < v.size(); k++) tags[k] = v[k].tag;
+    for (size_t k = 0; k < v.size(); k++) tags[k] = v[k].etag();
 }
 
 // Write a mutated shared tip probability list into every live entry that
@@ -2662,8 +2702,8 @@ void store_patch_tag(Store *s, int32_t tag, const double *probs) {
     size_t w = 0;
     for (auto &r : refs) {
         Vec &v = s->v(r.first);
-        if (r.second < (int32_t)v.size() && v[r.second].tag == tag) {
-            for (int i = 0; i < 4; i++) v[r.second].probs[i] = probs[i];
+        if (r.second < (int32_t)v.size() && v[r.second].etag() == tag) {
+            for (int i = 0; i < 4; i++) v[r.second].pp->p[i] = probs[i];
             refs[w++] = r;
         }
     }
@@ -7041,7 +7081,7 @@ static long feat_extract(const Store &S, const Vec &v, bool query_side,
             int p = ++pos;
             int ref = S.ref_indices[p - 1];
             for (int k2 = 0; k2 < 4; k2++) {
-                float pk = (float)e.probs[k2];
+                float pk = (float)e.pp->p[k2];
                 if (k2 == ref || pk <= 0.03f) continue;
                 float match = std::min(1.0f, 2.0f * pk);
                 mut_feat(p, k2, match, 0.15f * match);
@@ -7249,8 +7289,8 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
                 for (const Entry &e : vv) {
                     mix((uint64_t)e.type);
                     mix((uint64_t)e.val);
-                    uint64_t pb;
-                    std::memcpy(&pb, &e.probs[0], 8);
+                    uint64_t pb = 0;
+                    if (e.pp) std::memcpy(&pb, &e.pp->p[0], 8);
                     mix(pb);
                     std::memcpy(&pb, &e.bl1, 8);
                     mix(pb);
