@@ -126,9 +126,19 @@ class MapleConfig:
     device_topology: bool = False    # device-screened SPR proposals (parallel/batch_spr)
     device_warmup: int = 256         # samples placed serially before batching
     device_batch_size: int = 64      # samples per device-scored batch
-    device_proxy_batch: int = 256    # samples per MXU proxy-screen batch
-    device_seed_topm: int = 128       # screen candidates handed to the engine
-    device_seed_budget: int = 128     # seeded-crawl non-improvement budget
+    # Proxy-screen knobs (-1 = auto).  Two contracts resolve differently:
+    # the default (exact) contract — decision parity with the serial
+    # engine path, measured LK-identical at 10k-100k — keeps deep seed
+    # lists and an f32 pool with exact top-k; the --fast contract
+    # matches the production host preset's quality bar instead
+    # (budgeted search, LK-tolerance), so the screen runs bf16 with
+    # approximate top-k, shallower seed lists, and 4x bigger batches —
+    # the measured screen cost drops ~10x (42 ms f32 matmul + 24 ms
+    # top-k per 256-query step at a 262k pool vs ~10 ms bf16+approx per
+    # 1024-query step).
+    device_proxy_batch: int = -1     # samples per MXU proxy-screen batch
+    device_seed_topm: int = -1       # screen candidates handed to the engine
+    device_seed_budget: int = -1     # seeded-crawl non-improvement budget
     kernel_backend: str = "native"   # "native" (C++ kernels) or "python"
     native_error_model: bool = True  # native kernels after error-model activation (alias-tagged)
     # Best-first placement search: during stepwise addition, expand the
@@ -185,6 +195,19 @@ class MapleConfig:
             self.thresholdLogLKtopology = 7.0
             self.thresholdTopologyPlacement = -1.0
             self.minBLenSensitivity = 0.001
+        if self.device_proxy_batch < 0:
+            self.device_proxy_batch = 1024 if self.fast else 256
+        if self.fast and self.device_placement \
+                and self.placementBudget == 0:
+            # the apply phase's serial re-search fallback (stale-anchor
+            # collisions) otherwise runs the reference-exact from-root
+            # DFS — measured 6.2 s of the 100k apply; under the fast
+            # contract it gets the production preset's budget crawl
+            self.placementBudget = 200
+        if self.device_seed_topm < 0:
+            self.device_seed_topm = 64 if self.fast else 128
+        if self.device_seed_budget < 0:
+            self.device_seed_budget = 32 if self.fast else 128
         if self.estimateErrors and not (self.estimateSiteSpecificErrorRate
                                         or self.errorRateSiteSpecificFile):
             self.estimateSiteSpecificErrorRate = True

@@ -170,6 +170,8 @@ def _load():
         p(C.c_int32), C.c_int32, C.c_int64]
     lib.engine_screen_log.restype = None
     lib.engine_screen_log.argtypes = [C.c_void_p, C.c_int]
+    lib.engine_profile.restype = None
+    lib.engine_profile.argtypes = [C.c_void_p, p(d)]
     lib.engine_screen_drain.restype = C.c_long
     lib.engine_screen_drain.argtypes = [C.c_void_p, p(C.c_int32),
                                         C.c_long]

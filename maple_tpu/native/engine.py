@@ -204,6 +204,23 @@ class NativePlacementEngine:
         call reclaims the handle."""
         return self._terminal_vid(diffs)
 
+    def profile(self) -> dict:
+        """Engine phase counters (non-zero only in MAPLE_NATIVE_PROFILE
+        builds): rdtsc cycles per placement phase plus entry-scan
+        statistics — the diagnosis channel behind BASELINE.md's
+        placement-droop attribution.  After export_to_tree the engine
+        handle is freed; the snapshot taken there is returned instead."""
+        if self.h is None:
+            return getattr(self, "last_profile", {})
+        out = np.zeros(26, np.float64)
+        self.lib.engine_profile(self.h, out.ctypes.data_as(
+            C.POINTER(C.c_double)))
+        return {"find_cy": out[0], "append_cy": out[1],
+                "pass_cy": out[2], "fine_cy": out[3],
+                "place_cy": out[4], "scored": out[5], "free": out[6],
+                "entries": out[7], "tot_entries": out[8],
+                "o_entries": out[9], "gap_hist": out[10:26].tolist()}
+
     def screen_log(self, on: bool):
         self.lib.engine_screen_log(self.h, 1 if on else 0)
 
@@ -342,6 +359,8 @@ class NativePlacementEngine:
     def export_to_tree(self, stats) -> int:
         """Materialize the engine's tree into self.rt.tree (in place) and
         return the root id.  Vector handles transfer zero-copy."""
+        # snapshot phase counters before engine_free invalidates the handle
+        self.last_profile = self.profile()
         self.rt.mark_mutated()
         lib, h, store = self.lib, self.h, self.store
         n = lib.engine_node_count(h)

@@ -60,11 +60,25 @@ FMAX_ANCHOR = 192   # 2 features per mutation + bias
 FMAX_QUERY = 448    # 2*muts + up to G_BUCKETS coverage + bias
 
 _R_BUCKETS = (1024, 2048, 4096, 8192)
+# Feature-axis buckets: measured counts are tiny (query p99=27, anchor
+# p99=31 at 10k) while the budgets are worst-case (448/192); the device
+# scatter + upload cost scales with K*F, so rows are sliced to the
+# smallest bucket covering the batch max before upload (lossless — the
+# export zero-fills beyond each row's count).
+_F_BUCKETS = (64, 192, 448)
 
 
-@partial(jax.jit, static_argnames=("topm",), donate_argnums=(0, 1))
+def _f_bucket(max_nf: int, fmax: int) -> int:
+    for b in _F_BUCKETS:
+        if b >= max_nf + 1 and b <= fmax:
+            return b
+    return fmax
+
+
+@partial(jax.jit, static_argnames=("topm", "approx"),
+         donate_argnums=(0, 1))
 def _proxy_step(AF, valid, upd_idx, upd_fidx, upd_fw, upd_valid,
-                q_fidx, q_fw, *, topm):
+                q_fidx, q_fw, *, topm, approx=False):
     """Scatter stale anchor rows + proxy matmul + top-M in one dispatch.
 
     AF [cap, D] f32 (donated), valid [cap] bool (donated),
@@ -90,7 +104,14 @@ def _proxy_step(AF, valid, upd_idx, upd_fidx, upd_fw, upd_valid,
         QF.astype(AF.dtype), AF, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     scores = jnp.where(valid[None, :], scores, -jnp.inf)
-    ts, ti = jax.lax.top_k(scores, min(topm, AF.shape[0]))
+    if approx:
+        # TPU-optimized partial-reduction top-k (recall-only cost: every
+        # returned seed is exactly re-scored by the engine crawl) — the
+        # exact sort-based top_k measured 24 ms vs ~7 ms at a 262k pool
+        ts, ti = jax.lax.approx_max_k(scores, min(topm, AF.shape[0]),
+                                      recall_target=0.95)
+    else:
+        ts, ti = jax.lax.top_k(scores, min(topm, AF.shape[0]))
     return AF, valid, ts, ti
 
 
@@ -115,7 +136,8 @@ class ProxyPool:
     sample count (2 nodes per placed sample), so the matmul's prefix is
     the only growing shape (pow2 ladder)."""
 
-    def __init__(self, expected_nodes: int, mesh=None):
+    def __init__(self, expected_nodes: int, mesh=None,
+                 force_bf16: bool = False):
         cap = 1024
         while cap < expected_nodes:
             cap *= 2
@@ -128,8 +150,10 @@ class ProxyPool:
         # too large for f32 on a 16 GB chip (>= 512k rows ~ 200k+
         # samples) fall back to bf16 — there the halved footprint is
         # what makes the run possible at all; callers should raise topm
-        # to recover recall.  MAPLE_PROXY_BF16=1 forces bf16.
-        dt = jnp.bfloat16 if (cap >= 524288
+        # to recover recall.  MAPLE_PROXY_BF16=1 forces bf16; the fast
+        # screen contract (cfg.fast) forces it too (4x MXU throughput,
+        # recall-only cost under the budgeted-quality bar).
+        dt = jnp.bfloat16 if (force_bf16 or cap >= 524288
                               or os.environ.get("MAPLE_PROXY_BF16")) \
             else np.float32
         if mesh is not None:
@@ -180,7 +204,8 @@ class EngineProxyPlacer:
 
     def __init__(self, run, eng, num_cores: int = 1,
                  batch_size: int = 256, topm: int = 64,
-                 seed_budget: int = 48, mesh=None):
+                 seed_budget: int = 48, mesh=None,
+                 fast_screen: bool = False):
         from ..ops.append_batch import enable_compilation_cache
         enable_compilation_cache()
         self.run = run
@@ -190,6 +215,11 @@ class EngineProxyPlacer:
         self.topm = topm
         self.seed_budget = seed_budget
         self.mesh = mesh
+        # fast contract (cfg.fast): bf16 pool + approximate top-k; the
+        # quality bar is the production host preset's (budgeted search),
+        # so screen recall loss is acceptable and the deepened-topm
+        # exactness guard below is skipped
+        self.fast_screen = fast_screen
         # feature budgets grow on saturation (feat_extract truncates at
         # fmax; a truncated row mis-ranks silently, so saturation is
         # detected via the returned max feature count and the budget
@@ -197,8 +227,10 @@ class EngineProxyPlacer:
         self.fmax_anchor = FMAX_ANCHOR
         self.fmax_query = FMAX_QUERY
         n_expected = len(run.data) * 2 + 64
-        self.pool = ProxyPool(n_expected, mesh=mesh)
-        if self.pool.AF.dtype == jnp.bfloat16 and self.topm < 192:
+        self.pool = ProxyPool(n_expected, mesh=mesh,
+                              force_bf16=fast_screen)
+        if self.pool.AF.dtype == jnp.bfloat16 and self.topm < 192 \
+                and not fast_screen:
             # bf16 rounding reorders near-ties; a deeper seed list
             # restores the measured exact-parity margin (config.py note)
             self.topm = 192
@@ -220,12 +252,21 @@ class EngineProxyPlacer:
             raise RuntimeError("proxy pool capacity exhausted")
         idx, w, valid, max_nf = self.eng.export_feats(
             changed, D_HASH, G_BUCKETS, self.fmax_anchor)
+        if self._prof:
+            self._t_feat = getattr(self, "_t_feat", 0.0) \
+                + time.time() - t0
+            self._n_changed = getattr(self, "_n_changed", 0) \
+                + len(changed)
         while max_nf >= self.fmax_anchor:
             self.fmax_anchor *= 2
             print(f"[proxy] anchor feature budget -> "
                   f"{self.fmax_anchor}", flush=True)
             idx, w, valid, max_nf = self.eng.export_feats(
                 changed, D_HASH, G_BUCKETS, self.fmax_anchor)
+        fb = _f_bucket(max_nf, self.fmax_anchor)
+        if fb < idx.shape[1]:
+            idx = np.ascontiguousarray(idx[:, :fb])
+            w = np.ascontiguousarray(w[:, :fb])
         self.time_export += time.time() - t0
         # spill everything beyond the largest bucket through plain
         # scatter steps (initial build only)
@@ -249,9 +290,12 @@ class EngineProxyPlacer:
         if r == 0:
             # re-write row 0 with its current content (no-op scatter)
             rows = np.zeros(1, np.int32)
-            idx, w, valid2, _ = self.eng.export_feats(
+            idx, w, valid2, nf0 = self.eng.export_feats(
                 pool.node_arr[:1].astype(np.int32), D_HASH, G_BUCKETS,
                 self.fmax_anchor)
+            fb = _f_bucket(nf0, self.fmax_anchor)
+            idx = np.ascontiguousarray(idx[:, :fb])
+            w = np.ascontiguousarray(w[:, :fb])
             valid = valid2
             r = 1
         if r < r_pad:
@@ -274,18 +318,32 @@ class EngineProxyPlacer:
         K = self.batch_size
         qidx, qw, max_nf = self.eng.export_query_feats(
             vids, D_HASH, G_BUCKETS, self.fmax_query)
+        if self._prof and not getattr(self, "_nf_printed", False) \
+                and len(vids) == K:
+            self._nf_printed = True
+            qn = np.count_nonzero(qw, axis=1)
+            an = np.count_nonzero(aw, axis=1)
+            print(f"[proxy] nf query p50={np.percentile(qn, 50):.0f} "
+                  f"p99={np.percentile(qn, 99):.0f} max={qn.max()}  "
+                  f"anchor p50={np.percentile(an, 50):.0f} "
+                  f"p99={np.percentile(an, 99):.0f} max={an.max()}",
+                  flush=True)
         while max_nf >= self.fmax_query:
             self.fmax_query *= 2
             print(f"[proxy] query feature budget -> "
                   f"{self.fmax_query}", flush=True)
             qidx, qw, max_nf = self.eng.export_query_feats(
                 vids, D_HASH, G_BUCKETS, self.fmax_query)
+        fbq = _f_bucket(max_nf, self.fmax_query)
+        if fbq < qidx.shape[1]:
+            qidx = np.ascontiguousarray(qidx[:, :fbq])
+            qw = np.ascontiguousarray(qw[:, :fbq])
         if len(vids) < K:  # tail batch: pad with null queries
             pad = K - len(vids)
             qidx = np.concatenate(
-                [qidx, np.zeros((pad, self.fmax_query), np.int32)])
+                [qidx, np.zeros((pad, qidx.shape[1]), np.int32)])
             qw = np.concatenate(
-                [qw, np.zeros((pad, self.fmax_query), np.float32)])
+                [qw, np.zeros((pad, qw.shape[1]), np.float32)])
         self.time_export += time.time() - t0
         t0 = time.time()
         if self.mesh is not None:
@@ -301,7 +359,8 @@ class EngineProxyPlacer:
         dev = (up(rows), up(aidx), up(aw), up(avalid), up(qidx), up(qw))
         t1 = time.time()
         pool.AF, pool.valid, ts, ti = _proxy_step(
-            pool.AF, pool.valid, *dev, topm=self.topm)
+            pool.AF, pool.valid, *dev, topm=self.topm,
+            approx=self.fast_screen)
         dt = time.time() - t0
         self.time_screen += dt
         if self._prof:
@@ -325,10 +384,12 @@ class EngineProxyPlacer:
         else:
             ts = np.asarray(ts)[:len(vids)]
             ti = np.asarray(ti)[:len(vids)]
-        self.time_screen += time.time() - t0
+        dt = time.time() - t0
+        self.time_screen += dt
         if self._prof:
-            self._t_block = getattr(self, "_t_block", 0.0) \
-                + time.time() - t0
+            self._t_block = getattr(self, "_t_block", 0.0) + dt
+            if dt > 0.5:
+                print(f"[proxy] slow fetch {dt:.2f}s", flush=True)
         return ts, ti, node_arr
 
     def _place(self, vids, first_sample: int, res, refresh_every: int,
@@ -433,7 +494,9 @@ class EngineProxyPlacer:
                     msg += (f" [upload {getattr(self, '_t_upload', 0):.1f}"
                             f" dispatch "
                             f"{getattr(self, '_t_dispatch', 0):.1f}"
-                            f" block {getattr(self, '_t_block', 0):.1f}]")
+                            f" block {getattr(self, '_t_block', 0):.1f}"
+                            f" feat {getattr(self, '_t_feat', 0):.1f}"
+                            f" rows {getattr(self, '_n_changed', 0)}]")
                 print(msg, flush=True)
         eng.screen_log(False)
         return num_samples

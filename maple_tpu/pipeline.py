@@ -400,6 +400,7 @@ class Run:
         from .native.engine import NativePlacementEngine
         cfg = self.cfg
         eng = NativePlacementEngine(self.rt, self.data[first_sample])
+        self.engine = eng  # kept for phase profiling (engine.profile())
         self.data[first_sample] = None
         num_samples = 1
         # Search-parallel / apply-serial batches (engine_place_batch):
@@ -505,6 +506,7 @@ class Run:
         from .parallel.proxy_placer import EngineProxyPlacer
         cfg = self.cfg
         eng = NativePlacementEngine(self.rt, self.data[first_sample])
+        self.engine = eng  # kept for phase profiling (engine.profile())
         self.data[first_sample] = None
         num_samples = 1
         start = time.time()
@@ -537,7 +539,8 @@ class Run:
             self, eng, num_cores=cfg.numCores,
             batch_size=cfg.device_proxy_batch,
             topm=cfg.device_seed_topm,
-            seed_budget=cfg.device_seed_budget, mesh=mesh)
+            seed_budget=cfg.device_seed_budget, mesh=mesh,
+            fast_screen=cfg.fast)
         placer.place_all(distances, num_samples, checkpoint)
         eng.flush_pseudo_counts(self.model.pseudo_counts)
         root = eng.export_to_tree(self.stats)
