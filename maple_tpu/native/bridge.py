@@ -179,7 +179,7 @@ def _load():
     lib.engine_export_feats.argtypes = [
         C.c_void_p, p(C.c_int32), C.c_long, C.c_int32, C.c_int32,
         C.c_int32, p(C.c_int32), p(C.c_float), p(C.c_int32),
-        p(C.c_uint8)]
+        p(C.c_uint8), C.c_int]
     lib.engine_export_query_feats.restype = C.c_long
     lib.engine_export_query_feats.argtypes = [
         C.c_void_p, p(C.c_int64), C.c_long, C.c_int32, C.c_int32,

@@ -234,9 +234,13 @@ class NativePlacementEngine:
         return out[:m]
 
     def export_feats(self, nodes: np.ndarray, d_hash: int, g_buckets: int,
-                     fmax: int):
-        """(idx [n, fmax] i32, w [n, fmax] f32, valid [n] bool, max_nf)
-        anchor-side proxy features of the nodes' mid-branch vectors."""
+                     fmax: int, use_fp: bool = False):
+        """(idx [n, fmax] i32, w [n, fmax] f32, valid [n] bool, max_nf,
+        skip [n] bool) anchor-side proxy features of the nodes'
+        mid-branch vectors.  With ``use_fp`` the engine fingerprints
+        each row and marks rows identical to their last export as
+        skip=True (their idx/w rows are UNINITIALIZED — drop them
+        before use)."""
         n = len(nodes)
         nodes = np.ascontiguousarray(nodes, np.int32)
         idx = np.empty((n, fmax), np.int32)
@@ -249,8 +253,9 @@ class NativePlacementEngine:
             idx.ctypes.data_as(C.POINTER(C.c_int32)),
             w.ctypes.data_as(C.POINTER(C.c_float)),
             counts.ctypes.data_as(C.POINTER(C.c_int32)),
-            valid.ctypes.data_as(C.POINTER(C.c_uint8)))
-        return idx, w, valid.astype(bool), int(max_nf)
+            valid.ctypes.data_as(C.POINTER(C.c_uint8)),
+            1 if use_fp else 0)
+        return idx, w, valid.astype(bool), int(max_nf), counts < 0
 
     def export_query_feats(self, vids: np.ndarray, d_hash: int,
                            g_buckets: int, fmax: int):

@@ -250,19 +250,27 @@ class EngineProxyPlacer:
         rows = pool.assign_rows(changed)
         if rows is None:
             raise RuntimeError("proxy pool capacity exhausted")
-        idx, w, valid, max_nf = self.eng.export_feats(
-            changed, D_HASH, G_BUCKETS, self.fmax_anchor)
+        idx, w, valid, max_nf, skip = self.eng.export_feats(
+            changed, D_HASH, G_BUCKETS, self.fmax_anchor, use_fp=True)
         if self._prof:
             self._t_feat = getattr(self, "_t_feat", 0.0) \
                 + time.time() - t0
             self._n_changed = getattr(self, "_n_changed", 0) \
                 + len(changed)
+            self._n_skipped = getattr(self, "_n_skipped", 0) \
+                + int(skip.sum())
         while max_nf >= self.fmax_anchor:
             self.fmax_anchor *= 2
             print(f"[proxy] anchor feature budget -> "
                   f"{self.fmax_anchor}", flush=True)
-            idx, w, valid, max_nf = self.eng.export_feats(
+            idx, w, valid, max_nf, skip = self.eng.export_feats(
                 changed, D_HASH, G_BUCKETS, self.fmax_anchor)
+        if skip.any():
+            keep = ~skip
+            rows = rows[keep]
+            idx = idx[keep]
+            w = w[keep]
+            valid = valid[keep]
         fb = _f_bucket(max_nf, self.fmax_anchor)
         if fb < idx.shape[1]:
             idx = np.ascontiguousarray(idx[:, :fb])
@@ -290,7 +298,7 @@ class EngineProxyPlacer:
         if r == 0:
             # re-write row 0 with its current content (no-op scatter)
             rows = np.zeros(1, np.int32)
-            idx, w, valid2, nf0 = self.eng.export_feats(
+            idx, w, valid2, nf0, _ = self.eng.export_feats(
                 pool.node_arr[:1].astype(np.int32), D_HASH, G_BUCKETS,
                 self.fmax_anchor)
             fb = _f_bucket(nf0, self.fmax_anchor)
@@ -464,7 +472,15 @@ class EngineProxyPlacer:
         if not len(vids):
             eng.screen_log(False)
             return num_samples
+        # 1-deep terminal prefetch: the NEXT batch's terminal vectors
+        # build on a prep thread while the engine places the current
+        # batch (the ctypes calls release the GIL; store slot allocation
+        # is mutex-guarded — same pattern as the host engine path's
+        # _prep_pool).  Only the prep thread touches distances/run.data.
+        from concurrent.futures import ThreadPoolExecutor
+        prep_pool = ThreadPoolExecutor(max_workers=1)
         pend = (vids, self._submit(vids, changed))
+        prep_fut = prep_pool.submit(next_batch) if distances else None
         while pend is not None:
             cur_vids, fut_cur = pend
             # Fetch the CURRENT batch's screen results BEFORE dispatching
@@ -474,10 +490,12 @@ class EngineProxyPlacer:
             # time.  With the fetch first, the engine's place phase below
             # overlaps the next screen's execution.
             res = self._fetch(cur_vids, fut_cur)
-            nxt = next_batch()
+            nxt = prep_fut.result() if prep_fut is not None \
+                else np.empty(0, np.int64)
             fut_next = None
             if len(nxt):
                 fut_next = self._submit(nxt, eng.screen_drain())
+            prep_fut = prep_pool.submit(next_batch) if distances else None
             num_samples = self._place(cur_vids, num_samples, res,
                                       refresh_every, checkpoint)
             pend = (nxt, fut_next) if len(nxt) else None
@@ -496,7 +514,9 @@ class EngineProxyPlacer:
                             f"{getattr(self, '_t_dispatch', 0):.1f}"
                             f" block {getattr(self, '_t_block', 0):.1f}"
                             f" feat {getattr(self, '_t_feat', 0):.1f}"
-                            f" rows {getattr(self, '_n_changed', 0)}]")
+                            f" rows {getattr(self, '_n_changed', 0)}"
+                            f" skip {getattr(self, '_n_skipped', 0)}]")
                 print(msg, flush=True)
+        prep_pool.shutdown(wait=True)
         eng.screen_log(False)
         return num_samples

@@ -3119,6 +3119,10 @@ struct Engine {
             }
         }
     }
+    // proxy-screen feature fingerprints (engine_export_feats): 0 =
+    // never exported / unstable, 1 = exported-as-invalid, else FNV-1a
+    // of the feature row last handed to the host
+    std::vector<uint64_t> feat_fp;
     // accumulators / stats
     double counts[16] = {};
     int num_refs = 0;
@@ -7896,12 +7900,19 @@ static const std::vector<int32_t> &E_frame_comp(
 long engine_export_feats(Engine *E, const int32_t *nodes, long n,
                          int32_t d_hash, int32_t g_buckets, int32_t fmax,
                          int32_t *idx, float *w, int32_t *counts,
-                         uint8_t *valid) {
+                         uint8_t *valid, int use_fp) {
     // read-only over the tree (pass-up temporaries are thread-owned),
     // so the export threads across the engine's exec width
     int T = (int)std::max<long>(1, std::min<long>(E->exec_threads, n / 256));
     std::atomic<long> max_nf{0};
     const bool chain_mode = getenv("MAPLE_EXPORT_CHAIN") != nullptr;
+    // Fingerprint skip: a changed-node log entry means the node's
+    // vectors were touched, not that its hashed feature set changed
+    // (partials refreshes adjust probabilities/branch lengths, which
+    // the (position, nucleotide) features don't see).  Rows whose
+    // feature fingerprint matches the last upload are marked
+    // counts = -1 and dropped host-side before the device scatter.
+    if (E->feat_fp.size() < E->up.size()) E->feat_fp.resize(E->up.size(), 0);
     auto work = [&](long lo, long hi) {
         std::unordered_set<int64_t> my_owned;
         Engine::tl_owned = &my_owned;
@@ -7917,6 +7928,14 @@ long engine_export_feats(Engine *E, const int32_t *nodes, long n,
                       && E->totUp[node] >= 0;
             valid[j] = ok ? 1 : 0;
             if (!ok) {
+                if (use_fp && node >= 0
+                        && (size_t)node < E->feat_fp.size()) {
+                    if (E->feat_fp[node] == 1) {  // already invalidated
+                        counts[j] = -1;
+                        continue;
+                    }
+                    E->feat_fp[node] = 1;
+                }
                 counts[j] = 0;
                 for (int k2 = 0; k2 < fmax; k2++) {
                     ji[k2] = 0;
@@ -7937,6 +7956,28 @@ long engine_export_feats(Engine *E, const int32_t *nodes, long n,
             }
             long nf = feat_extract(*E->S, E->S->v(v), false, d_hash,
                                    g_buckets, fmax, ji, jw);
+            if (use_fp && nf < fmax) {  // untruncated rows are stable
+                uint64_t fp = 1469598103934665603ull;
+                auto mix = [&fp](uint64_t x) {
+                    fp ^= x;
+                    fp *= 1099511628211ull;
+                };
+                mix((uint64_t)nf);
+                for (long k2 = 0; k2 < nf; k2++) {
+                    mix((uint64_t)(uint32_t)ji[k2]);
+                    uint32_t wb;
+                    std::memcpy(&wb, &jw[k2], 4);
+                    mix((uint64_t)wb);
+                }
+                if (fp <= 1) fp = 2;  // reserve 0 = unset, 1 = invalid
+                if (E->feat_fp[node] == fp) {
+                    counts[j] = -1;
+                    continue;
+                }
+                E->feat_fp[node] = fp;
+            } else if (use_fp) {
+                E->feat_fp[node] = 0;
+            }
             counts[j] = (int32_t)nf;
             local_max = std::max(local_max, nf);
             if ((j & 255) == 255) E->end_call();  // bound temp growth
@@ -7965,15 +8006,32 @@ long engine_export_query_feats(Engine *E, const int64_t *vids, long n,
                                int32_t d_hash, int32_t g_buckets,
                                int32_t fmax, int32_t *idx, float *w,
                                int32_t *counts) {
-    long max_nf = 0;
-    for (long j = 0; j < n; j++) {
-        long nf = feat_extract(*E->S, E->S->v(vids[j]), true, d_hash,
-                               g_buckets, fmax, idx + j * fmax,
-                               w + j * fmax);
-        counts[j] = (int32_t)nf;
-        max_nf = std::max(max_nf, nf);
+    int T = (int)std::max<long>(1, std::min<long>(E->exec_threads,
+                                                  n / 256));
+    std::atomic<long> max_nf{0};
+    auto work = [&](long lo, long hi) {
+        long local_max = 0;
+        for (long j = lo; j < hi; j++) {
+            long nf = feat_extract(*E->S, E->S->v(vids[j]), true, d_hash,
+                                   g_buckets, fmax, idx + j * fmax,
+                                   w + j * fmax);
+            counts[j] = (int32_t)nf;
+            local_max = std::max(local_max, nf);
+        }
+        long cur = max_nf.load();
+        while (local_max > cur
+               && !max_nf.compare_exchange_weak(cur, local_max)) {}
+    };
+    if (T <= 1) {
+        work(0, n);
+    } else {
+        std::vector<std::thread> ts;
+        ts.reserve(T);
+        for (int c = 0; c < T; c++)
+            ts.emplace_back(work, n * c / T, n * (c + 1) / T);
+        for (auto &t : ts) t.join();
     }
-    return max_nf;
+    return max_nf.load();
 }
 
 // Store-level feature export for the rt-side device screens (the SPR

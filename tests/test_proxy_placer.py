@@ -118,8 +118,8 @@ def test_anchor_features_match_query(tmp_path):
         num += 1
     n_nodes = int(eng.lib.engine_node_count(eng.h))
     nodes = np.arange(n_nodes, dtype=np.int32)
-    aidx, aw, avalid, _ = eng.export_feats(nodes, D_HASH, G_BUCKETS,
-                                           FMAX_ANCHOR)
+    aidx, aw, avalid, _, _ = eng.export_feats(nodes, D_HASH, G_BUCKETS,
+                                              FMAX_ANCHOR)
     assert avalid.sum() > 10
     AF = np.zeros((n_nodes, D), np.float32)
     np.add.at(AF, (np.arange(n_nodes)[:, None], aidx), aw)
@@ -135,6 +135,69 @@ def test_anchor_features_match_query(tmp_path):
     # shared-lineage anchors must clear the no-information score (bias
     # only): the best anchor shares mutations with the query
     assert proxy.max() > 0.5
+
+
+def test_proxy_path_bf16_pool_exact_lk(tmp_path, monkeypatch):
+    """bf16 pool fallback (MAPLE_PROXY_BF16=1, the >=512k-row large-pool
+    path) must hold exact serial-LK parity on the example via the
+    deepened top-M guard (ProxyPool docstring: bf16 rounding reorders
+    near-tie candidates; topm is raised to 192 to recover the margin).
+    Exactness contract: reference findBestParentForNewSample
+    MAPLEv0.7.5.4.py:7912-8293."""
+    monkeypatch.setenv("MAPLE_PROXY_BF16", "1")
+    import jax.numpy as jnp
+
+    from maple_tpu.parallel import proxy_placer as PP
+    cfg_s = MapleConfig(input=EXAMPLE, output=str(tmp_path / "ser"),
+                        model="UNREST", overwrite=True)
+    rs = Run(cfg_s)
+    rs.load()
+    rs.build_initial_tree()
+    cfg_d = MapleConfig(input=EXAMPLE, output=str(tmp_path / "dev"),
+                        model="UNREST", overwrite=True,
+                        device_placement=True)
+    rd = Run(cfg_d)
+    rd.load()
+    pools = []
+    orig = PP.ProxyPool.__init__
+
+    def spy(self, *a, **k):
+        orig(self, *a, **k)
+        pools.append(self)
+    monkeypatch.setattr(PP.ProxyPool, "__init__", spy)
+    rd.build_initial_tree_device()
+    assert pools and pools[0].AF.dtype == jnp.bfloat16
+    assert _lk(rd) == pytest.approx(_lk(rs), abs=1e-6)
+    assert rd.stats.num_minors_found == rs.stats.num_minors_found
+
+
+def test_proxy_path_bf16_pool_exact_lk_b3000(tmp_path, monkeypatch):
+    """The bf16 + deepened-top-M combination on the REAL b1429
+    3,000-sample data — the exact configuration where plain bf16 with
+    topm 64 measured -28.7 logLK (proxy_placer.ProxyPool note) before
+    the top-M deepening restored parity."""
+    aln = os.path.join(os.path.dirname(__file__),
+                       "data_b1429_3000.maple.gz")
+    if not os.path.isfile(aln):
+        pytest.skip("b3000 data not available")
+    monkeypatch.setenv("MAPLE_PROXY_BF16", "1")
+    import jax.numpy as jnp
+
+    from maple_tpu.parallel.proxy_placer import ProxyPool
+    cfg_s = MapleConfig(input=aln, output=str(tmp_path / "ser"),
+                        model="UNREST", overwrite=True)
+    rs = Run(cfg_s)
+    rs.load()
+    rs.build_initial_tree()
+    cfg_d = MapleConfig(input=aln, output=str(tmp_path / "dev"),
+                        model="UNREST", overwrite=True,
+                        device_placement=True)
+    rd = Run(cfg_d)
+    rd.load()
+    rd.build_initial_tree_device()
+    assert ProxyPool(64).AF.dtype == jnp.bfloat16  # env knob active
+    assert _lk(rd) == pytest.approx(_lk(rs), abs=1e-6)
+    assert rd.stats.num_minors_found == rs.stats.num_minors_found
 
 
 def test_proxy_path_exact_lk_b3000(tmp_path):
