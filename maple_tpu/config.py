@@ -205,9 +205,9 @@ class MapleConfig:
             # contract it gets the production preset's budget crawl
             self.placementBudget = 200
         if self.device_seed_topm < 0:
-            self.device_seed_topm = 64 if self.fast else 128
+            self.device_seed_topm = 32 if self.fast else 128
         if self.device_seed_budget < 0:
-            self.device_seed_budget = 32 if self.fast else 128
+            self.device_seed_budget = 16 if self.fast else 128
         if self.estimateErrors and not (self.estimateSiteSpecificErrorRate
                                         or self.errorRateSiteSpecificFile):
             self.estimateSiteSpecificErrorRate = True

@@ -317,12 +317,15 @@ class EngineProxyPlacer:
                   f"({len(changed)} rows)", flush=True)
         return rows, idx, w, valid
 
-    def _submit(self, vids: np.ndarray, changed: np.ndarray):
+    def _submit(self, vids: np.ndarray, changed=None, sync=None):
         """Upload one batch's queries + pool updates, dispatch the fused
-        step; returns (futures, row->node snapshot)."""
+        step; returns (futures, row->node snapshot).  ``sync`` accepts a
+        precomputed _sync_pool result (the export overlaps the previous
+        batch's device fetch in place_all)."""
         t0 = time.time()
         pool = self.pool
-        rows, aidx, aw, avalid = self._sync_pool(changed)
+        rows, aidx, aw, avalid = sync if sync is not None \
+            else self._sync_pool(changed)
         K = self.batch_size
         qidx, qw, max_nf = self.eng.export_query_feats(
             vids, D_HASH, G_BUCKETS, self.fmax_query)
@@ -479,10 +482,17 @@ class EngineProxyPlacer:
         # _prep_pool).  Only the prep thread touches distances/run.data.
         from concurrent.futures import ThreadPoolExecutor
         prep_pool = ThreadPoolExecutor(max_workers=1)
+        sync_pool = ThreadPoolExecutor(max_workers=1)
         pend = (vids, self._submit(vids, changed))
         prep_fut = prep_pool.submit(next_batch) if distances else None
         while pend is not None:
             cur_vids, fut_cur = pend
+            # The next batch's pool sync (changed-node drain + feature
+            # export) runs on its own thread while the fetch below waits
+            # on the device: the engine is idle in that window, and the
+            # export is read-only over the tree.
+            sync_fut = sync_pool.submit(
+                lambda: self._sync_pool(eng.screen_drain()))
             # Fetch the CURRENT batch's screen results BEFORE dispatching
             # the next step: the tunneled backend serializes transfers
             # and executions on one stream, so a readback queued behind
@@ -494,7 +504,9 @@ class EngineProxyPlacer:
                 else np.empty(0, np.int64)
             fut_next = None
             if len(nxt):
-                fut_next = self._submit(nxt, eng.screen_drain())
+                fut_next = self._submit(nxt, sync=sync_fut.result())
+            else:
+                sync_fut.result()  # drain consumed; keep log consistent
             prep_fut = prep_pool.submit(next_batch) if distances else None
             num_samples = self._place(cur_vids, num_samples, res,
                                       refresh_every, checkpoint)
@@ -518,5 +530,6 @@ class EngineProxyPlacer:
                             f" skip {getattr(self, '_n_skipped', 0)}]")
                 print(msg, flush=True)
         prep_pool.shutdown(wait=True)
+        sync_pool.shutdown(wait=True)
         eng.screen_log(False)
         return num_samples

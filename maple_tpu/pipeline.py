@@ -541,6 +541,7 @@ class Run:
             topm=cfg.device_seed_topm,
             seed_budget=cfg.device_seed_budget, mesh=mesh,
             fast_screen=cfg.fast)
+        self.proxy_placer = placer  # kept for phase attribution
         placer.place_all(distances, num_samples, checkpoint)
         eng.flush_pseudo_counts(self.model.pseudo_counts)
         root = eng.export_to_tree(self.stats)

@@ -17,6 +17,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <functional>
 #include <vector>
 #include <limits>
 #include <algorithm>
@@ -53,8 +54,70 @@ constexpr uint8_t BIT_FLAG = 4;   // the error-model tip flag VALUE
 // emulated via the registry exactly as with the old inline layout.
 struct Prob {
     double p[4];
+    std::atomic<int32_t> rc;
     int32_t tag;
 };
+
+// Prob-block allocator: chunks live in a process-global reservoir (so a
+// block outlives the thread that allocated it — engine worker threads
+// die at engine_free while their vectors transfer back to the session),
+// freelists are thread-local with batched global spill/refill (the
+// slot-cache pattern above).  Entry copies don't allocate at all — they
+// share the block via refcount (see Entry) — so this path only serves
+// freshly-computed O entries (make_O / store_write).
+struct ProbGlobal {
+    std::mutex mu;
+    std::vector<std::unique_ptr<Prob[]>> chunks;
+    std::vector<Prob *> free_items;
+};
+inline ProbGlobal &prob_global() {
+    static ProbGlobal *g = new ProbGlobal;  // immortal: outlives TLS dtors
+    return *g;
+}
+struct ProbFreeList {
+    std::vector<Prob *> items;
+    ~ProbFreeList() {
+        ProbGlobal &g = prob_global();
+        std::lock_guard<std::mutex> lk(g.mu);
+        g.free_items.insert(g.free_items.end(), items.begin(),
+                            items.end());
+    }
+};
+inline std::vector<Prob *> &prob_tl() {
+    static thread_local ProbFreeList f;
+    return f.items;
+}
+inline Prob *prob_new() {
+    std::vector<Prob *> &f = prob_tl();
+    if (f.empty()) {
+        ProbGlobal &g = prob_global();
+        std::lock_guard<std::mutex> lk(g.mu);
+        if (g.free_items.size() >= 512) {
+            f.insert(f.end(), g.free_items.end() - 512,
+                     g.free_items.end());
+            g.free_items.resize(g.free_items.size() - 512);
+        } else {
+            constexpr size_t N = 4096;
+            g.chunks.emplace_back(new Prob[N]);
+            Prob *base = g.chunks.back().get();
+            for (size_t i = 0; i < N; i++) f.push_back(base + i);
+        }
+    }
+    Prob *p = f.back();
+    f.pop_back();
+    return p;
+}
+inline void prob_del(Prob *p) {
+    std::vector<Prob *> &f = prob_tl();
+    f.push_back(p);
+    if (f.size() > 16384) {  // spill half back to the reservoir
+        ProbGlobal &g = prob_global();
+        std::lock_guard<std::mutex> lk(g.mu);
+        g.free_items.insert(g.free_items.end(), f.begin() + 8192,
+                            f.end());
+        f.resize(8192);
+    }
+}
 
 struct Entry {
     int8_t type;
@@ -63,13 +126,15 @@ struct Entry {
     int32_t val;      // end position (R/N) or local-ref nucleotide (nuc/O)
     double bl1;
     double bl2;
-    Prob *pp;         // O entries only (else null)
+    Prob *pp;         // O entries only (else null); refcount-shared
 
     Entry() : type(0), bits(0), _pad(0), val(0), bl1(0), bl2(0),
               pp(nullptr) {}
     Entry(const Entry &o)
         : type(o.type), bits(o.bits), _pad(0), val(o.val), bl1(o.bl1),
-          bl2(o.bl2), pp(o.pp ? new Prob(*o.pp) : nullptr) {}
+          bl2(o.bl2), pp(o.pp) {
+        if (pp) pp->rc.fetch_add(1, std::memory_order_relaxed);
+    }
     Entry(Entry &&o) noexcept
         : type(o.type), bits(o.bits), _pad(0), val(o.val), bl1(o.bl1),
           bl2(o.bl2), pp(o.pp) { o.pp = nullptr; }
@@ -77,20 +142,28 @@ struct Entry {
         if (this == &o) return *this;
         type = o.type; bits = o.bits; val = o.val;
         bl1 = o.bl1; bl2 = o.bl2;
-        if (o.pp) {
-            if (pp) *pp = *o.pp;
-            else pp = new Prob(*o.pp);
-        } else { delete pp; pp = nullptr; }
+        Prob *np = o.pp;
+        if (np) np->rc.fetch_add(1, std::memory_order_relaxed);
+        release();
+        pp = np;
         return *this;
     }
     Entry &operator=(Entry &&o) noexcept {
         if (this == &o) return *this;
         type = o.type; bits = o.bits; val = o.val;
         bl1 = o.bl1; bl2 = o.bl2;
-        delete pp; pp = o.pp; o.pp = nullptr;
+        release();
+        pp = o.pp;
+        o.pp = nullptr;
         return *this;
     }
-    ~Entry() { delete pp; }
+    ~Entry() { release(); }
+
+    void release() {
+        if (pp && pp->rc.fetch_sub(1, std::memory_order_acq_rel) == 1)
+            prob_del(pp);
+        pp = nullptr;
+    }
 
     bool has_bl1() const { return bits & BIT_BL1; }
     bool has_bl2() const { return bits & BIT_BL2; }
@@ -98,6 +171,13 @@ struct Entry {
     int32_t etag() const { return pp ? pp->tag : -1; }
 };
 static_assert(sizeof(Entry) == 32, "hot-entry layout is two per line");
+
+inline Prob *prob_new1() {  // fresh block with rc=1
+    Prob *p = prob_new();
+    p->rc.store(1, std::memory_order_relaxed);
+    p->tag = -1;
+    return p;
+}
 
 using Vec = std::vector<Entry>;
 
@@ -461,7 +541,7 @@ inline Entry make_O(int32_t val, bool has_bl, double bl, const double *probs,
     e.val = val;
     e.bits = has_bl ? BIT_BL1 : 0;
     e.bl1 = bl;
-    e.pp = new Prob;
+    e.pp = prob_new1();
     for (int i = 0; i < 4; i++) e.pp->p[i] = probs[i];
     e.pp->tag = tag;
     return e;
@@ -2527,7 +2607,7 @@ int64_t vec_create(Store *s, int n, const int8_t *types,
         v[k].bl2 = bl2[k];
         int32_t tg = tags ? tags[k] : -1;
         if (v[k].type == TYPE_O || tg >= 0) {
-            v[k].pp = new Prob;
+            v[k].pp = prob_new1();
             for (int i = 0; i < 4; i++) v[k].pp->p[i] = probs[k * 4 + i];
             v[k].pp->tag = tg;
         }
@@ -3046,8 +3126,75 @@ static bool shorten_would_change(const Store &S, const Vec &v) {
     return false;
 }
 
+// Persistent worker pool: the batched placement phases run in
+// model-refresh-cadence chunks (25 samples), so per-call std::thread
+// spawns cost ~4 threads x 4k calls x ~80 us = >1 s per 100k samples.
+// Workers park on a condition variable between jobs; run() blocks the
+// caller until all workers finish the current job (same semantics as
+// the spawn-and-join it replaces).
+struct ExecPool {
+    std::vector<std::thread> threads;
+    std::mutex mu;
+    std::condition_variable cv, done_cv;
+    const std::function<void(int)> *job = nullptr;
+    uint64_t job_id = 0;
+    int n_target = 0;      // workers participating in current job
+    int n_done = 0;
+    bool stop = false;
+
+    void ensure(int T) {
+        while ((int)threads.size() < T) {
+            int idx = (int)threads.size();
+            threads.emplace_back([this, idx]() {
+                uint64_t seen = 0;
+                std::unique_lock<std::mutex> lk(mu);
+                for (;;) {
+                    cv.wait(lk, [&] {
+                        return stop || (job_id != seen && idx < n_target);
+                    });
+                    if (stop) return;
+                    seen = job_id;
+                    const std::function<void(int)> *j = job;
+                    lk.unlock();
+                    (*j)(idx);
+                    lk.lock();
+                    if (++n_done == n_target) done_cv.notify_all();
+                }
+            });
+        }
+    }
+
+    // Run fn(0..T-1) on pool workers; blocks until all return.
+    void run(int T, const std::function<void(int)> &fn) {
+        if (T <= 1) {
+            fn(0);
+            return;
+        }
+        ensure(T);
+        std::unique_lock<std::mutex> lk(mu);
+        job = &fn;
+        n_target = T;
+        n_done = 0;
+        job_id++;
+        cv.notify_all();
+        done_cv.wait(lk, [&] { return n_done == n_target; });
+        job = nullptr;
+        n_target = 0;
+    }
+
+    ~ExecPool() {
+        {
+            std::lock_guard<std::mutex> g(mu);
+            stop = true;
+        }
+        cv.notify_all();
+        for (auto &t : threads) t.join();
+    }
+};
+
 struct Engine {
     Store *S;
+    ExecPool exec_pool;
     // tree arrays (index = node id, allocation order identical to the
     // Python PhyloTree.add_node sequence so downstream traversals match)
     std::vector<int32_t> up, c0, c1;          // -1 = none
@@ -7364,13 +7511,10 @@ int engine_place_batch(Engine *E, int num_cores, int64_t n,
         Engine::tl_owned = nullptr;
     };
     {
-        std::vector<std::thread> workers;
         int T = std::min<int64_t>(num_cores, n);
         if (const char *fc = getenv("MAPLE_BATCH_FORCE_CORES"))
             T = std::max(1, atoi(fc));  // debug: isolate thread effects
-        workers.reserve(T);
-        for (int c = 0; c < T; c++) workers.emplace_back(worker);
-        for (auto &t : workers) t.join();
+        E->exec_pool.run(T, [&](int) { worker(); });
     }
     E->dfs_visits += dfs;
     E->total_missed_minors += missed;
@@ -7835,11 +7979,8 @@ int engine_place_batch_seeded(Engine *E, int num_cores, int64_t n,
         Engine::tl_owned = nullptr;
     };
     {
-        std::vector<std::thread> workers;
         int T = std::min<int64_t>(num_cores, n);
-        workers.reserve(T);
-        for (int c = 0; c < T; c++) workers.emplace_back(worker);
-        for (auto &t : workers) t.join();
+        E->exec_pool.run(T, [&](int) { worker(); });
     }
     E->dfs_visits += dfs;
     E->total_missed_minors += missed;
@@ -7991,11 +8132,9 @@ long engine_export_feats(Engine *E, const int32_t *nodes, long n,
     if (T <= 1) {
         work(0, n);
     } else {
-        std::vector<std::thread> ts;
-        ts.reserve(T);
-        for (int c = 0; c < T; c++)
-            ts.emplace_back(work, n * c / T, n * (c + 1) / T);
-        for (auto &t : ts) t.join();
+        E->exec_pool.run(T, [&](int c) {
+            work(n * c / T, n * (c + 1) / T);
+        });
     }
     return max_nf.load();
 }
@@ -8025,11 +8164,9 @@ long engine_export_query_feats(Engine *E, const int64_t *vids, long n,
     if (T <= 1) {
         work(0, n);
     } else {
-        std::vector<std::thread> ts;
-        ts.reserve(T);
-        for (int c = 0; c < T; c++)
-            ts.emplace_back(work, n * c / T, n * (c + 1) / T);
-        for (auto &t : ts) t.join();
+        E->exec_pool.run(T, [&](int c) {
+            work(n * c / T, n * (c + 1) / T);
+        });
     }
     return max_nf.load();
 }

@@ -44,6 +44,12 @@ def main():
                     help="host cores for the device path's engine phases")
     ap.add_argument("--spr", action="store_true",
                     help="also run one device SPR screen pass")
+    ap.add_argument("--production", action="store_true",
+                    help="compare against the machine's production host "
+                         "configuration (--fast --placementBudget 200 "
+                         "--numCores <cores>) instead of the 1-core "
+                         "exact serial engine, with the device path on "
+                         "the fast-screen contract (VERDICT r4 item 1)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -70,12 +76,20 @@ def main():
     res = {"samples": args.samples, "backend": jax.default_backend(),
            "mesh": dict(zip(mesh.axis_names, mesh.devices.shape))
            if mesh else None, "pallas": args.pallas,
-           "device_cores": args.cores}
+           "device_cores": args.cores,
+           "comparator": "production" if args.production else "serial"}
 
-    # --- serial path (engine) ------------------------------------------
+    # --- host path -------------------------------------------------------
+    # default: the 1-core exact serial engine (the reference's strictly
+    # serial stepwise addition, MAPLEv0.7.5.4.py:11692-11752).  With
+    # --production: the machine's best host configuration (--fast
+    # --placementBudget 200 --numCores N, SCALE_r04.json), the bar
+    # VERDICT r4 item 1 set.
+    host_flags = dict(fast=True, placementBudget=200,
+                      numCores=args.cores) if args.production else {}
     cfg_s = MapleConfig(input=aln, output=os.path.join(args.workdir,
                                                        "dev_ser"),
-                        model="UNREST", overwrite=True)
+                        model="UNREST", overwrite=True, **host_flags)
     rs = Run(cfg_s)
     rs.load()
     t0 = time.time()
@@ -88,11 +102,12 @@ def main():
     rs.write_tree("_tree.tree", rs.root)
 
     # --- device path -----------------------------------------------------
+    dev_flags = dict(fast=True) if args.production else {}
     cfg_d = MapleConfig(input=aln, output=os.path.join(args.workdir,
                                                        "dev_dev"),
                         model="UNREST", overwrite=True,
                         device_placement=True, device_pallas=args.pallas,
-                        numCores=args.cores)
+                        numCores=args.cores, **dev_flags)
     rd = Run(cfg_d)
     rd.load()
     t0 = time.time()

@@ -69,6 +69,41 @@ def run_group(nproc, aln, outdir, cores):
     return r0
 
 
+def run_screen_group(nproc, rows, k, iters, outdir):
+    """Screen-phase strong scaling (VERDICT r4 item 3a): N processes x
+    1 pinned core x 1 virtual device each, pool sharded over `cand` —
+    compute genuinely grows with N, unlike the fixed-total-device
+    placement groups above."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    t0 = time.time()
+    procs = [subprocess.Popen(
+        ["taskset", "-c", str(pid % os.cpu_count()),
+         sys.executable, os.path.join(HERE, "multihost_screen_worker.py"),
+         str(pid), str(nproc), str(port), str(rows), str(k),
+         str(iters), outdir],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for pid in range(nproc)]
+    outs = [p.communicate(timeout=3600)[0] for p in procs]
+    wall = time.time() - t0
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"screen nproc={nproc} worker {pid} failed:\n"
+                f"{out[-3000:]}")
+    rows_out = []
+    for pid in range(nproc):
+        with open(os.path.join(outdir, f"ms{nproc}_p{pid}.json")) as f:
+            rows_out.append(json.load(f))
+    r0 = dict(rows_out[0])
+    r0["screen_step_s"] = max(r["screen_step_s"] for r in rows_out)
+    r0["group_wall_s"] = round(wall, 2)
+    r0.pop("pid", None)
+    return r0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=10000)
@@ -76,31 +111,55 @@ def main():
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--cores", type=int, default=1)
     ap.add_argument("--procs", default="1,2,4")
+    ap.add_argument("--screen-rows", type=int, default=524288,
+                    help="pool rows for the screen strong-scaling table")
+    ap.add_argument("--screen-k", type=int, default=64)
+    ap.add_argument("--screen-iters", type=int, default=3)
+    ap.add_argument("--screen-procs", default="1,2,4",
+                    help="process counts for screen scaling ('' skips)")
+    ap.add_argument("--skip-placement", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    from benchmark_scale import ensure_dataset
-    aln, _truth = ensure_dataset(args.workdir, args.samples, args.seed,
-                                 1.5, 0.2, 0.05)
     res = {"samples": args.samples, "total_devices": 8,
-           "cores_per_proc": args.cores, "groups": []}
-    base = None
-    for nproc in [int(x) for x in args.procs.split(",")]:
-        row = run_group(nproc, aln, args.workdir, args.cores)
-        row["seq_per_s"] = round(args.samples / row["wall_s"], 1)
-        if base is None:
-            base = row["wall_s"]
-            row["efficiency_vs_1proc"] = 1.0
-        else:
-            # fixed total compute: efficiency = how much of the
-            # single-process throughput survives the process split
-            row["efficiency_vs_1proc"] = round(base / row["wall_s"], 3)
-        res["groups"].append(row)
-        print(json.dumps(row), flush=True)
-    lks = {g["lk"] for g in res["groups"]}
-    res["lk_identical_across_groups"] = len(lks) == 1
+            "cores_per_proc": args.cores, "groups": []}
+    if not args.skip_placement:
+        from benchmark_scale import ensure_dataset
+        aln, _truth = ensure_dataset(args.workdir, args.samples,
+                                     args.seed, 1.5, 0.2, 0.05)
+        base = None
+        for nproc in [int(x) for x in args.procs.split(",")]:
+            row = run_group(nproc, aln, args.workdir, args.cores)
+            row["seq_per_s"] = round(args.samples / row["wall_s"], 1)
+            if base is None:
+                base = row["wall_s"]
+                row["efficiency_vs_1proc"] = 1.0
+            else:
+                # fixed total compute: efficiency = how much of the
+                # single-process throughput survives the process split
+                row["efficiency_vs_1proc"] = round(
+                    base / row["wall_s"], 3)
+            res["groups"].append(row)
+            print(json.dumps(row), flush=True)
+        lks = {g["lk"] for g in res["groups"]}
+        res["lk_identical_across_groups"] = len(lks) == 1
+    if args.screen_procs:
+        res["screen_strong_scaling"] = []
+        base_step = None
+        for nproc in [int(x) for x in args.screen_procs.split(",")]:
+            row = run_screen_group(nproc, args.screen_rows,
+                                   args.screen_k, args.screen_iters,
+                                   args.workdir)
+            if base_step is None:
+                base_step = row["screen_step_s"]
+                row["speedup_vs_1proc"] = 1.0
+            else:
+                row["speedup_vs_1proc"] = round(
+                    base_step / row["screen_step_s"], 2)
+            res["screen_strong_scaling"].append(row)
+            print(json.dumps(row), flush=True)
     out = args.out or os.path.join(os.path.dirname(HERE),
-                                   "MULTIHOST_r04.json")
+                                   "MULTIHOST_r05.json")
     with open(out, "w") as f:
         json.dump(res, f, indent=1)
     print("wrote", out)
