@@ -52,10 +52,26 @@ import jax.numpy as jnp
 
 # Feature space (must match native feat_extract's layout): bucket 0 =
 # bias, [1, D_HASH) = hashed (pos, nuc), [D_HASH, D) = genome-interval
-# coverage channel.
+# coverage channel.  Pools of >= 2^20 rows (~500k samples) halve the
+# width so the bf16 pool fits a 16 GB chip (1M x 8192 bf16 = 17 GB;
+# 1M x 4096 = 8.6 GB) — hash collisions double, a recall-only cost the
+# engine's exact re-scoring absorbs.  MAPLE_PROXY_D overrides.
 D_HASH = 7936
 G_BUCKETS = 256
 D = D_HASH + G_BUCKETS
+
+
+def feature_dims(cap: int):
+    """(d_hash, g_buckets) for a pool of ``cap`` rows."""
+    override = os.environ.get("MAPLE_PROXY_D")
+    if override:
+        d = int(override)
+        return d - d // 32, d // 32
+    if cap >= (1 << 20):
+        return 3968, 128
+    return D_HASH, G_BUCKETS
+
+
 FMAX_ANCHOR = 192   # 2 features per mutation + bias
 FMAX_QUERY = 448    # 2*muts + up to G_BUCKETS coverage + bias
 
@@ -142,6 +158,8 @@ class ProxyPool:
         while cap < expected_nodes:
             cap *= 2
         self.capacity = cap
+        self.d_hash, self.g_buckets = feature_dims(cap)
+        self.D = self.d_hash + self.g_buckets
         self.node_arr = np.full(cap, -1, dtype=np.int64)
         self.row_of = {}
         self.mesh = mesh
@@ -164,13 +182,13 @@ class ProxyPool:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
             self.AF = jax.device_put(
-                jnp.zeros((cap, D), dt),
+                jnp.zeros((cap, self.D), dt),
                 NamedSharding(mesh, P("cand", None))) \
                 if jax.process_count() <= 1 else None
             if self.AF is None:
                 from .mesh import put_global
                 self.AF = put_global(
-                    mesh, np.zeros((cap, D), np.float32).astype(dt),
+                    mesh, np.zeros((cap, self.D), np.float32).astype(dt),
                     P("cand", None))
                 self.valid = put_global(mesh, np.zeros(cap, bool),
                                         P("cand"))
@@ -178,7 +196,7 @@ class ProxyPool:
                 self.valid = jax.device_put(
                     np.zeros(cap, bool), NamedSharding(mesh, P("cand")))
         else:
-            self.AF = jnp.zeros((cap, D), dt)
+            self.AF = jnp.zeros((cap, self.D), dt)
             self.valid = jnp.zeros(cap, bool)
 
     def assign_rows(self, nodes: np.ndarray) -> Optional[np.ndarray]:
@@ -251,7 +269,8 @@ class EngineProxyPlacer:
         if rows is None:
             raise RuntimeError("proxy pool capacity exhausted")
         idx, w, valid, max_nf, skip = self.eng.export_feats(
-            changed, D_HASH, G_BUCKETS, self.fmax_anchor, use_fp=True)
+            changed, pool.d_hash, pool.g_buckets,
+            self.fmax_anchor, use_fp=True)
         if self._prof:
             self._t_feat = getattr(self, "_t_feat", 0.0) \
                 + time.time() - t0
@@ -264,7 +283,8 @@ class EngineProxyPlacer:
             print(f"[proxy] anchor feature budget -> "
                   f"{self.fmax_anchor}", flush=True)
             idx, w, valid, max_nf, skip = self.eng.export_feats(
-                changed, D_HASH, G_BUCKETS, self.fmax_anchor)
+                changed, pool.d_hash, pool.g_buckets,
+                self.fmax_anchor)
         if skip.any():
             keep = ~skip
             rows = rows[keep]
@@ -299,8 +319,8 @@ class EngineProxyPlacer:
             # re-write row 0 with its current content (no-op scatter)
             rows = np.zeros(1, np.int32)
             idx, w, valid2, nf0, _ = self.eng.export_feats(
-                pool.node_arr[:1].astype(np.int32), D_HASH, G_BUCKETS,
-                self.fmax_anchor)
+                pool.node_arr[:1].astype(np.int32), pool.d_hash,
+                pool.g_buckets, self.fmax_anchor)
             fb = _f_bucket(nf0, self.fmax_anchor)
             idx = np.ascontiguousarray(idx[:, :fb])
             w = np.ascontiguousarray(w[:, :fb])
@@ -328,7 +348,7 @@ class EngineProxyPlacer:
             else self._sync_pool(changed)
         K = self.batch_size
         qidx, qw, max_nf = self.eng.export_query_feats(
-            vids, D_HASH, G_BUCKETS, self.fmax_query)
+            vids, pool.d_hash, pool.g_buckets, self.fmax_query)
         if self._prof and not getattr(self, "_nf_printed", False) \
                 and len(vids) == K:
             self._nf_printed = True
@@ -344,7 +364,7 @@ class EngineProxyPlacer:
             print(f"[proxy] query feature budget -> "
                   f"{self.fmax_query}", flush=True)
             qidx, qw, max_nf = self.eng.export_query_feats(
-                vids, D_HASH, G_BUCKETS, self.fmax_query)
+                vids, pool.d_hash, pool.g_buckets, self.fmax_query)
         fbq = _f_bucket(max_nf, self.fmax_query)
         if fbq < qidx.shape[1]:
             qidx = np.ascontiguousarray(qidx[:, :fbq])
