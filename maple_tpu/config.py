@@ -196,7 +196,12 @@ class MapleConfig:
             self.thresholdTopologyPlacement = -1.0
             self.minBLenSensitivity = 0.001
         if self.device_proxy_batch < 0:
-            self.device_proxy_batch = 1024 if self.fast else 256
+            # 2048 under the fast contract: per-batch screen overheads
+            # (fetch block, uploads, drain/export) halve vs 1024 and
+            # the measured 100k wall drops 48->40 s; the one-batch
+            # pipeline staleness window doubles, a re-validation-only
+            # cost (apply re-searches collisions serially)
+            self.device_proxy_batch = 2048 if self.fast else 256
         if self.fast and self.device_placement \
                 and self.placementBudget == 0:
             # the apply phase's serial re-search fallback (stale-anchor

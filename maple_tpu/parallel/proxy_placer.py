@@ -61,12 +61,23 @@ G_BUCKETS = 256
 D = D_HASH + G_BUCKETS
 
 
-def feature_dims(cap: int):
-    """(d_hash, g_buckets) for a pool of ``cap`` rows."""
+def feature_dims(cap: int, fast: bool = False):
+    """(d_hash, g_buckets) for a pool of ``cap`` rows.
+
+    The fast contract narrows the feature space 4x (D=2048): the screen
+    matmul and both sparse->dense scatters scale with D, and at the
+    100k shapes ([1024, 8192] x [8192, 262144]) they were the dominant
+    per-batch cost (measured 615 ms/batch — ~27 ms per scatter + 24 ms
+    matmul + dispatch overheads; at D=2048 the whole fused step is
+    ~40 ms).  Collision rate quadruples (p99 ~30 features into 1984
+    hash buckets stays <2% pairwise), a recall-only cost under the
+    budgeted-quality bar — the engine re-scores every seed exactly."""
     override = os.environ.get("MAPLE_PROXY_D")
     if override:
         d = int(override)
         return d - d // 32, d // 32
+    if fast:
+        return 1984, 64
     if cap >= (1 << 20):
         return 3968, 128
     return D_HASH, G_BUCKETS
@@ -153,12 +164,12 @@ class ProxyPool:
     the only growing shape (pow2 ladder)."""
 
     def __init__(self, expected_nodes: int, mesh=None,
-                 force_bf16: bool = False):
+                 force_bf16: bool = False, fast: bool = False):
         cap = 1024
         while cap < expected_nodes:
             cap *= 2
         self.capacity = cap
-        self.d_hash, self.g_buckets = feature_dims(cap)
+        self.d_hash, self.g_buckets = feature_dims(cap, fast)
         self.D = self.d_hash + self.g_buckets
         self.node_arr = np.full(cap, -1, dtype=np.int64)
         self.row_of = {}
@@ -228,7 +239,16 @@ class EngineProxyPlacer:
         enable_compilation_cache()
         self.run = run
         self.eng = eng
+        # Reserve one host core for the JAX client's tunnel stream when
+        # >= 3 are available: with every core inside the engine's
+        # crawl/apply the device stream starves and the fetch block
+        # grows ~100 ms/batch; the crawl is memory-bound, so 3 engine
+        # cores measured the same place wall as 4 at 100k.
+        # MAPLE_DEVICE_RESERVE_CORE=0 disables.
         self.num_cores = max(1, num_cores)
+        if self.num_cores >= 3 and os.environ.get(
+                "MAPLE_DEVICE_RESERVE_CORE", "1") != "0":
+            self.num_cores -= 1
         self.batch_size = batch_size
         self.topm = topm
         self.seed_budget = seed_budget
@@ -246,7 +266,7 @@ class EngineProxyPlacer:
         self.fmax_query = FMAX_QUERY
         n_expected = len(run.data) * 2 + 64
         self.pool = ProxyPool(n_expected, mesh=mesh,
-                              force_bf16=fast_screen)
+                              force_bf16=fast_screen, fast=fast_screen)
         if self.pool.AF.dtype == jnp.bfloat16 and self.topm < 192 \
                 and not fast_screen:
             # bf16 rounding reorders near-ties; a deeper seed list
@@ -256,6 +276,32 @@ class EngineProxyPlacer:
         self.time_place = 0.0
         self.time_export = 0.0
         self._prof = bool(os.environ.get("MAPLE_DEBUG_DEVBATCH"))
+        # Screen-stall fallback: the tunneled backend intermittently
+        # stalls a client stream for 10 s - 10 min (BASELINE.md r4).
+        # Screen results are recall-only (every decision re-made by the
+        # exact engine), so a batch whose fetch misses the deadline is
+        # placed through the engine's unseeded budget crawl instead of
+        # waiting — the run degrades to host-path throughput for the
+        # stall's duration, never worse.  The first fetch gets a longer
+        # deadline (a cold compilation cache legitimately costs ~20 s
+        # per shape variant).  MAPLE_SCREEN_TIMEOUT_S=0 disables.
+        self.fetch_timeout = float(os.environ.get(
+            "MAPLE_SCREEN_TIMEOUT_S", "2.5"))
+        # the first screen legitimately carries the pool allocation +
+        # initial scatter (and, cold-cache, a ~20 s compile per shape);
+        # give it a longer — but still bounded — allowance: falling
+        # back just places those batches at host-path speed while the
+        # screen warms up on its thread
+        self.first_fetch_timeout = max(4 * self.fetch_timeout, 10.0)
+        self.screen_stalls = 0
+        # Fallback/screen handshake: a batch placed unseeded FREES its
+        # terminal slots, so a screen job that has not yet exported its
+        # query features must skip them (checked and held under this
+        # lock for the export's duration — the engine reclaims slots
+        # only through _place, which marks the batch consumed first).
+        import threading
+        self._vids_lock = threading.Lock()
+        self._consumed_vids = {}  # id(batch) -> batch (keeps id stable)
 
     # ------------------------------------------------------------------
     def _sync_pool(self, changed: np.ndarray):
@@ -337,28 +383,15 @@ class EngineProxyPlacer:
                   f"({len(changed)} rows)", flush=True)
         return rows, idx, w, valid
 
-    def _submit(self, vids: np.ndarray, changed=None, sync=None):
-        """Upload one batch's queries + pool updates, dispatch the fused
-        step; returns (futures, row->node snapshot).  ``sync`` accepts a
-        precomputed _sync_pool result (the export overlaps the previous
-        batch's device fetch in place_all)."""
+    def _export_queries(self, vids: np.ndarray):
+        """Query-feature export for one batch (engine-side, read-only
+        over the immutable terminal vectors).  MUST be called under
+        _vids_lock after a consumed-check: an unseeded-fallback place
+        frees the batch's terminal slots (see place_all)."""
         t0 = time.time()
         pool = self.pool
-        rows, aidx, aw, avalid = sync if sync is not None \
-            else self._sync_pool(changed)
-        K = self.batch_size
         qidx, qw, max_nf = self.eng.export_query_feats(
             vids, pool.d_hash, pool.g_buckets, self.fmax_query)
-        if self._prof and not getattr(self, "_nf_printed", False) \
-                and len(vids) == K:
-            self._nf_printed = True
-            qn = np.count_nonzero(qw, axis=1)
-            an = np.count_nonzero(aw, axis=1)
-            print(f"[proxy] nf query p50={np.percentile(qn, 50):.0f} "
-                  f"p99={np.percentile(qn, 99):.0f} max={qn.max()}  "
-                  f"anchor p50={np.percentile(an, 50):.0f} "
-                  f"p99={np.percentile(an, 99):.0f} max={an.max()}",
-                  flush=True)
         while max_nf >= self.fmax_query:
             self.fmax_query *= 2
             print(f"[proxy] query feature budget -> "
@@ -369,6 +402,7 @@ class EngineProxyPlacer:
         if fbq < qidx.shape[1]:
             qidx = np.ascontiguousarray(qidx[:, :fbq])
             qw = np.ascontiguousarray(qw[:, :fbq])
+        K = self.batch_size
         if len(vids) < K:  # tail batch: pad with null queries
             pad = K - len(vids)
             qidx = np.concatenate(
@@ -376,6 +410,29 @@ class EngineProxyPlacer:
             qw = np.concatenate(
                 [qw, np.zeros((pad, qw.shape[1]), np.float32)])
         self.time_export += time.time() - t0
+        return qidx, qw
+
+    def _submit(self, vids: np.ndarray, changed=None, sync=None,
+                q=None):
+        """Upload one batch's queries + pool updates, dispatch the fused
+        step; returns (futures, row->node snapshot).  ``sync`` accepts a
+        precomputed _sync_pool result (the export overlaps the previous
+        batch's device fetch in place_all); ``q`` a precomputed
+        _export_queries result."""
+        pool = self.pool
+        rows, aidx, aw, avalid = sync if sync is not None \
+            else self._sync_pool(changed)
+        qidx, qw = q if q is not None else self._export_queries(vids)
+        if self._prof and not getattr(self, "_nf_printed", False) \
+                and len(vids) == self.batch_size:
+            self._nf_printed = True
+            qn = np.count_nonzero(qw, axis=1)
+            an = np.count_nonzero(aw, axis=1)
+            print(f"[proxy] nf query p50={np.percentile(qn, 50):.0f} "
+                  f"p99={np.percentile(qn, 99):.0f} max={qn.max()}  "
+                  f"anchor p50={np.percentile(an, 50):.0f} "
+                  f"p99={np.percentile(an, 99):.0f} max={an.max()}",
+                  flush=True)
         t0 = time.time()
         if self.mesh is not None:
             # replicated uploads onto the (possibly process-spanning)
@@ -426,11 +483,16 @@ class EngineProxyPlacer:
     def _place(self, vids, first_sample: int, res, refresh_every: int,
                checkpoint=None):
         """Map screen rows to seeds and place through the engine in
-        model-refresh-aligned chunks."""
-        ts, ti, node_arr = res
+        model-refresh-aligned chunks.  ``res=None`` (stalled screen)
+        places unseeded through the budget crawl — same exact-apply
+        contract, host-path search cost."""
         t0 = time.time()
-        seeds = node_arr[ti].astype(np.int32)
-        seeds[~np.isfinite(ts)] = -1
+        if res is None:
+            seeds = None
+        else:
+            ts, ti, node_arr = res
+            seeds = node_arr[ti].astype(np.int32)
+            seeds[~np.isfinite(ts)] = -1
         run = self.run
         cfg = run.cfg
         eng = self.eng
@@ -447,8 +509,12 @@ class EngineProxyPlacer:
                 k = min(k, refresh_every - num % refresh_every)
             k = min(k, cfg.saveInitialTreeEvery
                     - num % cfg.saveInitialTreeEvery)
-            eng.place_batch_seeded(vids[s:s + k], num, seeds[s:s + k],
-                                   self.num_cores, self.seed_budget)
+            if seeds is None:
+                eng.place_batch_vids(vids[s:s + k], num, self.num_cores)
+            else:
+                eng.place_batch_seeded(vids[s:s + k], num,
+                                       seeds[s:s + k],
+                                       self.num_cores, self.seed_budget)
             num += k
             s += k
             if checkpoint and num % cfg.saveInitialTreeEvery == 0:
@@ -503,34 +569,76 @@ class EngineProxyPlacer:
         from concurrent.futures import ThreadPoolExecutor
         prep_pool = ThreadPoolExecutor(max_workers=1)
         sync_pool = ThreadPoolExecutor(max_workers=1)
-        pend = (vids, self._submit(vids, changed))
+        screen_pool = ThreadPoolExecutor(max_workers=1)
+
+        # The WHOLE screen round-trip (uploads + fused-step dispatch +
+        # result readback) rides one worker thread: during a tunnel
+        # stall the blocking call is the upload as often as the fetch,
+        # so only a main loop that never touches the device can keep
+        # placing through a stall.  The thread serializes pool.AF
+        # ownership (single worker); its tree-reading work is limited
+        # to query-feature export over immutable terminal vectors, so
+        # it is safe concurrent with the engine's apply phase.
+        def screen_job(job_vids, sync):
+            with self._vids_lock:
+                if id(job_vids) in self._consumed_vids:
+                    return None  # batch already placed via fallback
+                q = self._export_queries(job_vids)
+            fut = self._submit(job_vids, sync=sync, q=q)
+            return self._fetch(job_vids, fut)
+
+        # first batch's pool export runs synchronously here: its tree
+        # reads must finish before any (fallback) place can mutate
+        sync0 = self._sync_pool(changed)
+        pend = (vids, screen_pool.submit(screen_job, vids, sync0))
         prep_fut = prep_pool.submit(next_batch) if distances else None
+        from concurrent.futures import TimeoutError as FutTimeout
+        first_fetch = True
         while pend is not None:
-            cur_vids, fut_cur = pend
+            cur_vids, fetch_fut = pend
             # The next batch's pool sync (changed-node drain + feature
-            # export) runs on its own thread while the fetch below waits
-            # on the device: the engine is idle in that window, and the
-            # export is read-only over the tree.
+            # export) runs on its own thread while the screen is in
+            # flight: the engine is idle in that window, and the export
+            # is read-only over the tree.  It is joined below BEFORE
+            # the place phase so it never races the engine's mutation.
             sync_fut = sync_pool.submit(
                 lambda: self._sync_pool(eng.screen_drain()))
-            # Fetch the CURRENT batch's screen results BEFORE dispatching
-            # the next step: the tunneled backend serializes transfers
-            # and executions on one stream, so a readback queued behind
-            # the next screen would block for that screen's full device
-            # time.  With the fetch first, the engine's place phase below
-            # overlaps the next screen's execution.
-            res = self._fetch(cur_vids, fut_cur)
+            # Wait for the CURRENT batch's screen results.  A deadline
+            # miss means the stream is stalled: place this batch
+            # unseeded instead (the stalled screen keeps draining on
+            # its thread; screen results are recall-only, so skipping
+            # them never changes exactness).
+            res = None
+            if self.fetch_timeout <= 0:
+                res = fetch_fut.result()
+            else:
+                try:
+                    res = fetch_fut.result(
+                        timeout=self.first_fetch_timeout if first_fetch
+                        else self.fetch_timeout)
+                except FutTimeout:
+                    self.screen_stalls += 1
+                    # mark BEFORE placing: the queued screen job must
+                    # not export query features of freed terminals
+                    with self._vids_lock:
+                        self._consumed_vids[id(cur_vids)] = cur_vids
+                    if self.screen_stalls == 1 or self._prof:
+                        print(f"[proxy] screen stalled "
+                              f">{self.fetch_timeout:.1f}s; placing "
+                              f"batch via the unseeded budget crawl",
+                              flush=True)
+            first_fetch = False
             nxt = prep_fut.result() if prep_fut is not None \
                 else np.empty(0, np.int64)
-            fut_next = None
+            sync_res = sync_fut.result()  # join: tree reads done
+            fetch_next = None
             if len(nxt):
-                fut_next = self._submit(nxt, sync=sync_fut.result())
-            else:
-                sync_fut.result()  # drain consumed; keep log consistent
+                fetch_next = screen_pool.submit(screen_job, nxt,
+                                                sync=sync_res)
             prep_fut = prep_pool.submit(next_batch) if distances else None
             num_samples = self._place(cur_vids, num_samples, res,
                                       refresh_every, checkpoint)
-            pend = (nxt, fut_next) if len(nxt) else None
+            pend = (nxt, fetch_next) if len(nxt) else None
             if progress_every and num_samples - last_print \
                     >= progress_every:
                 last_print = num_samples
@@ -551,5 +659,13 @@ class EngineProxyPlacer:
                 print(msg, flush=True)
         prep_pool.shutdown(wait=True)
         sync_pool.shutdown(wait=True)
+        # a timed-out screen may still be draining a stalled stream;
+        # don't hold placement completion hostage to it (the thread is
+        # read-only over tree state and is joined at interpreter exit)
+        screen_pool.shutdown(wait=self.screen_stalls == 0)
+        if self.screen_stalls:
+            print(f"[proxy] {self.screen_stalls} batch(es) fell back "
+                  f"to the unseeded crawl during screen stalls",
+                  flush=True)
         eng.screen_log(False)
         return num_samples

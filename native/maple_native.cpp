@@ -3164,12 +3164,20 @@ struct ExecPool {
         }
     }
 
+    // Serializes concurrent run() callers: the device driver's screen
+    // thread exports query features (engine_export_query_feats, which
+    // fans out here) WHILE the main thread runs the seeded place batch
+    // — without this, two in-flight jobs clobber job/n_target/n_done
+    // and both callers deadlock on done_cv.
+    std::mutex run_mu;
+
     // Run fn(0..T-1) on pool workers; blocks until all return.
     void run(int T, const std::function<void(int)> &fn) {
         if (T <= 1) {
             fn(0);
             return;
         }
+        std::lock_guard<std::mutex> rg(run_mu);
         ensure(T);
         std::unique_lock<std::mutex> lk(mu);
         job = &fn;
