@@ -275,6 +275,9 @@ class EngineProxyPlacer:
         self.time_screen = 0.0
         self.time_place = 0.0
         self.time_export = 0.0
+        self.time_wait = 0.0       # main-loop fetch-result wait
+        self.time_sync_join = 0.0  # main-loop pool-sync join
+        self.time_prep_wait = 0.0  # main-loop next-batch join
         self._prof = bool(os.environ.get("MAPLE_DEBUG_DEVBATCH"))
         # Screen-stall fallback: the tunneled backend intermittently
         # stalls a client stream for 10 s - 10 min (BASELINE.md r4).
@@ -294,6 +297,13 @@ class EngineProxyPlacer:
         # screen warms up on its thread
         self.first_fetch_timeout = max(4 * self.fetch_timeout, 10.0)
         self.screen_stalls = 0
+        self._stall_open = False   # circuit breaker state
+        self._screen_inflight = 0  # jobs submitted, not yet completed
+        # pool updates whose screen was skipped mid-stall: replayed as
+        # plain scatters by the next dispatched screen job (dropping
+        # them would leave those rows stale forever — the fingerprint
+        # dedup records them as exported)
+        self._pending_sync = []
         # Fallback/screen handshake: a batch placed unseeded FREES its
         # terminal slots, so a screen job that has not yet exported its
         # query features must skip them (checked and held under this
@@ -580,16 +590,35 @@ class EngineProxyPlacer:
         # to query-feature export over immutable terminal vectors, so
         # it is safe concurrent with the engine's apply phase.
         def screen_job(job_vids, sync):
-            with self._vids_lock:
-                if id(job_vids) in self._consumed_vids:
-                    return None  # batch already placed via fallback
-                q = self._export_queries(job_vids)
-            fut = self._submit(job_vids, sync=sync, q=q)
-            return self._fetch(job_vids, fut)
+            try:
+                with self._vids_lock:
+                    if id(job_vids) in self._consumed_vids:
+                        self._pending_sync.append(sync)
+                        return None  # batch already placed via fallback
+                    q = self._export_queries(job_vids)
+                    pending, self._pending_sync = self._pending_sync, []
+                pool = self.pool
+                if pending and self.mesh is not None:
+                    from jax.sharding import PartitionSpec as P
+
+                    from .mesh import put_global
+                    up = lambda a: put_global(self.mesh, a,
+                                              P(*([None] * np.ndim(a))))
+                else:
+                    up = jnp.asarray
+                for rows, aidx, aw, avalid in pending:
+                    pool.AF, pool.valid = _scatter_only(
+                        pool.AF, pool.valid, up(rows), up(aidx),
+                        up(aw), up(avalid))
+                fut = self._submit(job_vids, sync=sync, q=q)
+                return self._fetch(job_vids, fut)
+            finally:
+                self._screen_inflight -= 1
 
         # first batch's pool export runs synchronously here: its tree
         # reads must finish before any (fallback) place can mutate
         sync0 = self._sync_pool(changed)
+        self._screen_inflight += 1
         pend = (vids, screen_pool.submit(screen_job, vids, sync0))
         prep_fut = prep_pool.submit(next_batch) if distances else None
         from concurrent.futures import TimeoutError as FutTimeout
@@ -609,32 +638,62 @@ class EngineProxyPlacer:
             # its thread; screen results are recall-only, so skipping
             # them never changes exactness).
             res = None
-            if self.fetch_timeout <= 0:
+            t_wait = time.time()
+            if fetch_fut is None:
+                # no screen was dispatched for this batch (breaker was
+                # open): place unseeded without waiting
+                pass
+            elif self.fetch_timeout <= 0:
                 res = fetch_fut.result()
             else:
+                # circuit breaker: mid-stall, don't pay the full
+                # deadline for every queued batch — probe with a short
+                # timeout until a screen completes again
+                if first_fetch:
+                    deadline = self.first_fetch_timeout
+                elif self._stall_open:
+                    deadline = min(self.fetch_timeout, 0.3)
+                else:
+                    deadline = self.fetch_timeout
                 try:
-                    res = fetch_fut.result(
-                        timeout=self.first_fetch_timeout if first_fetch
-                        else self.fetch_timeout)
+                    res = fetch_fut.result(timeout=deadline)
+                    self._stall_open = False
                 except FutTimeout:
                     self.screen_stalls += 1
+                    self._stall_open = True
                     # mark BEFORE placing: the queued screen job must
                     # not export query features of freed terminals
                     with self._vids_lock:
                         self._consumed_vids[id(cur_vids)] = cur_vids
                     if self.screen_stalls == 1 or self._prof:
                         print(f"[proxy] screen stalled "
-                              f">{self.fetch_timeout:.1f}s; placing "
+                              f">{deadline:.1f}s; placing "
                               f"batch via the unseeded budget crawl",
                               flush=True)
             first_fetch = False
+            self.time_wait += time.time() - t_wait
+            t_wait = time.time()
             nxt = prep_fut.result() if prep_fut is not None \
                 else np.empty(0, np.int64)
+            self.time_prep_wait += time.time() - t_wait
+            t_wait = time.time()
             sync_res = sync_fut.result()  # join: tree reads done
+            self.time_sync_join += time.time() - t_wait
             fetch_next = None
             if len(nxt):
-                fetch_next = screen_pool.submit(screen_job, nxt,
-                                                sync=sync_res)
+                # while the breaker is open with a job already stuck in
+                # flight, submitting more screens only grows the
+                # stalled stream's server-side backlog (which is what
+                # keeps the NEXT runs stalled too) — place unseeded
+                # until the in-flight job drains
+                if not (self._stall_open and self._screen_inflight >= 1):
+                    self._screen_inflight += 1
+                    fetch_next = screen_pool.submit(screen_job, nxt,
+                                                    sync=sync_res)
+                else:
+                    with self._vids_lock:
+                        self._consumed_vids[id(nxt)] = nxt
+                        self._pending_sync.append(sync_res)
             prep_fut = prep_pool.submit(next_batch) if distances else None
             num_samples = self._place(cur_vids, num_samples, res,
                                       refresh_every, checkpoint)
