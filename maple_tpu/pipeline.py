@@ -513,6 +513,18 @@ class Run:
         upd = cfg.updateSubstMatrixEveryThisSamples
         warmup = max(2, warmup if warmup is not None
                      else cfg.device_warmup)
+        # placer construction (JAX client handshake + device pool
+        # allocation, ~1.5-2 s on the tunneled backend) overlaps the
+        # serial warmup placements: __init__ reads only cfg/env and
+        # dispatches device allocations — it never touches the tree
+        from concurrent.futures import ThreadPoolExecutor
+        _init_pool = ThreadPoolExecutor(max_workers=1)
+        placer_fut = _init_pool.submit(
+            EngineProxyPlacer, self, eng, num_cores=cfg.numCores,
+            batch_size=cfg.device_proxy_batch,
+            topm=cfg.device_seed_topm,
+            seed_budget=cfg.device_seed_budget, mesh=mesh,
+            fast_screen=cfg.fast)
         while distances and num_samples < warmup:
             if num_samples % upd == 0 and cfg.model != "JC":
                 eng.flush_pseudo_counts(self.model.pseudo_counts)
@@ -535,12 +547,8 @@ class Run:
                       "w") as f:
                 f.write(s)
 
-        placer = EngineProxyPlacer(
-            self, eng, num_cores=cfg.numCores,
-            batch_size=cfg.device_proxy_batch,
-            topm=cfg.device_seed_topm,
-            seed_budget=cfg.device_seed_budget, mesh=mesh,
-            fast_screen=cfg.fast)
+        placer = placer_fut.result()
+        _init_pool.shutdown(wait=False)
         self.proxy_placer = placer  # kept for phase attribution
         placer.place_all(distances, num_samples, checkpoint)
         eng.flush_pseudo_counts(self.model.pseudo_counts)

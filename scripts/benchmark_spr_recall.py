@@ -33,11 +33,12 @@ sys.path.insert(0, HERE)
 sys.path.insert(0, os.path.dirname(HERE))
 
 
-def build_tree(aln, out, cores):
+def build_tree(aln, out, cores, budget=0):
     from maple_tpu.config import MapleConfig
     from maple_tpu.pipeline import Run
     cfg = MapleConfig(input=aln, output=out, model="UNREST",
-                      overwrite=True, numCores=cores)
+                      overwrite=True, numCores=cores,
+                      placementBudget=budget)
     run = Run(cfg)
     run.load()
     t0 = time.time()
@@ -92,6 +93,11 @@ def main():
     ap.add_argument("--cores", type=int, default=4)
     ap.add_argument("--mode", default="both",
                     choices=["both", "serial", "device"])
+    ap.add_argument("--placementBudget", type=int, default=0,
+                    help="build the starting tree with the budgeted "
+                         "crawl (identical tree both passes either "
+                         "way; 200 = the production preset, ~10x "
+                         "faster to build at 100k than the exact DFS)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -102,7 +108,8 @@ def main():
 
     if args.mode in ("both", "serial"):
         run, lk0, build_s = build_tree(
-            aln, os.path.join(args.workdir, "sprrec_s"), args.cores)
+            aln, os.path.join(args.workdir, "sprrec_s"), args.cores,
+            args.placementBudget)
         res["start_lk"] = lk0
         res["build_s"] = round(build_s, 2)
         imp, wall = run_serial(run, args.cores)
@@ -115,7 +122,8 @@ def main():
 
     if args.mode in ("both", "device"):
         run, lk0, build_s = build_tree(
-            aln, os.path.join(args.workdir, "sprrec_d"), args.cores)
+            aln, os.path.join(args.workdir, "sprrec_d"), args.cores,
+            args.placementBudget)
         res.setdefault("start_lk", lk0)
         imp, wall, moves = run_device(run, args.cores)
         run.rt.recalculate_all(run.root)
