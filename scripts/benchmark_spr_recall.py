@@ -119,6 +119,9 @@ def main():
             "improvement": round(imp, 4), "wall_s": round(wall, 2),
             "lk_after": lk1, "applied_gain": round(lk1 - lk0, 4)}
         del run
+        if args.out:  # incremental: a killed device pass must not
+            with open(args.out, "a") as f:  # lose the denominator
+                f.write(json.dumps(res) + "\n")
 
     if args.mode in ("both", "device"):
         run, lk0, build_s = build_tree(
